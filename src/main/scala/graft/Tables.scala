@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Facade over the driver-generated parquet tables for one scale-factor dir.
+  *
+  * All operators read through this; Catalyst handles column pruning and
+  * filter pushdown into the parquet scans, so no caching or manual
+  * projection is needed here. At cluster scale the same facade would point
+  * at partitioned table roots instead of single files.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy conf) and rebuild a
+    * microsecond timestamp — DuckDB truncates ns→µs identically, so oracle
+    * comparisons agree. Integer division (DIV) avoids double precision loss
+    * on ~1.7e18 nano values.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local pre-validation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views named
+after the tables in <sfDir>, then compares: columns sorted by name, rows
+sorted, exact value equality (floats compared exactly — queries are expected
+to round on both sides). Exits nonzero on any mismatch.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in order]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    failures = []
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            failures.append((name, "spark output missing"))
+            continue
+        try:
+            duck = con.sql(sql)
+            drows, dcols = duck.fetchall(), [d[0] for d in duck.description]
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            continue
+        try:
+            sp = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+            srows, scols = sp.fetchall(), [d[0] for d in sp.description]
+        except Exception as e:
+            failures.append((name, f"spark result read error: {e}"))
+            continue
+        if sorted(dcols) != sorted(scols):
+            failures.append((name, f"columns differ: spark={sorted(scols)} oracle={sorted(dcols)}"))
+            continue
+        dc, cols = canon(drows, dcols)
+        sc, _ = canon(srows, scols)
+        if len(dc) != len(sc):
+            failures.append((name, f"row count differs: spark={len(sc)} oracle={len(dc)}"))
+            continue
+        bad = [(i, s, d) for i, (s, d) in enumerate(zip(sc, dc)) if s != d]
+        if bad:
+            i, s, d = bad[0]
+            failures.append((name, f"{len(bad)}/{len(dc)} rows differ; first at {i} cols={cols}:\n  spark : {s}\n  oracle: {d}"))
+        else:
+            print(f"OK    {name} ({len(dc)} rows)")
+
+    for name, msg in failures:
+        print(f"FAIL  {name}: {msg}")
+    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
