@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational completeness beyond the reference's literal queries:
+  * joins (star/semi/anti), windows, grouping sets, pivot, time buckets,
+  * sessionization. These are the building blocks the reference's Hive
+  * dialect exposes (it uses joins of scalar subqueries, windows for
+  * pct-of-total) generalized to the full operator surface.
+  *
+  * Scale notes (100 TB):
+  *  - Star join: region/nation are tiny → explicit broadcast; customer
+  *    scales with the fact tables → shuffle join on the key, left to
+  *    AQE/sort-merge. lineitem⨝orders shuffles once on orderkey.
+  *  - Semi/anti joins avoid materializing the probe side's payload.
+  *  - Top-N per key: window over partitioned data — each partition's heap
+  *    is independent; no global sort.
+  *  - Running sums / pct-of-total windows run on *aggregated* inputs
+  *    (dozens of rows), never raw data, so the single-task window frame
+  *    is never a bottleneck.
+  *  - Sessionization: one shuffle on user_id; state per user is bounded.
+  *    The streaming twin (streaming.EventsStream) uses
+  *    flatMapGroupsWithState with the same gap semantics.
+  */
+object Relational {
+
+  private val SessionGapSec = 1800
+
+  /** q21 — 5-table star join: revenue by region/nation (flagship).
+    * TPC-H Q5-flavored; the reference's join capability (scalar-subquery
+    * cross joins, ref lines 326–330) generalized. */
+  def q21(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("region", "nation")
+
+  /** q22 — left-semi join (EXISTS): customers having orders, by segment. */
+  def q22(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("seg")
+
+  /** q23 — left-anti join (NOT EXISTS): customers with no orders. */
+  def q23(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("seg")
+
+  /** q24 — top-3 orders per customer via row_number window (deterministic
+    * tie-break on orderkey). */
+  def q24(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q25 — running (cumulative) monthly revenue. Window runs over the
+    * ~84-row aggregate, not raw data. */
+  def q25(t: Tables): DataFrame = {
+    val monthly = t.lineitem
+      .groupBy(
+        year(col("l_shipdate")).cast("long").as("yr"),
+        month(col("l_shipdate")).cast("long").as("mnth"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+    val w = Window.orderBy("yr", "mnth")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .select(col("yr"), col("mnth"), col("rev"),
+        round(sum(col("rev")).over(w), 2).as("running_rev"))
+      .orderBy("yr", "mnth")
+  }
+
+  /** q26 — ROLLUP grouping sets with subtotal rows. */
+  def q26(t: Tables): DataFrame =
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("grp"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("grp", "status")
+
+  /** q27 — exact distinct counts per group (scale path documented:
+    * approx_count_distinct/HLL for mergeable single-pass sketches). */
+  def q27(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("grp")
+
+  /** q28 — UNION + dedup across two dimension paths. */
+  def q28(t: Tables): DataFrame = {
+    val supNations = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    val custNations = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"))
+    supNations.union(custNations).distinct().orderBy("n_name")
+  }
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q29 — pivot categorical values into columns (explicit value list so
+    * the plan is a single pass; no values-discovery job). */
+  def q29(t: Tables): DataFrame = {
+    val p = t.events
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select(
+        col("user_id") +:
+          EventTypes.map(e => coalesce(col(e), lit(0L)).as(s"n_$e")): _*)
+      .orderBy("user_id")
+  }
+
+  /** q30 — tumbling 1-hour time-bucket aggregation (batch analog of the
+    * streaming windowed agg in streaming.EventsStream). */
+  def q30(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+
+  /** q31 — gap-based sessionization (30-min inactivity gap) via
+    * lag + cumulative-sum windows, then per-user session stats. */
+  def q31(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapSec =
+      unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
+    val flagged = t.events.withColumn(
+      "new_session",
+      when(gapSec.isNull || gapSec > SessionGapSec, 1L).otherwise(0L))
+    val sessioned = flagged.withColumn(
+      "sess_id",
+      sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = sessioned
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))) / 60.0)
+          .as("dur_min"))
+    sessions
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        round(avg(col("dur_min")), 2).as("avg_session_min"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "q21_star_join" -> q21,
+    "q22_semi_join" -> q22,
+    "q23_anti_join" -> q23,
+    "q24_window_topn" -> q24,
+    "q25_running_sum" -> q25,
+    "q26_rollup" -> q26,
+    "q27_count_distinct" -> q27,
+    "q28_union_distinct" -> q28,
+    "q29_pivot" -> q29,
+    "q30_time_bucket_agg" -> q30,
+    "q31_sessionize" -> q31)
+
+  val oracles: Map[String, String] = Map(
+    "q21_star_join" ->
+      """SELECT r_name AS region, n_name AS nation,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY region, nation""".stripMargin,
+    "q22_semi_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    "q23_anti_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_cust FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    "q24_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q25_running_sum" ->
+      """SELECT yr, mnth, rev,
+        | round(sum(rev) OVER (ORDER BY yr, mnth
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+        |FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |             CAST(month(l_shipdate) AS BIGINT) AS mnth,
+        |             round(sum(l_extendedprice), 2) AS rev
+        |      FROM lineitem GROUP BY yr, mnth)
+        |ORDER BY yr, mnth""".stripMargin,
+    "q26_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS grp,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY grp, status""".stripMargin,
+    "q27_count_distinct" ->
+      """SELECT l_returnflag AS grp,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
+    "q28_union_distinct" ->
+      """SELECT n_name FROM (
+        |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION
+        |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |ORDER BY n_name""".stripMargin,
+    "q29_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click')    AS n_click,
+        | count(*) FILTER (event_type = 'error')    AS n_error,
+        | count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        | count(*) FILTER (event_type = 'signup')   AS n_signup,
+        | count(*) FILTER (event_type = 'view')     AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q30_time_bucket_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY hour_ts, event_type
+        |ORDER BY hour_ts, event_type""".stripMargin,
+    "q31_sessionize" ->
+      s"""SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+         | round(avg(dur_min), 2) AS avg_session_min
+         |FROM (
+         |  SELECT user_id, sess_id, count(*) AS n_events,
+         |    date_diff('second', min(ts), max(ts)) / 60.0 AS dur_min
+         |  FROM (
+         |    SELECT user_id, ts,
+         |      sum(new_session) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |    FROM (
+         |      SELECT user_id, ts, event_id,
+         |        CASE WHEN lag(ts) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) IS NULL
+         |             OR date_diff('second',
+         |                  lag(ts) OVER (PARTITION BY user_id
+         |                    ORDER BY ts, event_id), ts) > $SessionGapSec
+         |             THEN 1 ELSE 0 END AS new_session
+         |      FROM events))
+         |  GROUP BY user_id, sess_id)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
