@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Reference, Relational}
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,10 +19,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    lift(Reference.queries) ++ lift(Relational.queries)
+    lift(Reference.queries) ++ lift(Relational.queries) ++
+      lift(TextOps.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    Reference.oracles ++ Relational.oracles
+    Reference.oracles ++ Relational.oracles ++ TextOps.oracles
 }

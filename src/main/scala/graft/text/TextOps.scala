@@ -1,0 +1,164 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (token counting, quality scoring,
+  * language ID, fingerprinting, exact dedup).
+  *
+  * All computed with codegen'd built-in functions (split / higher-order
+  * filter / regexp / md5) — no UDFs — so the whole pipeline stays inside
+  * WholeStageCodegen and scales as a map-only pass; aggregations shuffle
+  * only the (tiny) group keys.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text`. */
+  private val toks = "string_split_regex" // doc note: duckdb name; spark uses split
+  private def tokensExpr = "split(trim(text), '\\\\s+')"
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+  private def sqlList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+
+  /** Marker-word profiles for the language-ID heuristic. The scale path
+    * for real corpora is a char-ngram naive-bayes profile; marker words
+    * keep the operator oracle-checkable (SURVEY §2 t03). */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "et", "dans"),
+    "zh" -> Seq("de0", "le0", "shi0"))
+
+  /** t01 — token + char counts per document (map-only). */
+  def t01(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        expr(s"cast(size($tokensExpr) as bigint)").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"))
+      .orderBy("doc_id")
+
+  /** t02 — quality scoring: token count, avg token length, punctuation
+    * ratio, stopword ratio, and a combined keep/drop flag. */
+  def t02(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", expr(tokensExpr))
+      .withColumn("n_tokens", expr("cast(size(toks) as bigint)"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_chars") * 1.0 / col("n_tokens"), 4).as("avg_token_len"),
+        round(length(regexp_replace(col("text"), "[^.,!?;:]", "")) * 1.0
+          / col("n_chars"), 4).as("punct_ratio"),
+        round(expr(s"size(filter(toks, x -> x IN (${sqlList(Stopwords)})))")
+          * 1.0 / col("n_tokens"), 4).as("stopword_ratio"),
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          length(regexp_replace(col("text"), "[^.,!?;:]", "")) * 1.0
+            / col("n_chars") < 0.2).as("quality_ok"))
+      .orderBy("doc_id")
+
+  /** t03 — marker-word language ID; result is the (labeled lang ×
+    * predicted lang) confusion matrix. */
+  def t03(t: Tables): DataFrame = {
+    val scored = Markers.foldLeft(t.documents.withColumn("toks", expr(tokensExpr))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          expr(s"size(filter(toks, x -> x IN (${sqlList(words)})))"))
+    }
+    val langs = Markers.map(_._1)
+    val pred = langs.foldRight(lit("unknown")) { case (l, els) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(col(s"s_$l") > 0 && isMax, lit(l)).otherwise(els)
+    }
+    scored
+      .select(col("lang"), pred.as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    * text. Identical bytes on both engines (UTF-8). */
+  private def fingerprint = md5(
+    lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+
+  /** t04 — per-document fingerprint (the dedup key). */
+  def t04(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), fingerprint.as("fp"))
+      .orderBy("doc_id")
+
+  /** d01 — exact dedup corpus stats: total docs, distinct fingerprints,
+    * redundant rows. Survivor selection = min(doc_id) per fingerprint;
+    * single hash-aggregate shuffle on the fingerprint. */
+  def d01(t: Tables): DataFrame = {
+    val groups = t.documents
+      .select(fingerprint.as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("survivor"))
+    groups.agg(
+      sum("cnt").as("n_docs"),
+      count(lit(1)).as("n_distinct"),
+      (sum("cnt") - count(lit(1))).as("n_dup_rows"))
+  }
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "t01_token_count" -> t01,
+    "t02_quality_score" -> t02,
+    "t03_langid" -> t03,
+    "t04_fingerprint" -> t04,
+    "d01_dedup_exact" -> d01)
+
+  private val dTokens = raw"string_split_regex(trim(text), '\s+')"
+  private def dMarker(words: Seq[String]) =
+    s"len(list_filter($dTokens, x -> x IN (${sqlList(words)})))"
+  private val dFp = raw"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_count" ->
+      s"""SELECT doc_id, CAST(len($dTokens) AS BIGINT) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars_obs
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" ->
+      s"""SELECT doc_id, n_tokens,
+         | round(n_chars*1.0/n_tokens, 4) AS avg_token_len,
+         | round(n_punct*1.0/n_chars, 4) AS punct_ratio,
+         | round(n_stop*1.0/n_tokens, 4) AS stopword_ratio,
+         | (n_tokens >= 10 AND n_tokens <= 1000 AND n_punct*1.0/n_chars < 0.2)
+         |   AS quality_ok
+         |FROM (SELECT doc_id,
+         |   CAST(len($dTokens) AS BIGINT) AS n_tokens,
+         |   CAST(length(text) AS BIGINT) AS n_chars,
+         |   length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+         |   ${dMarker(Stopwords)} AS n_stop
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "t03_langid" ->
+      s"""SELECT lang, pred, count(*) AS cnt FROM (
+         | SELECT lang, CASE
+         |   ${Markers.map { case (l, _) =>
+              val others = Markers.map(_._1).filter(_ != l)
+                .map(o => s"s_$l >= s_$o").mkString(" AND ")
+              s"WHEN s_$l > 0 AND $others THEN '$l'"
+            }.mkString("\n   ")}
+         |   ELSE 'unknown' END AS pred
+         | FROM (SELECT lang,
+         |   ${Markers.map { case (l, ws) => s"${dMarker(ws)} AS s_$l" }
+              .mkString(",\n   ")}
+         |  FROM documents))
+         |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+    "t04_fingerprint" ->
+      s"SELECT doc_id, $dFp AS fp FROM documents ORDER BY doc_id",
+    "d01_dedup_exact" ->
+      s"""SELECT sum(cnt) AS n_docs, count(*) AS n_distinct,
+         | sum(cnt) - count(*) AS n_dup_rows
+         |FROM (SELECT $dFp AS fp, count(*) AS cnt, min(doc_id) AS survivor
+         |      FROM documents GROUP BY fp)""".stripMargin)
+}
