@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Reference, Relational}
 import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -20,10 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     lift(Reference.queries) ++ lift(Relational.queries) ++
-      lift(TextOps.queries)
+      lift(TextOps.queries) ++ lift(Dedup.queries) ++ lift(Similarity.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    Reference.oracles ++ Relational.oracles ++ TextOps.oracles
+    Reference.oracles ++ Relational.oracles ++ TextOps.oracles ++
+      Dedup.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic hash kernels shared by the interpreted eval paths and the
+  * generated code. Single-pass per row: these exist because the same
+  * computation with built-in higher-order functions needs k passes over the
+  * token array (one `transform`+`array_min` per MinHash permutation, one
+  * fold per SimHash bit), which is the difference between a map-only scan
+  * and a 32× slower one at 100 TB.
+  */
+object HashImpls {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — stable across JVMs, no internal
+    * Spark API. */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 — the finalizer used to derive per-permutation /
+    * per-plane constants. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit SimHash over the token array: per-token fnv64, ±1 vote per
+    * bit, sign → bit. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv64(tokens.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** k-permutation MinHash signature over the shingle array, one pass:
+    * h_j(x) = mix64(fnv64(x) ^ mix64(seed + j)). */
+  def minhashSigs(shingles: ArrayData, k: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val perm = new Array[Long](k)
+    var j = 0
+    while (j < k) { perm(j) = mix64(seed + j); j += 1 }
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv64(shingles.getUTF8String(i).getBytes)
+      j = 0
+      while (j < k) {
+        val hj = mix64(h ^ perm(j))
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Random-hyperplane LSH bucket: sign bit per plane of vec·w(plane),
+    * w components pseudo-random in [-1,1) from splitmix64(seed, plane, dim).
+    * Returns an Int bucket in [0, 2^planes). */
+  def rhBucket(vec: ArrayData, planes: Int, seed: Long): Int = {
+    val dims = vec.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        val w = (mix64(seed + p.toLong * 65536 + d) >>> 11) *
+          (1.0 / (1L << 53)) * 2.0 - 1.0
+        s += vec.getDouble(d) * w
+        d += 1
+      }
+      if (s > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def jaccardEst(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+}
+
+/** simhash64(tokens: array<string>) → long. Codegen emits a direct static
+  * call, so the expression stays inside WholeStageCodegen. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashImpls.simhash64(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** minhash_sigs(shingles: array<string>) → array<long> of k signature
+  * components. */
+case class MinHashSigs(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashImpls.minhashSigs(v.asInstanceOf[ArrayData], k, seed))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.minhashSigs($c, $k, ${seed}L))")
+  override protected def withNewChildInternal(c: Expression): MinHashSigs =
+    copy(child = c)
+  override def prettyName: String = "minhash_sigs"
+}
+
+/** rh_bucket(vec: array<double>) → int LSH bucket from `planes` random
+  * hyperplanes. */
+case class RhBucket(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 30, "planes must be in 1..30")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    HashImpls.rhBucket(v.asInstanceOf[ArrayData], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.rhBucket($c, $planes, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): RhBucket =
+    copy(child = c)
+  override def prettyName: String = "rh_bucket"
+}
+
+/** jaccard_est(sigA, sigB) → fraction of equal MinHash components. */
+case class JaccardEst(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.jaccardEst(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.jaccardEst($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardEst =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_est"
+}
+
+/** Column-API wrappers. Callers are responsible for input types
+  * (tokens/shingles: array<string>; vec is auto-cast to array<double>).
+  */
+object exprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def minhash_sigs(shingles: Column, k: Int = 32, seed: Long = 42L): Column =
+    column(MinHashSigs(expression(shingles), k, seed))
+  def rh_bucket(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
+    column(RhBucket(expression(vec.cast(ArrayType(DoubleType))), planes, seed))
+  def jaccard_est(a: Column, b: Column): Column =
+    column(JaccardEst(expression(a), expression(b)))
+}

@@ -1,0 +1,100 @@
+package graft.similarity
+
+import graft.Tables
+import graft.functions.exprs.rh_bucket
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY §2 s01/s02).
+  *
+  * s01 is the exact brute-force baseline: the (small) query set is
+  * broadcast, similarities are a map-only pass over the corpus, and top-k
+  * is taken in two phases — per (query, corpus-bucket) first, then across
+  * buckets — so no single task ever sorts the whole corpus for a query
+  * (the naive `row_number over (partition by q_id)` serializes each
+  * query's ranking through one task at 100 TB).
+  *
+  * s02 is the scale path: an 8-plane random-hyperplane LSH bucket
+  * (codegen'd custom expression) on both sides turns the cross join into
+  * an equi-join on bucket; exact cosine re-ranks within buckets.
+  */
+object Similarity {
+
+  private val TopK = 5
+  private val NQueries = 10
+  private val PartialBuckets = 32
+  private val Planes = 8
+  private val Seed = 7L
+
+  /** vec as array<double> + precomputed L2 norm (one map-only pass). */
+  private def prepped(t: Tables): DataFrame =
+    t.embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .withColumn("norm",
+        sqrt(expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)")))
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (a, v) -> a + v)")
+
+  /** s01 — exact cosine top-k, two-phase ranking. */
+  def s01(t: Tables): DataFrame = {
+    val corpus = prepped(t)
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val sims = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4).as("sim"))
+    val partial = Window
+      .partitionBy(col("q_id"), pmod(col("vec_id"), lit(PartialBuckets)))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val full = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims
+      .withColumn("prn", row_number().over(partial))
+      .filter(col("prn") <= TopK)
+      .withColumn("rn", row_number().over(full).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** s02 — LSH-bucketed approximate NN: equi-join on rh_bucket, exact
+    * cosine re-rank within bucket. Single-probe; multi-probe (flip one
+    * plane bit) is the recall knob at scale. */
+  def s02(t: Tables): DataFrame = {
+    val corpus = prepped(t)
+      .withColumn("bucket", rh_bucket(col("vec"), Planes, Seed))
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(queries, Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "s01_cosine_topk" -> s01,
+    "s02_lsh_ann" -> s02)
+
+  /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
+    * s02's bucket function is a custom kernel → rows-only. */
+  val oracles: Map[String, String] = Map(
+    "s01_cosine_topk" ->
+      s"""SELECT q_id, vec_id, sim, rn FROM (
+         | SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |   round(list_cosine_similarity(v.embedding::DOUBLE[],
+         |                                q.embedding::DOUBLE[]), 4) AS sim,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[],
+         |                      q.embedding::DOUBLE[]), 4) DESC, v.vec_id) AS rn
+         | FROM embeddings v,
+         |      (SELECT * FROM embeddings WHERE vec_id < $NQueries) q)
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin)
+}
