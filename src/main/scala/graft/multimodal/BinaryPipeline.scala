@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2): media as opaque `binary`
+  * columns + typed metadata, with decode/feature-extraction running as a
+  * per-partition batch pass.
+  *
+  * The decode kernel itself is STUBBED (no image/audio libs in this
+  * container): [[StubCodec.decode]] parses a deterministic fake header
+  * instead of real JPEG/PNG bytes. Everything around it — the schema, the
+  * binary payload handling, the mapPartitions batch shape (amortizing
+  * per-partition codec init, exactly how a JNI/FFI decoder is driven), and
+  * the partitioning story — is real and tested. Swapping StubCodec for a
+  * real one changes no plumbing.
+  */
+object BinaryPipeline {
+
+  case class MediaRow(
+      media_id: Long,
+      modality: String,        // "image" | "audio"
+      payload: Array[Byte],    // opaque encoded bytes
+      source_doc: Long)
+
+  case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      source_doc: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      features: Array[Float])  // fixed-dim feature vector
+
+  /** Deterministic fake codec. A real implementation decodes
+    * payload → pixels/samples; the stub reads the 12-byte header the
+    * synthesizer wrote and hashes the body into features. */
+  object StubCodec {
+    val FeatureDim = 8
+
+    def encode(id: Long, modality: String): Array[Byte] = {
+      val body = new Array[Byte](64)
+      var i = 0
+      while (i < body.length) {
+        body(i) = (graft.functions.HashImpls.mix64(id * 64 + i) & 0xff).toByte
+        i += 1
+      }
+      val buf = ByteBuffer.allocate(12 + body.length)
+      buf.putInt((id % 640 + 32).toInt)  // width
+      buf.putInt((id % 480 + 32).toInt)  // height
+      buf.putInt(body.length)
+      buf.put(body)
+      buf.array()
+    }
+
+    /** The stub for the real decoder (???-equivalent, see scaladoc). */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val buf = ByteBuffer.wrap(payload)
+      val w = buf.getInt
+      val h = buf.getInt
+      val n = buf.getInt
+      val feats = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < n) {
+        feats(i % FeatureDim) += (buf.get() & 0xff) / 255.0f
+        i += 1
+      }
+      (w, h, feats)
+    }
+  }
+
+  /** Deterministic synthetic media table (seeded by id). */
+  def synthesize(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { r =>
+      val id = r
+      val modality = if (id % 3 == 0) "audio" else "image"
+      MediaRow(id, modality, StubCodec.encode(id, modality), id / 4)
+    }
+  }
+
+  /** Decode + feature-extract as a per-partition batch pass. Partition
+    * sizing note for 100 TB of media: repartition upstream so a partition
+    * is O(100 MB) of payload (`spark.sql.files.maxPartitionBytes` for file
+    * sources); codec state is initialized once per partition, not per row.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init would go here (JNI handles, model load)
+      rows.map { m =>
+        val (w, h, feats) = StubCodec.decode(m.payload)
+        MediaFeatures(m.media_id, m.modality, m.source_doc, w, h, m.payload.length.toLong, feats)
+      }
+    }
+  }
+
+  /** Join extracted media features back to their source documents —
+    * multimodal columns co-live with text in one table. */
+  def joinWithDocuments(features: Dataset[MediaFeatures], docs: DataFrame): DataFrame =
+    features.toDF()
+      .join(docs, col("source_doc") === col("doc_id"))
+      .select(col("media_id"), col("modality"), col("doc_id"),
+        col("width"), col("height"), col("n_bytes"), col("lang"))
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface mirroring the reference's data loading and ETL sink.
+  *
+  * Reference (Surabhi_Srinath_NYC_Taxi_Assignment_FInal.txt):
+  *  - lines 31–55: external CSV table via OpenCSVSerde, explicit schema,
+  *    `skip.header.line.count=1` → [[CsvSource.read]]
+  *  - lines 252–278: ORC table PARTITIONED BY (yr, mnth), CLUSTERED/SORTED
+  *    BY tip_amount INTO 5 BUCKETS, SNAPPY → [[PartitionedWriter]]
+  */
+object CsvSource {
+
+  /** CSV with header + explicit schema (never infer at scale — schema
+    * inference is an extra full scan of 100 TB). */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           sep: String = ","): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+}
+
+object PartitionedWriter {
+
+  /** Partitioned columnar write (parquet/orc), the reference's
+    * PARTITIONED BY (yr, mnth). `maxRecordsPerFile` guards the small-file /
+    * giant-file extremes; dynamic partition overwrite only rewrites the
+    * partitions present in `df`. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       format: String = "parquet",
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .format(format)
+      .save(path)
+
+  /** Partitioned + bucketed + sorted table, the reference's CLUSTERED BY
+    * (tip_amount) SORTED BY (tip_amount) INTO 5 BUCKETS. Bucketing
+    * requires the catalog (saveAsTable); co-locates future joins/aggs on
+    * the bucket column with zero shuffle. */
+  def writeBucketedTable(df: DataFrame, table: String,
+                         partitionCols: Seq[String],
+                         bucketCol: String, nBuckets: Int = 5,
+                         format: String = "parquet"): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format(format)
+      .saveAsTable(table)
+
+  /** The reference's full ETL: clean lineitem⨝orders rows → derived
+    * (yr, mnth) partitions (ref lines 264–271). */
+  def cleanedPartitionedETL(t: graft.Tables, path: String,
+                            format: String = "parquet"): Unit = {
+    val dh = (unix_timestamp(col("l_shipdate")) -
+      unix_timestamp(col("o_orderdate"))) / 3600.0
+    val cleaned = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("dh", dh)
+      .filter(col("dh") >= 0 && col("dh") <= 8760 &&
+        col("l_tax").isin(0.0, 0.02, 0.04, 0.06, 0.08) &&
+        col("l_quantity") > 0 && col("l_discount") >= 0 &&
+        col("l_extendedprice") >= 0 && year(col("l_shipdate")) === 1996)
+      .withColumn("yr", year(col("l_shipdate")))
+      .withColumn("mnth", month(col("l_shipdate")))
+      .drop("dh")
+    writePartitioned(cleaned, path, Seq("yr", "mnth"), format)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2 non-query APIs): the streaming
+  * twins of q30 (tumbling window agg) and q31 (gap sessionization).
+  *
+  * All transforms take an unbounded DataFrame/Dataset (from `readStream` or
+  * MemoryStream in tests) and return one — source/sink agnostic, so the
+  * same code runs on Kafka at scale. State size is bounded by the
+  * watermark (windowed aggs) or by active keys (sessionization): at 1000
+  * executors, state is hash-partitioned by group key in the state store.
+  */
+/** Per-user open-session accumulator for [[EventsStream.sessionizeStateful]].
+  * Top-level and public: the state-store encoder's generated code must be
+  * able to call the accessors (Janino rejects nested private classes). */
+case class SessionState(start: Long, last: Long, n: Long, acc: Double)
+
+object EventsStream {
+
+  case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  case class SessionSummary(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double)
+
+  val SessionGap = "30 minutes"
+  private val SessionGapMs = 30L * 60 * 1000
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark (late data
+    * beyond that is dropped; state is evicted past the watermark). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("hour_ts"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Gap sessionization with the native session_window operator —
+    * Spark-first twin of the batch q31. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState: same gap
+    * semantics but with arbitrary per-session state (here: value sums),
+    * emitting a summary when the event-time timeout closes a session.
+    * This is the extension point session_window can't express (e.g.
+    * model-state per user, conditional emission). */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(
+              userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.acc))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, acc = s.acc + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(
+                    userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.acc)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

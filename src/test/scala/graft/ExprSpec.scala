@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{exprs, HashImpls}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash64: identical token arrays hash equal; near-identical differ in few bits") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different words about database query engines here now")
+    ).toDF("id", "text")
+      .select($"id", exprs.simhash64(split($"text", " ")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 16)
+    assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) > 10)
+  }
+
+  test("minhash_sigs: estimated jaccard tracks exact jaccard") {
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (1 to 80).map(i => s"tok$i") ++ (1 to 20).map(i => s"other$i")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+      .select($"id", exprs.minhash_sigs($"toks", k = 128).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 128.0
+    val exact = 80.0 / 120.0
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("rh_bucket: deterministic, in range, equal vectors collide") {
+    val v = Array.tabulate(64)(i => i.toFloat / 64f)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("id", "vec")
+      .select($"id", exprs.rh_bucket($"vec", planes = 8, seed = 7L).as("b"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m.values.forall(b => b >= 0 && b < 256))
+    // opposite vector lands in the complementary bucket
+    assert((m(1L) ^ m(3L)) == 255)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val toks = Seq((1L, Seq("a", "b", "c", "d", "e")))
+    val df = toks.toDF("id", "toks")
+    val viaExpr = df.select(exprs.simhash64($"toks")).head().getLong(0)
+    val direct = HashImpls.simhash64(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Seq("a", "b", "c", "d", "e").map(
+          org.apache.spark.unsafe.types.UTF8String.fromString)))
+    assert(viaExpr == direct)
+  }
+}

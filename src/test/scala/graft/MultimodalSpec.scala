@@ -1,0 +1,32 @@
+package graft
+
+import graft.multimodal.BinaryPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val t = TestSpark.tables
+
+  test("binary payload roundtrip: synthesize → decodeFeatures") {
+    val media = BinaryPipeline.synthesize(spark, 100)
+    val feats = BinaryPipeline.decodeFeatures(media).collect()
+    assert(feats.length == 100)
+    feats.foreach { f =>
+      assert(f.n_bytes == 76) // 12-byte header + 64-byte body
+      assert(f.features.length == BinaryPipeline.StubCodec.FeatureDim)
+      assert(f.width >= 32 && f.height >= 32)
+    }
+    // deterministic: same id → same features
+    val again = BinaryPipeline.decodeFeatures(BinaryPipeline.synthesize(spark, 100))
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    feats.foreach(f => assert(again(f.media_id) == f.features.toSeq))
+  }
+
+  test("media features join back to documents") {
+    val media = BinaryPipeline.synthesize(spark, 40)
+    val joined = BinaryPipeline.joinWithDocuments(
+      BinaryPipeline.decodeFeatures(media), t.documents)
+    assert(joined.count() == 40)
+    assert(joined.columns.contains("lang"))
+  }
+}

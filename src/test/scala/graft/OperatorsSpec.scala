@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural sanity for the query inventory at sf0.001. Value-level
+  * correctness is enforced by the DuckDB oracle gate (tools/check_oracle.py
+  * over graft.Verify output); these specs pin invariants that hold at any
+  * scale factor.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val t = TestSpark.tables
+
+  test("every SURVEY §2 query runs and q-oracle keys line up") {
+    val qs = SparkEntry.queries
+    assert(qs.size >= 41, s"expected >=41 inventory entries, got ${qs.size}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+  }
+
+  test("q01 counts partition the table") {
+    val total = operators.Reference.q01(t)
+      .agg(org.apache.spark.sql.functions.sum("total")).head().getLong(0)
+    assert(total == t.lineitem.count())
+  }
+
+  test("q02 pct shares sum to ~100") {
+    val pcts = operators.Reference.q02(t).collect().map(_.getDouble(2))
+    assert(math.abs(pcts.sum - 100.0) < 0.1)
+  }
+
+  test("q21 star join covers every region present in customer data") {
+    val regions = operators.Relational.q21(t)
+      .select("region").distinct().count()
+    assert(regions == 5)
+  }
+
+  test("q22 + q23 partition customers") {
+    import org.apache.spark.sql.functions.sum
+    def safeSum(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df.agg(sum("n_cust")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val semi = safeSum(operators.Relational.q22(t))
+    val anti = safeSum(operators.Relational.q23(t))
+    assert(semi + anti == t.customer.count())
+  }
+
+  test("q24 emits at most 3 rows per customer, ranked") {
+    val bad = operators.Relational.q24(t)
+      .groupBy("o_custkey").count().filter("count > 3").count()
+    assert(bad == 0)
+  }
+
+  test("q31 session counts bounded by event counts") {
+    val r = operators.Relational.q31(t)
+    assert(r.filter("n_sessions > n_events").count() == 0)
+  }
+
+  test("d02 minhash candidates verified by d04 exact jaccard") {
+    val est = dedup.Dedup.d02(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = dedup.Dedup.d04(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every high-estimate pair must be a genuinely similar pair
+    est.filter(_._2 >= 0.8).keys.foreach { k =>
+      assert(exact.contains(k) && exact(k) >= 0.5, s"pair $k est>=0.8 but exact=${exact.get(k)}")
+    }
+  }
+
+  test("s01 top-1 for each query vector is itself with sim 1.0") {
+    val top1 = similarity.Similarity.s01(t).filter("rn = 1").collect()
+    assert(top1.length == 10)
+    top1.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("s02 ANN results are a subset of brute-force candidates per query") {
+    val ann = similarity.Similarity.s02(t).collect()
+    assert(ann.nonEmpty)
+    // self-match must be present for every query that shares its own bucket
+    val selfRows = ann.filter(r => r.getLong(0) == r.getLong(1))
+    assert(selfRows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // offset off epoch 0: an event timestamp equal to the initial watermark
+  // (0) is dropped as late data
+  private val Base = 1440L
+  private def ts(min: Long) = new Timestamp((Base + min) * 60000L)
+  private def minuteOf(t: Timestamp): Long = t.getTime / 60000L - Base
+
+  private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("windowedCounts aggregates per hour+type with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 1, "view", 3.0),
+      Event(4, ts(300), 1, "click", 4.0)) // advances watermark past first windows
+    val q = EventsStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    runToCompletion(q)
+    val rows = spark.table("wc").collect()
+      .map(r => (minuteOf(r.getTimestamp(0)), r.getString(1), r.getLong(2)))
+    assert(rows.contains((0L, "click", 2L)))
+    assert(rows.contains((60L, "view", 1L)))
+  }
+
+  test("sessionWindows groups by 30-min gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 1.0),   // same session
+      Event(3, ts(60), 7, "click", 1.0),   // gap 50min > 30 → new session
+      Event(4, ts(600), 7, "click", 1.0))  // watermark push
+    val q = EventsStream.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append).start()
+    runToCompletion(q)
+    val sessions = spark.table("sw").collect()
+      .map(r => (r.getLong(0), minuteOf(r.getTimestamp(1)), r.getLong(3)))
+    assert(sessions.contains((7L, 0L, 2L)))
+    assert(sessions.contains((7L, 60L, 1L)))
+  }
+
+  test("sessionizeStateful emits closed sessions with sums") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 9, "click", 1.5),
+      Event(2, ts(20), 9, "view", 2.5),
+      Event(3, ts(120), 9, "click", 1.0))
+    val q = EventsStream.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("ss")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // second batch advances the watermark far enough to time out session 2
+    mem.addData(Event(4, ts(1000), 9, "click", 1.0))
+    runToCompletion(q)
+    val out = spark.table("ss").as[EventsStream.SessionSummary].collect()
+    val first = out.find(o => minuteOf(o.session_start) == 0L)
+    assert(first.isDefined)
+    assert(first.get.n_events == 2 && math.abs(first.get.sum_value - 4.0) < 1e-9)
+  }
+}
