@@ -175,7 +175,47 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q32 — JSON column extraction (events.props) + aggregate on the
+    * extracted field. get_json_object is codegen'd; at scale prefer
+    * from_json with an explicit schema once the shape is known. */
+  def q32(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 2).as("avg_k"))
+      .orderBy("event_type")
+
+  /** q33 — as-of join: for each user's events, the most recent order of
+    * the same customer key at-or-before the event time. Spark has no ASOF
+    * join operator; the scalable composition is the tagged-union + window
+    * `last(_, ignoreNulls)` pattern: one shuffle on the key, no range
+    * explosion. Result aggregated per user (deterministic under order-date
+    * ties). */
+  def q33(t: Tables): DataFrame = {
+    val orders = t.orders.select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("ts"),
+      col("o_orderdate").as("asof_date"), lit(null).cast("double").as("value"))
+    val events = t.events.select(
+      col("user_id").as("uid"), col("ts"),
+      lit(null).cast("timestamp").as("asof_date"), col("value"))
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("ts"), col("asof_date").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.union(events)
+      .withColumn("matched", last(col("asof_date"), ignoreNulls = true).over(w))
+      // keep only event rows that found a match (inner as-of semantics)
+      .filter(col("value").isNotNull && col("matched").isNotNull)
+      .groupBy(col("uid").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("matched")).as("asof_date"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q32_json_extract" -> q32,
+    "q33_asof_join" -> q33,
     "q21_star_join" -> q21,
     "q22_semi_join" -> q22,
     "q23_anti_join" -> q23,
@@ -189,6 +229,19 @@ object Relational {
     "q31_sessionize" -> q31)
 
   val oracles: Map[String, String] = Map(
+    "q32_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_asof_join" ->
+      """SELECT user_id, count(*) AS n_events, max(asof_date) AS asof_date,
+        | round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT e.user_id, e.value, o.o_orderdate AS asof_date
+        |  FROM events e
+        |  ASOF JOIN orders o
+        |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q21_star_join" ->
       """SELECT r_name AS region, n_name AS nation,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

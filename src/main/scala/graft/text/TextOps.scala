@@ -109,7 +109,23 @@ object TextOps {
       (sum("cnt") - count(lit(1))).as("n_dup_rows"))
   }
 
+  /** BPE-ish regex tokenizer: letter runs / digit runs / single
+    * punctuation, over lowercased text (the pre-tokenization split every
+    * byte-pair encoder applies before merges). */
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+
+  /** t05 — BPE-ish token counts: total and distinct pre-tokens per doc. */
+  def t05(t: Tables): DataFrame =
+    t.documents
+      .withColumn("bts", expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+      .select(
+        col("doc_id"),
+        expr("cast(size(bts) as bigint)").as("n_bpe_tokens"),
+        expr("cast(size(array_distinct(bts)) as bigint)").as("n_distinct_bpe"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t05_bpe_tokens" -> t05,
     "t01_token_count" -> t01,
     "t02_quality_score" -> t02,
     "t03_langid" -> t03,
@@ -122,6 +138,11 @@ object TextOps {
   private val dFp = raw"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
   val oracles: Map[String, String] = Map(
+    "t05_bpe_tokens" ->
+      raw"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+         | CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_distinct_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t01_token_count" ->
       s"""SELECT doc_id, CAST(len($dTokens) AS BIGINT) AS n_tokens,
          | CAST(length(text) AS BIGINT) AS n_chars_obs
