@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the graft custom expressions for SQL use.
+  *
+  * Two paths:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build time (the SparkSessionExtensions contract), or
+  *  - [[GraftExtensions.register]] on a live session.
+  *
+  * SQL forms (literal config args):
+  *   simhash64(tokens)
+  *   minhash_sigs(shingles[, k[, seed]])
+  *   rh_bucket(vec[, planes[, seed]])
+  *   jaccard_est(sigA, sigB)
+  *   rolling_hashes(text[, windowSize])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("minhash_sigs",
+      info("minhash_sigs", "minhash_sigs(shingles[, k[, seed]]) - MinHash signature"),
+      (args: Seq[Expression]) => MinHashSigs(
+        args.head,
+        if (args.length > 1) intArg(args(1), "k") else 32,
+        if (args.length > 2) longArg(args(2), "seed") else 42L)),
+    ("rh_bucket",
+      info("rh_bucket", "rh_bucket(vec[, planes[, seed]]) - random-hyperplane LSH bucket"),
+      (args: Seq[Expression]) => RhBucket(
+        args.head,
+        if (args.length > 1) intArg(args(1), "planes") else 16,
+        if (args.length > 2) longArg(args(2), "seed") else 42L)),
+    ("jaccard_est",
+      info("jaccard_est", "jaccard_est(sigA, sigB) - MinHash Jaccard estimate"),
+      (args: Seq[Expression]) => JaccardEst(args(0), args(1))),
+    ("rolling_hashes",
+      info("rolling_hashes", "rolling_hashes(text[, windowSize]) - Rabin-Karp window hashes"),
+      (args: Seq[Expression]) => RollingHashes(
+        args.head,
+        if (args.length > 1) intArg(args(1), "windowSize") else 16)))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

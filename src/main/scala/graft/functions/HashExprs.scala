@@ -106,6 +106,30 @@ object HashImpls {
     bucket
   }
 
+  /** Rabin-Karp rolling hashes over UTF-8 bytes: h(i..i+w) with base B,
+    * computed incrementally in one pass. */
+  def rollingHashes(text: UTF8String, w: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < w) return Array(fnv64(bytes))
+    val B = 1000003L
+    var bw = 1L // B^(w-1)
+    var i = 1
+    while (i < w) { bw *= B; i += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    out(0) = mix64(h)
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xffL) * bw) * B + (bytes(i) & 0xffL)
+      out(i - w + 1) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
   def jaccardEst(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var eq = 0
@@ -190,4 +214,28 @@ object exprs {
     column(RhBucket(expression(vec.cast(ArrayType(DoubleType))), planes, seed))
   def jaccard_est(a: Column, b: Column): Column =
     column(JaccardEst(expression(a), expression(b)))
+  def rolling_hashes(text: Column, windowSize: Int = 16): Column =
+    column(RollingHashes(expression(text), windowSize))
+}
+
+/** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial
+  * (Rabin-Karp) rolling hash of every `windowSize`-char window, one pass
+  * over the string. The building block for winnowing fingerprints —
+  * inexpressible with built-ins in one pass (a transform over substrings
+  * re-hashes each window from scratch, O(n·w) vs O(n)).
+  */
+case class RollingHashes(child: Expression, windowSize: Int)
+    extends UnaryExpression {
+  require(windowSize > 0, "windowSize must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HashImpls.rollingHashes(v.asInstanceOf[UTF8String], windowSize))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.rollingHashes($c, $windowSize))")
+  override protected def withNewChildInternal(c: Expression): RollingHashes =
+    copy(child = c)
+  override def prettyName: String = "rolling_hashes"
 }

@@ -124,7 +124,29 @@ object TextOps {
         expr("cast(size(array_distinct(bts)) as bigint)").as("n_distinct_bpe"))
       .orderBy("doc_id")
 
+  /** t06 — winnowing document fingerprints: Rabin-Karp rolling hashes
+    * (custom one-pass expression) min-sampled per winnowing window; the
+    * standard plagiarism/near-dup fingerprint (Schleimer et al.). Output
+    * is per-doc fingerprint-set stats; the fingerprint sets themselves
+    * feed an LSH bucket join at scale. Rows-only (custom kernel). */
+  def t06(t: Tables): DataFrame = {
+    val W = 8 // winnowing window over the hash sequence
+    t.documents
+      .withColumn("rh", graft.functions.exprs.rolling_hashes(col("text"), 16))
+      .select(
+        col("doc_id"),
+        expr("cast(size(rh) as bigint)").as("n_hashes"),
+        expr(s"""cast(size(array_distinct(
+          | CASE WHEN size(rh) >= $W
+          |   THEN transform(sequence(0, size(rh) - $W),
+          |                  i -> array_min(slice(rh, i + 1, $W)))
+          |   ELSE array(array_min(rh)) END)) as bigint)""".stripMargin)
+          .as("n_fingerprints"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t06_winnow_fingerprint" -> t06,
     "t05_bpe_tokens" -> t05,
     "t01_token_count" -> t01,
     "t02_quality_score" -> t02,

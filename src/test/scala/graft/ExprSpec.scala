@@ -44,6 +44,50 @@ class ExprSpec extends AnyFunSuite {
     assert((m(1L) ^ m(3L)) == 255)
   }
 
+  test("rolling_hashes: one-pass Rabin-Karp matches per-window recompute") {
+    val text = "abcdefgh 12345 abcdefgh 67890 qrstuvwx"
+    val w = 8
+    val df = Seq(Tuple1(text)).toDF("text")
+      .select(exprs.rolling_hashes($"text", w).as("rh"))
+    val got = df.head().getSeq[Long](0)
+    assert(got.length == text.length - w + 1)
+    // windows with identical content hash identically ("the " appears twice)
+    val windows = text.sliding(w).toSeq
+    val dupIdx = windows.zipWithIndex.groupBy(_._1).values.filter(_.size > 1)
+    assert(dupIdx.nonEmpty)
+    dupIdx.foreach { grp =>
+      val hs = grp.map { case (_, i) => got(i) }
+      assert(hs.distinct.size == 1, s"equal windows must hash equal: $grp")
+    }
+    // distinct windows overwhelmingly hash distinct
+    assert(got.distinct.size >= windows.distinct.size - 1)
+  }
+
+  test("custom functions are SQL-callable after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+        |  size(minhash_sigs(array('x','y'), 16, 7)) AS k,
+        |  rh_bucket(array(cast(0.5 as double), cast(-0.25 as double)), 4, 7) AS b,
+        |  jaccard_est(array(1L, 2L), array(1L, 3L)) AS je,
+        |  size(rolling_hashes('hello world rolling', 4)) AS nrh""".stripMargin).head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 16)
+    assert(r.getInt(2) >= 0 && r.getInt(2) < 16)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-9)
+    assert(r.getInt(4) == "hello world rolling".length - 3)
+  }
+
+  test("t06 winnowing fingerprints are fewer than raw hashes") {
+    val t = TestSpark.tables
+    val rows = graft.text.TextOps.t06(t).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "fingerprints <= hashes")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     val toks = Seq((1L, Seq("a", "b", "c", "d", "e")))
     val df = toks.toDF("id", "toks")
