@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search (SURVEY §2 s01/s02).
   *
   * s01 is the exact brute-force baseline: the (small) query set is
-  * broadcast, similarities are a map-only pass over the corpus, and top-k
-  * is taken in two phases — per (query, corpus-bucket) first, then across
-  * buckets — so no single task ever sorts the whole corpus for a query
-  * (the naive `row_number over (partition by q_id)` serializes each
-  * query's ranking through one task at 100 TB).
+  * broadcast, similarities are a map-only pass over the corpus, and the
+  * rank filter compiles to Spark's two-phase WindowGroupLimit, which keeps
+  * a k-heap per map partition before the shuffle — at 100 TB each query's
+  * final ranking task receives ≤ k·numPartitions pre-limited rows, not the
+  * corpus.
   *
   * s02 is the scale path: an 8-plane random-hyperplane LSH bucket
   * (codegen'd custom expression) on both sides turns the cross join into
@@ -23,7 +23,6 @@ object Similarity {
 
   private val TopK = 5
   private val NQueries = 10
-  private val PartialBuckets = 32
   private val Planes = 8
   private val Seed = 7L
 
@@ -38,7 +37,11 @@ object Similarity {
   private def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (a, v) -> a + v)")
 
-  /** s01 — exact cosine top-k, two-phase ranking. */
+  /** s01 — exact cosine top-k. The rank-filter pattern compiles to Spark's
+    * two-phase WindowGroupLimit (per-map-partition k-heap BEFORE the
+    * exchange, final heap after), so only ≤k rows per input partition per
+    * query are shuffled — no manual partial ranking needed (verified via
+    * explain: WindowGroupLimit → Exchange → WindowGroupLimit → Window). */
   def s01(t: Tables): DataFrame = {
     val corpus = prepped(t)
     val queries = corpus.filter(col("vec_id") < NQueries)
@@ -46,17 +49,11 @@ object Similarity {
     val sims = corpus.crossJoin(broadcast(queries))
       .select(col("q_id"), col("vec_id"),
         round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4).as("sim"))
-    val partial = Window
-      .partitionBy(col("q_id"), pmod(col("vec_id"), lit(PartialBuckets)))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val full = Window.partitionBy(col("q_id"))
+    val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     sims
-      .withColumn("prn", row_number().over(partial))
-      .filter(col("prn") <= TopK)
-      .withColumn("rn", row_number().over(full).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rn"))
       .orderBy("q_id", "rn")
   }
 
