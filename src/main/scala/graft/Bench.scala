@@ -24,10 +24,15 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // min of 2 runs per query: the host VM shows multi-second noise spikes;
+    // min approximates steady-state cost
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

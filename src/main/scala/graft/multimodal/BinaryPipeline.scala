@@ -97,6 +97,53 @@ object BinaryPipeline {
     }
   }
 
+  case class ResizedMedia(
+      media_id: Long,
+      modality: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Resize (image) / frame-sample (video-like) as a per-partition batch
+    * pass. STUB: the real kernel is a pixel resample; the stub rewrites the
+    * header dims and down-samples the payload bytes deterministically —
+    * the plumbing (schema in/out, batch shape, partition sizing) is what
+    * this API pins down. */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val buf = ByteBuffer.wrap(m.payload)
+        val w = buf.getInt; val h = buf.getInt; val n = buf.getInt
+        // ceiling division so the longer edge lands within maxDim
+        val scale = math.max(1,
+          (math.max(w, h) + math.max(1, maxDim) - 1) / math.max(1, maxDim))
+        val (nw, nh) = (math.max(1, w / scale), math.max(1, h / scale))
+        val body = new Array[Byte](math.max(1, n / scale))
+        var i = 0
+        while (i < body.length) { body(i) = m.payload(12 + i * scale); i += 1 }
+        val out = ByteBuffer.allocate(12 + body.length)
+        out.putInt(nw); out.putInt(nh); out.putInt(body.length); out.put(body)
+        ResizedMedia(m.media_id, m.modality, nw, nh, out.array())
+      }
+    }
+  }
+
+  /** Every `stride`-th frame of a multi-frame payload (video frame
+    * sampling analog): explode one row per sampled frame. STUB frame
+    * boundaries = fixed 16-byte strides of the body. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = math.max(1, (m.payload.length - 12) / 16)
+      (0 until nFrames by stride).map { f =>
+        (m.media_id, m.modality, f,
+          java.util.Arrays.copyOfRange(m.payload, 12 + f * 16,
+            math.min(m.payload.length, 12 + (f + 1) * 16)))
+      }
+    }.toDF("media_id", "modality", "frame_idx", "frame_bytes")
+  }
+
   /** Join extracted media features back to their source documents —
     * multimodal columns co-live with text in one table. */
   def joinWithDocuments(features: Dataset[MediaFeatures], docs: DataFrame): DataFrame =

