@@ -243,7 +243,35 @@ object Reference {
       .agg(round(avg(col("l_extendedprice")), 2).as("avg_price"))
       .orderBy("d")
 
+  /** q34 — the reference's literal percentile_approx (ref line 322): the
+    * mergeable-sketch scale path of q14 (single pass, no global sort).
+    * Rows-only: sketch internals differ across engines by design. */
+  def q34(t: Tables): DataFrame =
+    t.orders.agg(
+      round(element_at(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)), 1), 2).as("p25"),
+      round(element_at(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)), 2), 2).as("p50"),
+      round(element_at(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)), 3), 2).as("p75"))
+
+  /** q35 — salted two-stage aggregation: partial agg on (salt, key) then
+    * final on key. The skew guard for heavy-hitter group keys (one key
+    * dominating a shuffle partition): salt fans a hot key across 16
+    * reducers, the final stage combines 16 tiny partials. Result is
+    * identical to the direct groupBy (SQL oracle proves it). */
+  def q35(t: Tables): DataFrame =
+    t.events
+      .groupBy(pmod(hash(col("event_id")), lit(16)).as("salt"),
+        col("event_type"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum("pc").as("cnt"), round(sum("ps"), 2).as("sum_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q34_percentile_approx" -> q34,
+    "q35_salted_agg" -> q35,
     "q01_count_by_group" -> q01,
     "q02_pct_share" -> q02,
     "q03_minmax_dates" -> q03,
@@ -275,6 +303,9 @@ object Reference {
        | AND year(l_shipdate) = 1996""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q35_salted_agg" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_count_by_group" ->
       "SELECT l_returnflag AS grp, count(*) AS total FROM lineitem GROUP BY grp ORDER BY grp",
     "q02_pct_share" ->

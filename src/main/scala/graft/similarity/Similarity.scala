@@ -76,9 +76,52 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** s03 — IVF-style ANN: a coarse quantizer of C sampled centroids
+    * (deterministic sample in lieu of trained k-means); every vector is
+    * assigned to its nearest centroid in one broadcast pass (inverted
+    * lists), queries probe their NProbe nearest lists. At 100 TB the
+    * inverted lists are the partition layout — each probe touches
+    * NProbe/C of the corpus. */
+  def s03(t: Tables): DataFrame = {
+    val C = 16
+    val NProbe = 4
+    val corpus = prepped(t)
+    val centroids = corpus.filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * C)
+      .select(col("vec_id").as("cent_id"), col("vec").as("c_vec"), col("norm").as("c_norm"))
+    def cos(v: String, c: String, nv: String, nc: String) =
+      expr(s"aggregate(zip_with($v, $c, (x, y) -> x * y), cast(0 as double), (a, w) -> a + w)") /
+        (col(nv) * col(nc))
+    // inverted-list assignment: nearest centroid per vector (one broadcast pass)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
+        cos("vec", "c_vec", "norm", "c_norm").as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cent_id"), col("vec"), col("norm")), col("ccos")).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.vec").as("vec"), col("best.norm").as("norm"))
+    // query probes: NProbe nearest centroids per query
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))
+    val probes = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cos("q_vec", "c_vec", "q_norm", "c_norm"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cent_id"))
+    // search only the probed inverted lists
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    probes.join(assigned, Seq("cent_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cos("vec", "q_vec", "norm", "q_norm"), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "s01_cosine_topk" -> s01,
-    "s02_lsh_ann" -> s02)
+    "s02_lsh_ann" -> s02,
+    "s03_ivf_ann" -> s03)
 
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
     * s02's bucket function is a custom kernel → rows-only. */
