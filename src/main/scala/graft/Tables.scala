@@ -33,4 +33,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** The testdata files are single-row-group parquet, so a scan is one
+    * task no matter how many cores exist. Compute-heavy per-row kernels
+    * (MinHash/SimHash signatures, cosine math) fan out through a cheap
+    * round-robin repartition first — O(file size) shuffle, full-core map
+    * stage. At production scale the source has many row groups/splits and
+    * the plain readers are used instead.
+    */
+  private def wide(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+  def documentsWide: DataFrame  = wide(documents)
+  def embeddingsWide: DataFrame = wide(embeddings)
 }

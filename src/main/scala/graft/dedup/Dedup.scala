@@ -64,7 +64,7 @@ object Dedup {
 
   /** doc_id + MinHash sig exploded into LSH band keys. */
   private def minhashBanded(t: Tables): DataFrame = {
-    val sigs = t.documents
+    val sigs = t.documentsWide
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), minhash_sigs(shinglesCol, K, Seed).as("payload"))
     val bandArr = array((0 until Bands).map(b =>
@@ -86,7 +86,7 @@ object Dedup {
   /** d03 — SimHash near-dup candidates: 4×16-bit chunk banding, exact
     * hamming verification via bit_count(xor). */
   def d03(t: Tables): DataFrame = {
-    val sh = t.documents
+    val sh = t.documentsWide
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), simhash64(col("toks")).as("payload"))
     val chunked = sh.select(col("doc_id"), col("payload"),
@@ -106,7 +106,7 @@ object Dedup {
   def d04(t: Tables): DataFrame = {
     val cands = bucketPairs(minhashBanded(t))
       .select("doc_a", "doc_b").distinct()
-    val sets = t.documents
+    val sets = t.documentsWide
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), array_distinct(shinglesCol).as("grams"))
     cands
@@ -129,7 +129,7 @@ object Dedup {
     val L = 8
     val TablePlanes = 4
     val CosThreshold = 0.4
-    val prepped = t.embeddings.select(
+    val prepped = t.embeddingsWide.select(
       col("vec_id").as("doc_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vec"))
       .withColumn("norm",

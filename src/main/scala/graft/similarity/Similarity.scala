@@ -28,7 +28,7 @@ object Similarity {
 
   /** vec as array<double> + precomputed L2 norm (one map-only pass). */
   private def prepped(t: Tables): DataFrame =
-    t.embeddings.select(
+    t.embeddingsWide.select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vec"))
       .withColumn("norm",
