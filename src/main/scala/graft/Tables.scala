@@ -34,6 +34,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
+  /** Register every table as a temp view so `spark.sql` works against the
+    * same data (the SQL entry path, q41). */
+  def registerViews(): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { n =>
+      table(n).createOrReplaceTempView(n)
+    }
+
   /** The testdata files are single-row-group parquet, so a scan is one
     * task no matter how many cores exist. Compute-heavy per-row kernels
     * (MinHash/SimHash signatures, cosine math) fan out through a cheap

@@ -213,7 +213,95 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q36 — INTERSECT / EXCEPT set operations across dimension paths. */
+  def q36(t: Tables): DataFrame = {
+    val supNations = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val custNations = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val both = custNations.intersect(supNations).withColumn("tag", lit("both"))
+    val custOnly = custNations.except(supNations).withColumn("tag", lit("cust_only"))
+    both.union(custOnly).select(col("tag"), col("n_name")).orderBy("tag", "n_name")
+  }
+
+  /** q37 — string function suite: LIKE filter, substring, upper, concat,
+    * length — all codegen'd scalar expressions over the part dim. */
+  def q37(t: Tables): DataFrame =
+    t.part
+      .filter(col("p_name").like("%e%"))
+      .groupBy(upper(substring(col("p_name"), 1, 5)).as("prefix5"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(length(col("p_name"))), 2).as("avg_len"),
+        min(concat(col("p_brand"), lit("-"), col("p_type"))).as("min_brand_type"))
+      .orderBy("prefix5")
+
+  /** q38 — window-function suite: rank, dense_rank, ntile, lag-diff,
+    * percent_rank over per-customer order sequences. */
+  def q38(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w),
+          col("o_totalprice")), 2).as("gap_from_prev"),
+        round(percent_rank().over(w), 4).as("pct_rank"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** q39 — date/time function suite: quarter buckets, last_day,
+    * date arithmetic, day-of-year averages. */
+  def q39(t: Tables): DataFrame =
+    t.orders
+      .select(to_date(col("o_orderdate")).as("d"))
+      .groupBy(quarter(col("d")).cast("long").as("qtr"))
+      .agg(count(lit(1)).as("cnt"),
+        min(last_day(col("d"))).as("min_eom"),
+        max(date_add(col("d"), 30)).as("max_plus30"),
+        round(avg(dayofyear(col("d"))), 2).as("avg_doy"))
+      .orderBy("qtr")
+
+  /** q40 — correlated scalar subquery (customers richer than their
+    * nation's average), written as the de-correlated aggregate-join Spark
+    * plans it to anyway: one pass for per-nation averages (broadcast), one
+    * probe pass. */
+  def q40(t: Tables): DataFrame = {
+    val natAvg = t.customer.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("nat_avg"))
+    t.customer
+      .join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_rich"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy("nation")
+  }
+
+  /** q41 — the same engine through the SQL API: temp views + spark.sql
+    * (the reference's native dialect). Catalyst plans SQL and DataFrame
+    * identically; this query IS the reference's percent-share idiom
+    * (ref lines 69–74) in SQL form. */
+  def q41(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT o_orderstatus AS status, count(*) AS cnt,
+        | round(count(*) * cast(100.0 as double) / sum(count(*)) OVER (), 2) AS pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q40_correlated_subquery" -> q40,
+    "q41_sql_api" -> q41,
+    "q36_set_ops" -> q36,
+    "q37_string_funcs" -> q37,
+    "q38_window_suite" -> q38,
+    "q39_date_funcs" -> q39,
     "q32_json_extract" -> q32,
     "q33_asof_join" -> q33,
     "q21_star_join" -> q21,
@@ -229,6 +317,54 @@ object Relational {
     "q31_sessionize" -> q31)
 
   val oracles: Map[String, String] = Map(
+    "q40_correlated_subquery" ->
+      """SELECT n_name AS nation, count(*) AS n_rich,
+        | round(max(c_acctbal), 2) AS max_bal
+        |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY n_name ORDER BY nation""".stripMargin,
+    "q41_sql_api" ->
+      """SELECT o_orderstatus AS status, count(*) AS cnt,
+        | round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q36_set_ops" ->
+      """SELECT tag, n_name FROM (
+        |  SELECT 'both' AS tag, n_name FROM (
+        |    SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |    INTERSECT
+        |    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |  UNION ALL
+        |  SELECT 'cust_only' AS tag, n_name FROM (
+        |    SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |    EXCEPT
+        |    SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey))
+        |ORDER BY tag, n_name""".stripMargin,
+    "q37_string_funcs" ->
+      """SELECT upper(substr(p_name, 1, 5)) AS prefix5, count(*) AS cnt,
+        | round(avg(length(p_name)), 2) AS avg_len,
+        | min(concat(p_brand, '-', p_type)) AS min_brand_type
+        |FROM part WHERE p_name LIKE '%e%'
+        |GROUP BY prefix5 ORDER BY prefix5""".stripMargin,
+    "q38_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | ntile(4) OVER w AS quartile,
+        | round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, o_totalprice), 2)
+        |   AS gap_from_prev,
+        | round(percent_rank() OVER w, 4) AS pct_rank
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q39_date_funcs" ->
+      """SELECT CAST(quarter(d) AS BIGINT) AS qtr, count(*) AS cnt,
+        | min(last_day(d)) AS min_eom,
+        | max(d + 30) AS max_plus30,
+        | round(avg(dayofyear(d)), 2) AS avg_doy
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |GROUP BY qtr ORDER BY qtr""".stripMargin,
     "q32_json_extract" ->
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
