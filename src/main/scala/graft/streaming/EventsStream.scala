@@ -63,6 +63,38 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static join: enrich the event stream with a dimension table.
+    * The static side is planned per micro-batch (broadcast for small
+    * dims); no state is kept. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim("c_custkey"))
+      .select(events("event_id"), events("ts"), events("user_id"),
+        events("event_type"), events("value"),
+        dim("c_mktsegment").as("segment"))
+
+  /** Streaming exact dedup (the streaming twin of d01): drop re-deliveries
+    * of the same event id within the watermark horizon; state is evicted
+    * past it, so memory is bounded by the horizon's key cardinality. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** foreachBatch sink: stream micro-batches into the partitioned
+    * columnar writer (append), giving the streaming path the same layout
+    * as the batch ETL. */
+  def sinkPartitioned(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch
+        .withColumn("dt", org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts")))
+        .write.mode("append")
+        .partitionBy("dt")
+        .parquet(path)
+    }
+
   /** Custom-state sessionization via flatMapGroupsWithState: same gap
     * semantics but with arbitrary per-session state (here: value sums),
     * emitting a summary when the event-time timeout closes a session.

@@ -80,4 +80,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.isDefined)
     assert(first.get.n_events == 2 && math.abs(first.get.sum_value - 4.0) < 1e-9)
   }
+
+  test("stream-static join enriches events with a broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "view", 2.0),
+      Event(3, ts(3), 99, "view", 3.0)) // no dim row -> dropped (inner join)
+    val q = EventsStream.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    runToCompletion(q)
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(rows == Map(1L -> "BUILDING", 2L -> "MACHINERY"))
+  }
+
+  test("streaming dedup drops re-deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(10, ts(1), 1, "click", 1.0),
+      Event(10, ts(1), 1, "click", 1.0), // duplicate delivery
+      Event(11, ts(2), 1, "view", 2.0))
+    val q = EventsStream.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    mem.addData(Event(10, ts(3), 1, "click", 1.0)) // re-delivery, later ts
+    runToCompletion(q)
+    val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(10L, 11L))
+  }
+
+  test("foreachBatch sink writes date-partitioned parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val mem = MemoryStream[Event]
+    mem.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "view", 2.0))
+    val q = EventsStream.sinkPartitioned(mem.toDF(), out)
+      .option("checkpointLocation", out + "/_chk").start()
+    runToCompletion(q)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.columns.contains("dt"))
+  }
 }
