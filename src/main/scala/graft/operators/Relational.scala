@@ -295,7 +295,35 @@ object Relational {
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin)
   }
 
+  /** q42 — approximate distinct counts (HLL++): the mergeable single-pass
+    * scale path of q27's exact countDistinct (which needs a per-group
+    * shuffle of the distinct values; the sketch shuffles fixed-size
+    * buffers). Rows-only: sketch estimates are engine-specific. */
+  def q42(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      .orderBy("grp")
+
+  /** q43 — stratified sampling (sampleBy with per-stratum fractions,
+    * seeded): the corpus down-sampling primitive of training-data
+    * pipelines (e.g. re-balancing languages/sources). Deterministic given
+    * the seed; rows-only. */
+  def q43(t: Tables): DataFrame = {
+    val fractions = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
+      "signup" -> 1.0, "error" -> 0.25)
+    t.events
+      .stat.sampleBy("event_type", fractions, 42L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q42_approx_distinct" -> q42,
+    "q43_stratified_sample" -> q43,
     "q40_correlated_subquery" -> q40,
     "q41_sql_api" -> q41,
     "q36_set_ops" -> q36,

@@ -56,6 +56,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.filter("n_sessions > n_events").count() == 0)
   }
 
+  test("q42 approx distinct within rsd of exact") {
+    val approx = operators.Relational.q42(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = operators.Relational.q27(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (g, (p, s)) =>
+      assert(math.abs(approx(g)._1 - p) <= math.max(3, p * 0.1))
+      assert(math.abs(approx(g)._2 - s) <= math.max(3, s * 0.1))
+    }
+  }
+
+  test("q43 stratified sample respects fractions roughly") {
+    val sampled = operators.Relational.q43(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = t.events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("purchase") == totals("purchase")) // fraction 1.0
+    assert(sampled("view") < totals("view") / 2)      // fraction 0.1
+  }
+
   test("d02 minhash candidates verified by d04 exact jaccard") {
     val est = dedup.Dedup.d02(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
