@@ -88,6 +88,11 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftSession front door registers SQL functions") {
+    val s = GraftSession.build(master = "local[4]")
+    assert(s.sql("SELECT simhash64(array('x')) AS v").head().getLong(0) != 0L)
+  }
+
   test("codegen and interpreted paths agree") {
     val toks = Seq((1L, Seq("a", "b", "c", "d", "e")))
     val df = toks.toDF("id", "toks")

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression net over physical plans: no query may silently plan an
+  * unbroadcast Cartesian product, and columnar scans must prune columns.
+  * (The intended scalar cross joins — grand totals, fraction ratios —
+  * plan as BroadcastNestedLoopJoin over 1-row sides, which is fine.)
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("no query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
+  test("single-table aggregates prune the fact scan to referenced columns") {
+    val plan = operators.Reference.q01(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_returnflag:string>"),
+      s"q01 should scan exactly one column:\n$plan")
+  }
+
+  test("star join broadcasts the small dimensions") {
+    val plan = operators.Relational.q21(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
