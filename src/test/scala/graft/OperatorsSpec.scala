@@ -17,6 +17,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 
+  test("driver entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q01 counts partition the table") {
     val total = operators.Reference.q01(t)
       .agg(org.apache.spark.sql.functions.sum("total")).head().getLong(0)

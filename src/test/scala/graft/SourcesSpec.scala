@@ -46,6 +46,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.columns.contains("l_extendedprice"))
   }
 
+  test("joining two co-bucketed tables plans no shuffle (the point of CLUSTERED BY)") {
+    val o = t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val l = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+    PartitionedWriter.writeBucketedTable(o, "g_orders_b", Seq.empty, "o_orderkey", 8)
+    PartitionedWriter.writeBucketedTable(
+      l.withColumnRenamed("l_orderkey", "o_orderkey"), "g_line_b", Seq.empty, "o_orderkey", 8)
+    val joined = spark.table("g_orders_b")
+      .join(spark.table("g_line_b"), "o_orderkey")
+      .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-bucketed join: no shuffle before the join (only the final agg may
+    // exchange)
+    val joinPart = plan.split("HashAggregate").last
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join should not shuffle on the bucket key:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE g_orders_b"); spark.sql("DROP TABLE g_line_b")
+  }
+
   test("writeBucketedTable persists a 5-bucket sorted table (reference's clustered ORC)") {
     val cleaned = t.lineitem.limit(1000)
       .withColumn("yr", year(col("l_shipdate")))
