@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational surface (SURVEY §2 q44–q53): array/explode ops,
+  * full grouping-set coverage, regexp extraction, conditional aggregation,
+  * statistical moments, range joins, window frames, and skew-mitigated
+  * joins. Everything a Hive user has in the dialect beyond what the
+  * reference's own queries touch (ref uses only groupBy/window/CASE;
+  * these complete the surface).
+  *
+  * Scale notes (100 TB):
+  *  - q44 top-k tokens: global ORDER BY + LIMIT compiles to
+  *    TakeOrderedAndProject — a per-partition k-heap, merged on the driver;
+  *    no global sort, no single-task window.
+  *  - q49 range join: Spark would plan a no-equality interval join as
+  *    BroadcastNestedLoop (fine for a tiny interval side, quadratic when
+  *    both sides are big). The scale shape here EXPANDS each interval into
+  *    the hour buckets it covers and equi-joins on the bucket — shuffle is
+  *    O(events + interval-hours) and each event lands in exactly one
+  *    bucket, so no post-join dedup is needed.
+  *  - q53 salted join: a hot probe-side key (power-law user) overloads one
+  *    reducer in a plain shuffle join. Deterministic salt on the probe side
+  *    + build-side replication ×S splits each hot key across S reducers.
+  *    Same result set as the unsalted join (the oracle proves it); AQE skew
+  *    splitting does this adaptively, salting is the explicit guarantee.
+  */
+object Extended {
+
+  private def tokensExpr = "split(trim(text), '\\\\s+')"
+
+  /** q44 — explode tokens + global top-20 by frequency. TakeOrdered plan:
+    * per-partition heap, no full sort. */
+  def q44(t: Tables): DataFrame =
+    t.documents
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** q45 — CUBE grouping sets with grouping_id disambiguation. */
+  def q45(t: Tables): DataFrame =
+    t.lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("grp"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("cnt"), col("sum_qty"))
+      .orderBy("gid", "grp", "status")
+
+  /** q46 — regexp group extraction (digits out of `source`) + aggregate
+    * over the extracted key. Codegen'd regexp, map-only before the agg. */
+  def q46(t: Tables): DataFrame =
+    t.documents
+      .select(
+        regexp_extract(col("source"), "([0-9]+)", 1).cast("long").as("src_num"),
+        col("n_chars"))
+      .groupBy((col("src_num") % 5).as("src_mod"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        max(col("src_num")).as("max_src"))
+      .orderBy("src_mod")
+
+  /** q47 — conditional aggregation: FILTER-style counts, conditional avg,
+    * bool_and/bool_or — one pass, no self-joins. */
+  def q47(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("l_quantity") > 25, 1)).as("n_high_qty"),
+        round(avg(when(col("l_tax") > 0, col("l_discount"))), 4).as("avg_disc_taxed"),
+        bool_and(col("l_extendedprice") > 0).as("all_price_pos"),
+        bool_or(col("l_tax") === 0).as("any_tax_zero"))
+      .orderBy("grp")
+
+  /** q48 — statistical moments per group: sample/population stddev &
+    * variance, covariance, correlation. All mergeable one-pass aggregates
+    * (partial moment sums combine associatively across partitions). */
+  def q48(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_pop(col("l_discount")), 6).as("var_disc"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+        round(corr(col("l_quantity"), col("l_tax")), 6).as("corr_qty_tax"))
+      .orderBy("grp")
+
+  /** q49 — range (interval) join with NO equality key: events vs derived
+    * maintenance windows. Scale shape: each interval explodes into its
+    * hour buckets, events carry their hour bucket, and the join is a plain
+    * equi-join on the bucket + exact range refinement — no nested-loop,
+    * no dedup (hour buckets partition the timeline). */
+  def q49(t: Tables): DataFrame = {
+    val ev = t.events
+      .select(col("ts"), col("value"), date_trunc("hour", col("ts")).as("hr"))
+    val ivals = t.events
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+      .selectExpr(
+        "cast(day(day) as bigint) as interval_id",
+        "day + make_interval(0, 0, 0, 0, day(day) % 5, 0, 0) as start_ts",
+        "day + make_interval(0, 0, 0, 0, day(day) % 5 + 12 + day(day) % 7, 0, 0) as end_ts")
+    val expanded = ivals.withColumn("hr", explode(expr(
+      "sequence(date_trunc('hour', start_ts), date_trunc('hour', end_ts), interval 1 hour)")))
+    ev.join(expanded, Seq("hr"))
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("interval_id")
+  }
+
+  /** q50 — array-function suite over document tokens: contains, position,
+    * distinct size, overlap, sorted prefix. All codegen'd built-ins. */
+  def q50(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", expr(tokensExpr))
+      .select(
+        col("doc_id"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_position(col("toks"), "the").cast("long").as("pos_the"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        arrays_overlap(col("toks"), array(lit("spark"), lit("hive"))).as("mentions_engine"),
+        concat_ws(" ", slice(array_sort(col("toks")), 1, 3)).as("first3_sorted"))
+      .orderBy("doc_id")
+
+  /** q51 — explicit GROUPING SETS through the SQL API (row-level subtotals
+    * by returnflag, by linestatus, and grand total). */
+  def q51(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS grp,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | count(*) AS cnt, round(sum(l_tax), 2) AS sum_tax
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY grp, status""".stripMargin)
+  }
+
+  /** q52 — window-frame suite: first_value / nth_value over the full
+    * partition frame, and a RANGE frame (orders within 1000 price units
+    * below the current row). SQL API — frames are the dialect's surface. */
+  def q52(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | first_value(o_orderkey) OVER w1 AS best_order,
+        | nth_value(o_orderkey, 2) OVER w1 AS second_order,
+        | cast(count(*) OVER w2 AS BIGINT) AS n_within_1000_below
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW
+        | w1 AS (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        | w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** q53 — skew-mitigated (salted) join: deterministic salt on the probe
+    * side, build side replicated ×S, equi-join on (key, salt). Result is
+    * identical to the plain join — the oracle runs the unsalted SQL. */
+  def q53(t: Tables): DataFrame = {
+    val S = 8
+    val ev = t.events
+      .withColumn("e_salt", pmod(xxhash64(col("event_id")), lit(S)).cast("int"))
+    val cust = t.customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("c_salt", explode(array((0 until S).map(lit(_)): _*)))
+    ev.join(cust,
+        col("user_id") === col("c_custkey") && col("e_salt") === col("c_salt"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("seg")
+  }
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "q44_explode_topk" -> q44,
+    "q45_cube" -> q45,
+    "q46_regexp_extract" -> q46,
+    "q47_conditional_agg" -> q47,
+    "q48_stats_suite" -> q48,
+    "q49_range_join" -> q49,
+    "q50_array_funcs" -> q50,
+    "q51_grouping_sets" -> q51,
+    "q52_window_frames" -> q52,
+    "q53_salted_join" -> q53)
+
+  val oracles: Map[String, String] = Map(
+    "q44_explode_topk" ->
+      raw"""SELECT token, cnt FROM (
+         |  SELECT token, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+         |    FROM documents)
+         |  GROUP BY token)
+         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q45_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS grp,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, grp, status""".stripMargin,
+    "q46_regexp_extract" ->
+      """SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5 AS src_mod,
+        | count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        | max(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)) AS max_src
+        |FROM documents GROUP BY src_mod ORDER BY src_mod""".stripMargin,
+    "q47_conditional_agg" ->
+      """SELECT l_returnflag AS grp, count(*) AS n_total,
+        | count(*) FILTER (l_quantity > 25) AS n_high_qty,
+        | round(avg(l_discount) FILTER (l_tax > 0), 4) AS avg_disc_taxed,
+        | bool_and(l_extendedprice > 0) AS all_price_pos,
+        | bool_or(l_tax = 0) AS any_tax_zero
+        |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
+    "q48_stats_suite" ->
+      """SELECT l_returnflag AS grp,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_pop(l_discount), 6) AS var_disc,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+        | round(corr(l_quantity, l_tax), 6) AS corr_qty_tax
+        |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
+    "q49_range_join" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |iv AS (SELECT CAST(date_part('day', day) AS BIGINT) AS interval_id,
+        |  day + INTERVAL 1 HOUR * (date_part('day', day) % 5) AS start_ts,
+        |  day + INTERVAL 1 HOUR * (date_part('day', day) % 5 + 12
+        |                           + date_part('day', day) % 7) AS end_ts
+        | FROM days)
+        |SELECT interval_id, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM iv JOIN events e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
+    "q50_array_funcs" ->
+      raw"""SELECT doc_id,
+         | list_contains(toks, 'the') AS has_the,
+         | CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+         | CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+         | len(list_intersect(toks, ['spark', 'hive'])) > 0 AS mentions_engine,
+         | array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted
+         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q51_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS grp,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | count(*) AS cnt, round(sum(l_tax), 2) AS sum_tax
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY grp, status""".stripMargin,
+    "q52_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | first_value(o_orderkey) OVER w1 AS best_order,
+        | nth_value(o_orderkey, 2) OVER w1 AS second_order,
+        | CAST(count(*) OVER w2 AS BIGINT) AS n_within_1000_below
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW
+        | w1 AS (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        | w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q53_salted_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin)
+}

@@ -31,4 +31,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("range join plans as an equi-join on the hour bucket, not a nested loop") {
+    val plan = operators.Extended.q49(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q49 must bucket-join, not nested-loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("explode top-k plans as TakeOrdered (partial heap), not a global sort") {
+    val plan = operators.Extended.q44(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q44 should use the partial top-k plan:\n$plan")
+  }
+
+  test("salted join result equals the plain join") {
+    val t = TestSpark.tables
+    import org.apache.spark.sql.functions._
+    val plain = t.events
+      .join(t.customer, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("seg")
+    assert(operators.Extended.q53(t).collect().toSeq == plain.collect().toSeq)
+  }
 }
