@@ -26,6 +26,27 @@ object CsvSource {
       .csv(path)
 }
 
+object JsonLinesSource {
+
+  /** JSON-lines (one object per line — the de-facto web-crawl / training
+    * corpus interchange format) with an explicit schema. PERMISSIVE mode
+    * routes malformed lines into `_corrupt` instead of failing the job —
+    * at 100 TB there WILL be corrupt lines, and a fail-fast read loses the
+    * whole task. Callers filter `_corrupt IS NULL` for the clean set and
+    * can quarantine the rest. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Line-delimited JSON write (gzip — splittable formats beat it at
+    * scale, but jsonl interchange is usually consumed whole-file). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
+}
+
 object PartitionedWriter {
 
   /** Partitioned columnar write (parquet/orc), the reference's

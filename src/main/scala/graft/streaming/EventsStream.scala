@@ -63,6 +63,40 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes: each event contributes to 4
+    * overlapping windows. Same watermark-bounded state as the tumbling
+    * path; window assignment is map-side (no extra shuffle vs tumbling). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("cnt"))
+
+  /** Stream-stream interval join: each click pairs with purchases by the
+    * same user within the hour after it. Both sides are watermarked and
+    * the join carries a time-range condition, so each side's state is
+    * evicted once the other's watermark passes the range bound — state is
+    * O(events in the horizon), never unbounded. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("c_uid") === col("p_uid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("click_id"), col("purchase_id"), col("c_uid").as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Stream-static join: enrich the event stream with a dimension table.
     * The static side is planned per micro-batch (broadcast for small
     * dims); no state is kept. */

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.{CsvSource, PartitionedWriter}
+import graft.sources.{CsvSource, JsonLinesSource, PartitionedWriter}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -21,6 +21,27 @@ class SourcesSpec extends AnyFunSuite {
     val df = CsvSource.read(spark, dir, schema)
     assert(df.count() == 2)
     assert(df.filter("name = 'beta'").head().getDouble(2) == 20.25)
+  }
+
+  test("JsonLinesSource parses jsonl, quarantining corrupt lines instead of failing") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    Files.writeString(java.nio.file.Path.of(dir, "docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "hallo welt", "lang": "de"}
+        |{not valid json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = JsonLinesSource.read(spark, dir, schema).cache()
+    assert(df.filter(col("_corrupt").isNull).count() == 2)
+    assert(df.filter(col("_corrupt").isNotNull).count() == 1)
+    assert(df.filter("doc_id = 2").head().getString(1) == "hallo welt")
+    // roundtrip the clean subset
+    val out = Files.createTempDirectory("graft-jsonl-out").toString
+    JsonLinesSource.write(df.filter(col("_corrupt").isNull).drop("_corrupt"), out)
+    assert(spark.read.json(out).count() == 2)
+    df.unpersist()
   }
 
   test("writePartitioned lays out yr=/mnth= dirs and readback prunes partitions") {

@@ -117,6 +117,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(10L, 11L))
   }
 
+  test("slidingCounts assigns events to overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(20), 1, "click", 1.0),
+      Event(2, ts(400), 1, "click", 1.0)) // watermark push
+    val q = EventsStream.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sc")
+      .outputMode(OutputMode.Append).start()
+    runToCompletion(q)
+    val wins = spark.table("sc").collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => minuteOf(r.getTimestamp(0)))
+      .filter(m => m <= 20 && m > 20 - 60).sorted
+    // minute-20 event falls in the 4 sliding windows starting -40,-25,-10,5...
+    // (window start grid is every 15 min; event in [start, start+60))
+    assert(wins.length == 4, s"expected 4 overlapping windows, got ${wins.toSeq}")
+  }
+
+  test("stream-stream join pairs clicks with purchases within the hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts(0), 1, "click", 0.0),
+      Event(2, ts(0), 2, "click", 0.0))
+    purchases.addData(
+      Event(100, ts(30), 1, "purchase", 9.99),   // within the hour → joins
+      Event(101, ts(90), 2, "purchase", 5.00),   // 90min later → outside
+      Event(102, ts(600), 3, "purchase", 1.00))  // watermark push
+    val q = EventsStream.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode(OutputMode.Append).start()
+    runToCompletion(q)
+    val pairs = spark.table("c2p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L)))
+  }
+
   test("foreachBatch sink writes date-partitioned parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
