@@ -132,8 +132,7 @@ object Dedup {
     val prepped = t.embeddingsWide.select(
       col("vec_id").as("doc_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vec"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)")))
+      .withColumn("norm", sqrt(dot_d(col("vec"), col("vec"))))
       .withColumn("payload", struct(col("vec"), col("norm")))
     val banded = prepped.select(col("doc_id"), col("payload"),
       posexplode(array((0 until L).map(i =>
@@ -141,7 +140,7 @@ object Dedup {
         .as(Seq("band_id", "band_sig")))
     bucketPairs(banded)
       .select(col("doc_a"), col("doc_b"),
-        (expr("aggregate(zip_with(p_a.vec, p_b.vec, (x, y) -> x * y), cast(0 as double), (a, v) -> a + v)")
+        (dot_d(col("p_a.vec"), col("p_b.vec"))
           / (col("p_a.norm") * col("p_b.norm"))).as("cos"))
       .distinct()
       .filter(col("cos") >= CosThreshold)

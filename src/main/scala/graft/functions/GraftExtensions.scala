@@ -63,6 +63,9 @@ object GraftExtensions {
     ("jaccard_est",
       info("jaccard_est", "jaccard_est(sigA, sigB) - MinHash Jaccard estimate"),
       (args: Seq[Expression]) => JaccardEst(args(0), args(1))),
+    ("dot_d",
+      info("dot_d", "dot_d(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => DotDouble(args(0), args(1))),
     ("rolling_hashes",
       info("rolling_hashes", "rolling_hashes(text[, windowSize]) - Rabin-Karp window hashes"),
       (args: Seq[Expression]) => RollingHashes(

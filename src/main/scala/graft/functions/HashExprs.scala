@@ -130,6 +130,22 @@ object HashImpls {
     out
   }
 
+  /** Dot product of two array<double> in one fused loop — the built-in
+    * `aggregate(zip_with(a, b, ...))` materializes the zipped array and
+    * evaluates the lambdas interpreted (HOFs are outside codegen), which
+    * is the difference between a tight SIMD-able loop and per-element
+    * boxing on every similarity comparison. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
   def jaccardEst(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var eq = 0
@@ -201,6 +217,20 @@ case class JaccardEst(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_est"
 }
 
+/** dot_d(a, b) → double: fused dot product over two array<double>. */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.dotDouble($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_d"
+}
+
 /** Column-API wrappers. Callers are responsible for input types
   * (tokens/shingles: array<string>; vec is auto-cast to array<double>).
   */
@@ -214,6 +244,8 @@ object exprs {
     column(RhBucket(expression(vec.cast(ArrayType(DoubleType))), planes, seed))
   def jaccard_est(a: Column, b: Column): Column =
     column(JaccardEst(expression(a), expression(b)))
+  def dot_d(a: Column, b: Column): Column =
+    column(DotDouble(expression(a), expression(b)))
   def rolling_hashes(text: Column, windowSize: Int = 16): Column =
     column(RollingHashes(expression(text), windowSize))
 }

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.Tables
-import graft.functions.exprs.rh_bucket
+import graft.functions.exprs.{dot_d, rh_bucket}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,11 +31,12 @@ object Similarity {
     t.embeddingsWide.select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vec"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)")))
+      .withColumn("norm", sqrt(dot_d(col("vec"), col("vec"))))
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (a, v) -> a + v)")
+  /** Fused single-loop dot product (custom codegen'd expression) — the
+    * HOF spelling aggregate(zip_with(...)) allocates the zipped array and
+    * runs the lambda interpreted, per comparison. */
+  private def dot(a: String, b: String) = dot_d(col(a), col(b))
 
   /** s01 — exact cosine top-k. The rank-filter pattern compiles to Spark's
     * two-phase WindowGroupLimit (per-map-partition k-heap BEFORE the
@@ -89,8 +90,7 @@ object Similarity {
     val centroids = corpus.filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * C)
       .select(col("vec_id").as("cent_id"), col("vec").as("c_vec"), col("norm").as("c_norm"))
     def cos(v: String, c: String, nv: String, nc: String) =
-      expr(s"aggregate(zip_with($v, $c, (x, y) -> x * y), cast(0 as double), (a, w) -> a + w)") /
-        (col(nv) * col(nc))
+      dot_d(col(v), col(c)) / (col(nv) * col(nc))
     // inverted-list assignment: nearest centroid per vector (one broadcast pass)
     val assigned = corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),

@@ -22,6 +22,19 @@ class ExprSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) > 10)
   }
 
+  test("dot_d: fused dot product matches the HOF spelling and SQL form works") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 0.5, -1.0)))
+      .toDF("a", "b")
+    val fused = df.select(exprs.dot_d($"a", $"b")).head().getDouble(0)
+    val hof = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+      .head().getDouble(0)
+    assert(fused == hof && fused == 1.0 * 4.0 + 2.0 * 0.5 + 3.0 * (-1.0))
+    graft.functions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("dot_t")
+    assert(spark.sql("SELECT dot_d(a, b) FROM dot_t").head().getDouble(0) == fused)
+  }
+
   test("minhash_sigs: estimated jaccard tracks exact jaccard") {
     val a = (1 to 100).map(i => s"tok$i")
     val b = (1 to 80).map(i => s"tok$i") ++ (1 to 20).map(i => s"other$i")
