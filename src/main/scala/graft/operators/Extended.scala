@@ -181,7 +181,35 @@ object Extended {
       .orderBy("seg")
   }
 
+  /** q54 — exact median per group (Spark's median = exact
+    * percentile_cont(0.5); needs the group's values — the approximate
+    * sketch q34 is the 100 TB path, this is the exact small-group path). */
+  def q54(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        round(median(col("value")), 4).as("med_value"),
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** q55 — typed JSON parsing: from_json with an explicit schema (the
+    * scale path over q32's per-path get_json_object — one parse per row,
+    * all fields out, nulls for shape mismatches). */
+  def q55(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q54_median" -> q54,
+    "q55_json_typed" -> q55,
     "q44_explode_topk" -> q44,
     "q45_cube" -> q45,
     "q46_regexp_extract" -> q46,
@@ -194,6 +222,16 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q54_median" ->
+      """SELECT event_type, round(median(value), 4) AS med_value,
+        | round(avg(value), 4) AS avg_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q55_json_typed" ->
+      """SELECT event_type,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q44_explode_topk" ->
       raw"""SELECT token, cnt FROM (
          |  SELECT token, count(*) AS cnt FROM (
