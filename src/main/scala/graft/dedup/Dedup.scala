@@ -62,11 +62,14 @@ object Dedup {
       .select(explode(expr(pairGenSql)).as("p"))
       .select("p.*")
 
-  /** doc_id + MinHash sig exploded into LSH band keys. */
+  /** doc_id + MinHash sig exploded into LSH band keys. Signatures stream
+    * the 3-gram bytes through the hash (minhash_ngrams) — no shingle
+    * array is ever materialized; hash-identical to the explicit-shingle
+    * path (HashPropertySpec proves it). */
   private def minhashBanded(t: Tables): DataFrame = {
     val sigs = t.documentsWide
       .withColumn("toks", tokensCol)
-      .select(col("doc_id"), minhash_sigs(shinglesCol, K, Seed).as("payload"))
+      .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("payload"))
     val bandArr = array((0 until Bands).map(b =>
       slice(col("payload"), b * RowsPerBand + 1, RowsPerBand)): _*)
     sigs.select(col("doc_id"), col("payload"),

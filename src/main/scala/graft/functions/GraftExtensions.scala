@@ -63,6 +63,13 @@ object GraftExtensions {
     ("jaccard_est",
       info("jaccard_est", "jaccard_est(sigA, sigB) - MinHash Jaccard estimate"),
       (args: Seq[Expression]) => JaccardEst(args(0), args(1))),
+    ("minhash_ngrams",
+      info("minhash_ngrams", "minhash_ngrams(toks[, n[, k[, seed]]]) - streamed n-gram MinHash"),
+      (args: Seq[Expression]) => MinHashNgrams(
+        args.head,
+        if (args.length > 1) intArg(args(1), "n") else 3,
+        if (args.length > 2) intArg(args(2), "k") else 32,
+        if (args.length > 3) longArg(args(3), "seed") else 42L)),
     ("dot_d",
       info("dot_d", "dot_d(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => DotDouble(args(0), args(1))),

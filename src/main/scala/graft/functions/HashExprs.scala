@@ -84,6 +84,66 @@ object HashImpls {
     sig
   }
 
+  /** MinHash signature over word n-grams computed WITHOUT materializing
+    * the shingle strings: the FNV-1a hash of `concat_ws(' ', toks[i..i+n))`
+    * is streamed token-byte by token-byte (space-separated), so no
+    * per-shingle allocation happens at all. Hash-identical to
+    * minhashSigs over the materialized n-gram array (tiny inputs with
+    * fewer than n tokens hash the space-joined whole, matching the
+    * CASE-ELSE shingle fallback). */
+  def minhashNgrams(toks: ArrayData, n: Int, k: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val perm = new Array[Long](k)
+    var j = 0
+    while (j < k) { perm(j) = mix64(seed + j); j += 1 }
+    val m = toks.numElements()
+
+    def fnvBytes(h0: Long, bytes: Array[Byte]): Long = {
+      var h = h0
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+    def fnvSpace(h0: Long): Long = (h0 ^ 0x20L) * 0x100000001b3L
+    def update(h: Long): Unit = {
+      var j = 0
+      while (j < k) {
+        val hj = mix64(h ^ perm(j))
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+    }
+
+    if (m >= n) {
+      var i = 0
+      while (i <= m - n) {
+        var h = 0xcbf29ce484222325L
+        var g = 0
+        while (g < n) {
+          if (g > 0) h = fnvSpace(h)
+          h = fnvBytes(h, toks.getUTF8String(i + g).getBytes)
+          g += 1
+        }
+        update(h)
+        i += 1
+      }
+    } else {
+      var h = 0xcbf29ce484222325L
+      var g = 0
+      while (g < m) {
+        if (g > 0) h = fnvSpace(h)
+        h = fnvBytes(h, toks.getUTF8String(g).getBytes)
+        g += 1
+      }
+      update(h)
+    }
+    sig
+  }
+
   /** Random-hyperplane LSH bucket: sign bit per plane of vec·w(plane),
     * w components pseudo-random in [-1,1) from splitmix64(seed, plane, dim).
     * Returns an Int bucket in [0, 2^planes). */
@@ -217,6 +277,25 @@ case class JaccardEst(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_est"
 }
 
+/** minhash_ngrams(toks, n, k, seed) → array<long>: MinHash signature over
+  * word n-grams, streamed — no shingle-string materialization. Equals
+  * MinHashSigs over the explicit n-gram array (see HashPropertySpec). */
+case class MinHashNgrams(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(n > 0 && k > 0, "n and k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HashImpls.minhashNgrams(v.asInstanceOf[ArrayData], n, k, seed))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.minhashNgrams($c, $n, $k, ${seed}L))")
+  override protected def withNewChildInternal(c: Expression): MinHashNgrams =
+    copy(child = c)
+  override def prettyName: String = "minhash_ngrams"
+}
+
 /** dot_d(a, b) → double: fused dot product over two array<double>. */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -240,6 +319,8 @@ object exprs {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def minhash_sigs(shingles: Column, k: Int = 32, seed: Long = 42L): Column =
     column(MinHashSigs(expression(shingles), k, seed))
+  def minhash_ngrams(toks: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column =
+    column(MinHashNgrams(expression(toks), n, k, seed))
   def rh_bucket(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
     column(RhBucket(expression(vec.cast(ArrayType(DoubleType))), planes, seed))
   def jaccard_est(a: Column, b: Column): Column =

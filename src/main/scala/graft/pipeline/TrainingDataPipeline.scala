@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.functions.exprs.minhash_sigs
+import graft.functions.exprs.minhash_ngrams
 import graft.sources.PartitionedWriter
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -45,16 +45,12 @@ object TrainingDataPipeline {
   }
 
   /** Near-dup removal: MinHash banding pairs (est Jaccard ≥ threshold),
-    * drop the higher doc_id of each pair. */
+    * drop the higher doc_id of each pair. Signatures stream 3-gram bytes
+    * (no shingle materialization). */
   def nearDupRemoval(docs: DataFrame, minEst: Double = 0.8): DataFrame = {
-    val shingles = expr(
-      """CASE WHEN size(toks) >= 3
-        | THEN transform(sequence(1, size(toks) - 2),
-        |                i -> concat_ws(' ', slice(toks, i, 3)))
-        | ELSE array(concat_ws(' ', toks)) END""".stripMargin)
     val sigs = docs
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
-      .select(col("doc_id"), minhash_sigs(shingles, K, Seed).as("sig"))
+      .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until Bands).map(b =>
         slice(col("sig"), b * (K / Bands) + 1, K / Bands)): _*))

@@ -36,6 +36,18 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhashNgrams equals minhashSigs over materialized 3-gram shingles") {
+    (1 to 200).foreach { _ =>
+      val toks = randTokens()
+      val shingles =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      val viaShingles = HashImpls.minhashSigs(arr(shingles), 32, 42L).toSeq
+      val streamed = HashImpls.minhashNgrams(arr(toks), 3, 32, 42L).toSeq
+      assert(streamed == viaShingles, s"toks=$toks")
+    }
+  }
+
   test("rh_bucket: in range, deterministic, sign-antisymmetric") {
     (1 to 200).foreach { _ =>
       val v = Array.fill(16)(rnd.nextDouble() * 10 - 5)
