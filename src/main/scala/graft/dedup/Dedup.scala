@@ -105,13 +105,16 @@ object Dedup {
   }
 
   /** d04 — exact n-gram Jaccard verification of the MinHash candidates
-    * (LSH recall, exact precision). */
+    * (LSH recall, exact precision). Gram sets are represented by their
+    * distinct 64-bit hashes (ngram_hashes) — set intersect/union runs on
+    * primitive longs instead of shingle strings; Jaccard is identical up
+    * to ~2^-64 collision odds. */
   def d04(t: Tables): DataFrame = {
     val cands = bucketPairs(minhashBanded(t))
       .select("doc_a", "doc_b").distinct()
     val sets = t.documentsWide
       .withColumn("toks", tokensCol)
-      .select(col("doc_id"), array_distinct(shinglesCol).as("grams"))
+      .select(col("doc_id"), ngram_hashes(col("toks"), 3).as("grams"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), Seq("doc_b"))

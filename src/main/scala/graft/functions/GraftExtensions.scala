@@ -70,6 +70,11 @@ object GraftExtensions {
         if (args.length > 1) intArg(args(1), "n") else 3,
         if (args.length > 2) intArg(args(2), "k") else 32,
         if (args.length > 3) longArg(args(3), "seed") else 42L)),
+    ("ngram_hashes",
+      info("ngram_hashes", "ngram_hashes(toks[, n]) - distinct sorted n-gram hashes"),
+      (args: Seq[Expression]) => NgramHashes(
+        args.head,
+        if (args.length > 1) intArg(args(1), "n") else 3)),
     ("dot_d",
       info("dot_d", "dot_d(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => DotDouble(args(0), args(1))),

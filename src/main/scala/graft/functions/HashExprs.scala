@@ -144,6 +144,47 @@ object HashImpls {
     sig
   }
 
+  /** Distinct, sorted FNV-1a hashes of the word n-grams — the integer
+    * stand-in for the n-gram string set (collision odds ~2^-64 per pair).
+    * Set ops (intersect/union for exact Jaccard) on longs beat the same
+    * ops on shingle strings: no per-shingle allocation, primitive
+    * comparisons. Same streamed hashing as [[minhashNgrams]]. */
+  def ngramHashes(toks: ArrayData, n: Int): Array[Long] = {
+    val m = toks.numElements()
+    val nGrams = if (m >= n) m - n + 1 else 1
+    val hs = new Array[Long](nGrams)
+    var out = 0
+    var i = 0
+    while (i < nGrams) {
+      var h = 0xcbf29ce484222325L
+      var g = 0
+      val lim = if (m >= n) n else m
+      while (g < lim) {
+        if (g > 0) h = (h ^ 0x20L) * 0x100000001b3L
+        val bytes = toks.getUTF8String(i + g).getBytes
+        var b = 0
+        while (b < bytes.length) {
+          h ^= (bytes(b) & 0xffL)
+          h *= 0x100000001b3L
+          b += 1
+        }
+        g += 1
+      }
+      hs(out) = h
+      out += 1
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
   /** Random-hyperplane LSH bucket: sign bit per plane of vec·w(plane),
     * w components pseudo-random in [-1,1) from splitmix64(seed, plane, dim).
     * Returns an Int bucket in [0, 2^planes). */
@@ -296,6 +337,23 @@ case class MinHashNgrams(child: Expression, n: Int, k: Int, seed: Long)
   override def prettyName: String = "minhash_ngrams"
 }
 
+/** ngram_hashes(toks, n) → array<long>: distinct sorted FNV hashes of the
+  * word n-grams (integer stand-in for the n-gram set; see HashImpls). */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashImpls.ngramHashes(v.asInstanceOf[ArrayData], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.ngramHashes($c, $n))")
+  override protected def withNewChildInternal(c: Expression): NgramHashes =
+    copy(child = c)
+  override def prettyName: String = "ngram_hashes"
+}
+
 /** dot_d(a, b) → double: fused dot product over two array<double>. */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -321,6 +379,8 @@ object exprs {
     column(MinHashSigs(expression(shingles), k, seed))
   def minhash_ngrams(toks: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column =
     column(MinHashNgrams(expression(toks), n, k, seed))
+  def ngram_hashes(toks: Column, n: Int = 3): Column =
+    column(NgramHashes(expression(toks), n))
   def rh_bucket(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
     column(RhBucket(expression(vec.cast(ArrayType(DoubleType))), planes, seed))
   def jaccard_est(a: Column, b: Column): Column =

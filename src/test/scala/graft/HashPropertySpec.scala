@@ -48,6 +48,25 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramHashes jaccard equals string-shingle jaccard") {
+    (1 to 200).foreach { _ =>
+      val a = randTokens()
+      val b = if (rnd.nextBoolean()) a.drop(rnd.nextInt(5)) ++ randTokens() else randTokens()
+      def strGrams(t: Seq[String]) =
+        (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+         else Set(t.mkString(" ")))
+      val (sa, sb) = (strGrams(a), strGrams(b))
+      val strJac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val (ha, hb) = (HashImpls.ngramHashes(arr(a), 3).toSet,
+        HashImpls.ngramHashes(arr(b), 3).toSet)
+      val hashJac = ha.intersect(hb).size.toDouble / ha.union(hb).size
+      assert(hashJac == strJac, s"a=$a b=$b")
+      // sorted + distinct invariant
+      val h = HashImpls.ngramHashes(arr(a), 3)
+      assert(h.toSeq == h.toSeq.sorted && h.toSeq.distinct == h.toSeq)
+    }
+  }
+
   test("rh_bucket: in range, deterministic, sign-antisymmetric") {
     (1 to 200).foreach { _ =>
       val v = Array.fill(16)(rnd.nextDouble() * 10 - 5)
