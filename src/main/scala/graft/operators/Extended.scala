@@ -207,9 +207,28 @@ object Extended {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** q56 — IN / NOT IN subqueries through the SQL API: distinct from
+    * EXISTS (q22/q23) because NOT IN is null-sensitive (any NULL in the
+    * subquery empties the result under three-valued logic). Spark plans
+    * these as left-semi / null-aware anti joins; the null-aware path is
+    * exercised with a guarded subquery. */
+  def q56(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                      WHERE c_mktsegment = 'BUILDING')) AS n_in,
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                          WHERE c_mktsegment = 'BUILDING'
+        |                            AND c_custkey IS NOT NULL)) AS n_not_in""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "q54_median" -> q54,
     "q55_json_typed" -> q55,
+    "q56_in_subquery" -> q56,
     "q44_explode_topk" -> q44,
     "q45_cube" -> q45,
     "q46_regexp_extract" -> q46,
@@ -226,6 +245,15 @@ object Extended {
       """SELECT event_type, round(median(value), 4) AS med_value,
         | round(avg(value), 4) AS avg_value, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q56_in_subquery" ->
+      """SELECT
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                      WHERE c_mktsegment = 'BUILDING')) AS n_in,
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                          WHERE c_mktsegment = 'BUILDING'
+        |                            AND c_custkey IS NOT NULL)) AS n_not_in""".stripMargin,
     "q55_json_typed" ->
       """SELECT event_type,
         | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

@@ -164,14 +164,21 @@ object Relational {
     val sessions = sessioned
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
-        ((unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))) / 60.0)
-          .as("dur_min"))
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("dur_sec"))
+    // avg session minutes, half-up at 2dp via EXACT integer arithmetic:
+    // round(sum_sec/(60n)·100) = (10·sum_sec + 3n) div (6n). Rounding the
+    // float average diverges across engines when the value's shortest
+    // decimal repr is a tie (e.g. 1.275), which real data does hit.
     sessions
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_sessions"),
         sum(col("n_events")).as("n_events"),
-        round(avg(col("dur_min")), 2).as("avg_session_min"))
+        sum(col("dur_sec")).as("sum_sec"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        (expr("(10 * sum_sec + 3 * n_sessions) div (6 * n_sessions)") / 100.0)
+          .as("avg_session_min"))
       .orderBy("user_id")
   }
 
@@ -471,11 +478,15 @@ object Relational {
         |FROM events GROUP BY hour_ts, event_type
         |ORDER BY hour_ts, event_type""".stripMargin,
     "q31_sessionize" ->
-      s"""SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-         | round(avg(dur_min), 2) AS avg_session_min
+      s"""SELECT user_id, n_sessions, n_events,
+         | ((10 * sum_sec + 3 * n_sessions) // (6 * n_sessions)) / 100.0
+         |   AS avg_session_min
+         |FROM (
+         |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+         | sum(dur_sec) AS sum_sec
          |FROM (
          |  SELECT user_id, sess_id, count(*) AS n_events,
-         |    date_diff('second', min(ts), max(ts)) / 60.0 AS dur_min
+         |    date_diff('second', min(ts), max(ts)) AS dur_sec
          |  FROM (
          |    SELECT user_id, ts,
          |      sum(new_session) OVER (PARTITION BY user_id
@@ -491,5 +502,6 @@ object Relational {
          |             THEN 1 ELSE 0 END AS new_session
          |      FROM events))
          |  GROUP BY user_id, sess_id)
-         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+         |GROUP BY user_id)
+         |ORDER BY user_id""".stripMargin)
 }
