@@ -145,7 +145,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t07 — TF-IDF: top-5 highest-scoring terms per document.
+    * tf per (doc, term) and df per term are two hash aggregations; N is a
+    * broadcast scalar; the per-doc top-5 rank filter compiles to the
+    * two-phase WindowGroupLimit. Orders by the ROUNDED score so the
+    * tie-break (term asc) is decided identically on both engines. */
+  def t07(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t.documents
+    val terms = docs
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(df, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t07_tfidf" -> t07,
     "t06_winnow_fingerprint" -> t06,
     "t05_bpe_tokens" -> t05,
     "t01_token_count" -> t01,
@@ -160,6 +188,23 @@ object TextOps {
   private val dFp = raw"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
   val oracles: Map[String, String] = Map(
+    "t07_tfidf" ->
+      raw"""WITH tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(trim(text), '\s+')) AS token
+         |    FROM documents)
+         |  GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, token, tfidf, rn FROM (
+         |  SELECT tf.doc_id, tf.token,
+         |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) DESC,
+         |               tf.token) AS rn
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
     "t05_bpe_tokens" ->
       raw"""SELECT doc_id,
          | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
