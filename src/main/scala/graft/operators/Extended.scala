@@ -225,7 +225,41 @@ object Extended {
         |                            AND c_custkey IS NOT NULL)) AS n_not_in""".stripMargin)
   }
 
+  /** q57 — UNPIVOT (melt): metric columns back to rows, the inverse of
+    * q29's pivot. Map-only row expansion, no shuffle beyond the agg. */
+  def q57(t: Tables): DataFrame = {
+    val agg = t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_tax")), 2).as("sum_tax"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+    agg.unpivot(
+        Array(col("grp")),
+        Array(col("sum_qty"), col("sum_tax"), col("sum_disc")),
+        "metric", "val")
+      .orderBy("grp", "metric")
+  }
+
+  /** q58 — LATERAL correlated subquery in FROM: each customer's top order
+    * (ORDER BY + LIMIT 1 per outer row). Spark de-correlates this to a
+    * window rank under the hood — per-key top-1 with no per-row re-scan. */
+  def q58(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT c_custkey, t.o_orderkey AS top_order,
+        | t.o_totalprice AS top_price
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q57_unpivot" -> q57,
+    "q58_lateral" -> q58,
     "q54_median" -> q54,
     "q55_json_typed" -> q55,
     "q56_in_subquery" -> q56,
@@ -241,6 +275,28 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q57_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS grp,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_tax), 2) AS sum_tax,
+        |    round(sum(l_discount), 2) AS sum_disc
+        |  FROM lineitem GROUP BY grp)
+        |SELECT grp, metric, val FROM (
+        |  SELECT grp, 'sum_qty' AS metric, sum_qty AS val FROM a
+        |  UNION ALL SELECT grp, 'sum_tax', sum_tax FROM a
+        |  UNION ALL SELECT grp, 'sum_disc', sum_disc FROM a)
+        |ORDER BY grp, metric""".stripMargin,
+    "q58_lateral" ->
+      """SELECT c_custkey, t.o_orderkey AS top_order,
+        | t.o_totalprice AS top_price
+        |FROM customer
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t ON true
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
     "q54_median" ->
       """SELECT event_type, round(median(value), 4) AS med_value,
         | round(avg(value), 4) AS avg_value, count(*) AS n
