@@ -26,6 +26,43 @@ object CsvSource {
       .csv(path)
 }
 
+object Compactor {
+
+  /** Small-file compaction: rewrite a columnar directory into files of
+    * ~targetBytes each. At 100 TB the small-file problem (per-micro-batch
+    * streaming sinks, over-parallel writers) dominates NameNode/listing
+    * and scan-planning cost; periodic compaction is standard table
+    * maintenance. Output file count = ceil(totalBytes / targetBytes);
+    * round-robin repartition balances rows regardless of input skew.
+    * Writes to `outPath` (never in-place — readers of `inPath` are
+    * unaffected until the catalog/pointer swap). Returns (filesBefore,
+    * filesAfter). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20,
+              format: String = "parquet"): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath).filter { s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.format(format).load(inPath)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .format(format)
+      .save(outPath)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count { s =>
+        s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")
+      }
+    (dataFiles.length, outFiles)
+  }
+}
+
 object JsonLinesSource {
 
   /** JSON-lines (one object per line — the de-facto web-crawl / training

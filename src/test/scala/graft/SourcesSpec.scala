@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.{CsvSource, JsonLinesSource, PartitionedWriter}
+import graft.sources.{Compactor, CsvSource, JsonLinesSource, PartitionedWriter}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -57,6 +57,18 @@ class SourcesSpec extends AnyFunSuite {
     val plan = back.filter(col("mnth") === 3).queryExecution.executedPlan.toString
     assert(back.filter(col("mnth") === 3).count() > 0)
     assert(!plan.contains("mnth=7"))
+  }
+
+  test("Compactor rewrites a many-small-files dir into few target-size files") {
+    val small = Files.createTempDirectory("graft-small").toString
+    val compacted = Files.createTempDirectory("graft-compacted").toString
+    t.lineitem.limit(20000).repartition(40).write.mode("overwrite").parquet(small)
+    val (before, after) = Compactor.compact(spark, small, compacted,
+      targetBytes = 4L << 20)
+    assert(before == 40)
+    assert(after < before, s"expected compaction, got $before -> $after")
+    assert(spark.read.parquet(compacted).count() ==
+      spark.read.parquet(small).count())
   }
 
   test("ORC roundtrip (the reference's STORED AS ORC + SNAPPY)") {
