@@ -84,6 +84,47 @@ object TextOps {
       .orderBy("lang", "pred")
   }
 
+  /** Char-trigram profiles for t08 (the n-gram scale path of t03's
+    * marker words — real language ID uses trained char-ngram frequencies;
+    * these are the discriminative trigrams of the markers, keeping the
+    * operator oracle-checkable). */
+  private val TriProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " of", "and", " is"),
+    "de" -> Seq("der", "die", "und", "ich", "ein"),
+    "es" -> Seq("el ", "los", "que", " la", "ión"),
+    "fr" -> Seq("le ", "les", "et ", "dan", "ous"),
+    "zh" -> Seq("de0", "le0", "shi", "i0w", "en0"))
+
+  /** t08 — char-trigram language ID (confusion matrix like t03): score =
+    * profile-trigram occurrences (with multiplicity) in the lowercased
+    * text; argmax with the t03 precedence. Trigram extraction is a
+    * map-only pass; at 100 TB the profile lists live in the closure
+    * (broadcast-free literals). */
+  def t08(t: Tables): DataFrame = {
+    val grams = expr(
+      """CASE WHEN length(lower(text)) >= 3
+        | THEN transform(sequence(1, length(lower(text)) - 2),
+        |                i -> substring(lower(text), i, 3))
+        | ELSE array() END""".stripMargin)
+    val scored = TriProfiles.foldLeft(t.documents.withColumn("grams", grams)) {
+      case (df, (lang, tris)) =>
+        df.withColumn(s"c_$lang",
+          expr(s"size(filter(grams, g -> g IN (${sqlList(tris)})))"))
+    }
+    val langs = TriProfiles.map(_._1)
+    val pred = langs.foldRight(lit("unknown")) { case (l, els) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"c_$l") >= col(s"c_$o"))
+        .reduce(_ && _)
+      when(col(s"c_$l") > 0 && isMax, lit(l)).otherwise(els)
+    }
+    scored
+      .select(col("lang"), pred.as("pred"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred")
+  }
+
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
     * text. Identical bytes on both engines (UTF-8). */
   private def fingerprint = md5(
@@ -174,6 +215,7 @@ object TextOps {
 
   val queries: Map[String, Tables => DataFrame] = Map(
     "t07_tfidf" -> t07,
+    "t08_char_ngram_langid" -> t08,
     "t06_winnow_fingerprint" -> t06,
     "t05_bpe_tokens" -> t05,
     "t01_token_count" -> t01,
@@ -187,7 +229,29 @@ object TextOps {
     s"len(list_filter($dTokens, x -> x IN (${sqlList(words)})))"
   private val dFp = raw"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
+  private def dTriScore(tris: Seq[String]) =
+    s"""len(list_filter(grams, g -> g IN (${sqlList(tris)})))"""
+
   val oracles: Map[String, String] = Map(
+    "t08_char_ngram_langid" ->
+      s"""SELECT lang, pred, count(*) AS cnt FROM (
+         | SELECT lang, CASE
+         |   ${TriProfiles.map { case (l, _) =>
+              val others = TriProfiles.map(_._1).filter(_ != l)
+                .map(o => s"c_$l >= c_$o").mkString(" AND ")
+              s"WHEN c_$l > 0 AND $others THEN '$l'"
+            }.mkString("\n   ")}
+         |   ELSE 'unknown' END AS pred
+         | FROM (SELECT lang,
+         |   ${TriProfiles.map { case (l, ts) => s"${dTriScore(ts)} AS c_$l" }
+              .mkString(",\n   ")}
+         |  FROM (SELECT lang,
+         |    CASE WHEN length(lower(text)) >= 3
+         |      THEN list_transform(range(1, length(lower(text)) - 1),
+         |                          i -> substr(lower(text), i, 3))
+         |      ELSE [] END AS grams
+         |   FROM documents)))
+         |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
     "t07_tfidf" ->
       raw"""WITH tf AS (
          |  SELECT doc_id, token, count(*) AS tf FROM (
