@@ -257,7 +257,22 @@ object Extended {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q59 — exact DECIMAL aggregation: at 100 TB a float sum accumulates
+    * rounding drift and is partition-order dependent; casting the measure
+    * to DECIMAL makes the sum exact, associative, and bit-stable across
+    * any partitioning (decimal partials are mergeable integers). */
+  def q59(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("exact_revenue"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("exact_discounted"),
+        count(lit(1)).as("cnt"))
+      .orderBy("grp")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q59_decimal_agg" -> q59,
     "q57_unpivot" -> q57,
     "q58_lateral" -> q58,
     "q54_median" -> q54,
@@ -275,6 +290,13 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q59_decimal_agg" ->
+      """SELECT l_returnflag AS grp,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_revenue,
+        | sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |   AS exact_discounted,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
     "q57_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag AS grp,
