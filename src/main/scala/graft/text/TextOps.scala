@@ -96,20 +96,19 @@ object TextOps {
     "zh" -> Seq("de0", "le0", "shi", "i0w", "en0"))
 
   /** t08 — char-trigram language ID (confusion matrix like t03): score =
-    * profile-trigram occurrences (with multiplicity) in the lowercased
-    * text; argmax with the t03 precedence. Trigram extraction is a
-    * map-only pass; at 100 TB the profile lists live in the closure
-    * (broadcast-free literals). */
+    * non-overlapping profile-trigram occurrences in the lowercased text,
+    * counted as (len - len(replace(text, gram, '')))/3 — pure codegen'd
+    * string ops, no trigram array is ever materialized (the HOF
+    * `transform(sequence(...), substring)` spelling allocates one string
+    * per character position and runs interpreted — 4× slower measured).
+    * Argmax with the t03 precedence; profiles are closure literals. */
   def t08(t: Tables): DataFrame = {
-    val grams = expr(
-      """CASE WHEN length(lower(text)) >= 3
-        | THEN transform(sequence(1, length(lower(text)) - 2),
-        |                i -> substring(lower(text), i, 3))
-        | ELSE array() END""".stripMargin)
-    val scored = TriProfiles.foldLeft(t.documents.withColumn("grams", grams)) {
+    def occurrences(g: String) =
+      expr(s"(length(lt) - length(replace(lt, '$g', ''))) div 3")
+    val scored = TriProfiles.foldLeft(
+      t.documents.withColumn("lt", lower(col("text")))) {
       case (df, (lang, tris)) =>
-        df.withColumn(s"c_$lang",
-          expr(s"size(filter(grams, g -> g IN (${sqlList(tris)})))"))
+        df.withColumn(s"c_$lang", tris.map(occurrences).reduce(_ + _))
     }
     val langs = TriProfiles.map(_._1)
     val pred = langs.foldRight(lit("unknown")) { case (l, els) =>
@@ -230,7 +229,8 @@ object TextOps {
   private val dFp = raw"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
 
   private def dTriScore(tris: Seq[String]) =
-    s"""len(list_filter(grams, g -> g IN (${sqlList(tris)})))"""
+    tris.map(g => s"(length(lt) - length(replace(lt, '$g', ''))) // 3")
+      .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "t08_char_ngram_langid" ->
@@ -245,12 +245,7 @@ object TextOps {
          | FROM (SELECT lang,
          |   ${TriProfiles.map { case (l, ts) => s"${dTriScore(ts)} AS c_$l" }
               .mkString(",\n   ")}
-         |  FROM (SELECT lang,
-         |    CASE WHEN length(lower(text)) >= 3
-         |      THEN list_transform(range(1, length(lower(text)) - 1),
-         |                          i -> substr(lower(text), i, 3))
-         |      ELSE [] END AS grams
-         |   FROM documents)))
+         |  FROM (SELECT lang, lower(text) AS lt FROM documents)))
          |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
     "t07_tfidf" ->
       raw"""WITH tf AS (

@@ -47,6 +47,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q44 should use the partial top-k plan:\n$plan")
   }
 
+  test("rank-filter top-k queries plan the two-phase WindowGroupLimit heap") {
+    for ((name, df) <- Seq(
+        "q24" -> operators.Relational.q24(TestSpark.tables),
+        "s01" -> similarity.Similarity.s01(TestSpark.tables),
+        "t07" -> text.TextOps.t07(TestSpark.tables))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name should pre-limit per partition before the exchange:\n$plan")
+    }
+  }
+
+  test("lateral top-1 subquery de-correlates (no per-outer-row rescan plan)") {
+    val plan = operators.Extended.q58(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q58 must de-correlate to a join, not nested-loop:\n$plan")
+  }
+
   test("salted join result equals the plain join") {
     val t = TestSpark.tables
     import org.apache.spark.sql.functions._
