@@ -271,8 +271,26 @@ object Extended {
         count(lit(1)).as("cnt"))
       .orderBy("grp")
 
+  /** q60 — safe casting: try_cast returns NULL on malformed input instead
+    * of failing the task (ANSI mode) or silently corrupting (legacy).
+    * At 100 TB some rows WILL be malformed; per-row error tolerance with
+    * null accounting is the only operable semantics. */
+  def q60(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("source"),
+        expr("try_cast(source AS BIGINT)").as("as_num"),
+        expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)")
+          .as("src_num"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("as_num")).as("n_whole_numeric"),
+        count(col("src_num")).as("n_digit_extract"),
+        sum(col("src_num")).as("sum_src"))
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "q59_decimal_agg" -> q59,
+    "q60_try_cast" -> q60,
     "q57_unpivot" -> q57,
     "q58_lateral" -> q58,
     "q54_median" -> q54,
@@ -290,6 +308,14 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q60_try_cast" ->
+      """SELECT count(*) AS n_rows,
+        | count(TRY_CAST(source AS BIGINT)) AS n_whole_numeric,
+        | count(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT))
+        |   AS n_digit_extract,
+        | sum(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT))
+        |   AS sum_src
+        |FROM documents""".stripMargin,
     "q59_decimal_agg" ->
       """SELECT l_returnflag AS grp,
         | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_revenue,

@@ -80,4 +80,18 @@ object TrainingDataPipeline {
     PartitionedWriter.writePartitioned(n, outPath, Seq("lang"))
     Stats(input.count(), q.count(), e.count(), n.count())
   }
+
+  /** The curated corpus with `observe` data-quality counters attached:
+    * row count, total chars, and null-text count are accumulated DURING
+    * the write job (one pass — no extra count() actions; the reference's
+    * quality-check queries as free by-products of the ETL). Read the
+    * metrics row from the QueryExecution after an action, or via a
+    * QueryExecutionListener in production. */
+  def curatedWithMetrics(t: Tables): DataFrame =
+    nearDupRemoval(exactDedup(
+      qualityFilter(t.documents).drop("toks", "n_tokens")))
+      .observe("curation_dq",
+        count(lit(1)).as("rows_out"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"))
 }

@@ -24,4 +24,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == stats.afterNearDup)
     assert(back.select("lang").distinct().count() == 5)
   }
+
+  test("observe metrics accumulate data-quality counters during the job") {
+    val df = TrainingDataPipeline.curatedWithMetrics(t)
+    // the metrics belong to the QueryExecution that ran the action, so
+    // drive THIS plan (count() would build a separate execution)
+    val n = df.collect().length.toLong
+    val metrics = df.queryExecution.observedMetrics("curation_dq")
+    assert(metrics.getAs[Long]("rows_out") == n)
+    assert(metrics.getAs[Long]("total_chars") > 0)
+    assert(metrics.getAs[Long]("null_texts") == 0)
+  }
 }

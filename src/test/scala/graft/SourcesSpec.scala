@@ -59,6 +59,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(!plan.contains("mnth=7"))
   }
 
+  test("mergeSchema read unifies evolved schemas across parquet batches") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "text").write.parquet(dir + "/batch=1")
+    Seq((2L, "b", "en")).toDF("id", "text", "lang").write.parquet(dir + "/batch=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("id", "text", "lang", "batch"))
+    // old rows surface the new column as null instead of failing
+    assert(back.filter(col("lang").isNull).count() == 1)
+    assert(back.count() == 2)
+  }
+
   test("Compactor rewrites a many-small-files dir into few target-size files") {
     val small = Files.createTempDirectory("graft-small").toString
     val compacted = Files.createTempDirectory("graft-compacted").toString
