@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Extended, Reference, Relational}
+import graft.operators.{Extended, Grouped, Reference, Relational}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -22,12 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     lift(Reference.queries) ++ lift(Relational.queries) ++
-      lift(Extended.queries) ++
+      lift(Extended.queries) ++ lift(Grouped.queries) ++
       lift(TextOps.queries) ++ lift(Dedup.queries) ++ lift(Similarity.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Extended.oracles ++
+      Grouped.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles
 }
