@@ -288,9 +288,32 @@ object Extended {
         count(col("src_num")).as("n_digit_extract"),
         sum(col("src_num")).as("sum_src"))
 
+  /** q62 — rolling time-window aggregate: 7-day moving revenue via a
+    * RANGE frame with an INTERVAL bound over the date ordering. Runs on
+    * the per-(group, day) aggregate, so the window input is ~groups×days
+    * rows, never raw data. Revenue is DECIMAL so the sliding-frame sums
+    * are exact and engine-identical (float frame sums differ in the last
+    * ulp between sliding and recompute implementations). */
+  def q62(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT grp, d, rev,
+        | sum(rev) OVER (PARTITION BY grp ORDER BY d
+        |   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |   AS rev_7d
+        |FROM (
+        |  SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 2
+        |  GROUP BY grp, d)
+        |ORDER BY grp, d""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "q59_decimal_agg" -> q59,
     "q60_try_cast" -> q60,
+    "q62_rolling_window" -> q62,
     "q57_unpivot" -> q57,
     "q58_lateral" -> q58,
     "q54_median" -> q54,
@@ -308,6 +331,18 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q62_rolling_window" ->
+      """SELECT grp, d, rev,
+        | sum(rev) OVER (PARTITION BY grp ORDER BY d
+        |   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |   AS rev_7d
+        |FROM (
+        |  SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 2
+        |  GROUP BY grp, d)
+        |ORDER BY grp, d""".stripMargin,
     "q60_try_cast" ->
       """SELECT count(*) AS n_rows,
         | count(TRY_CAST(source AS BIGINT)) AS n_whole_numeric,
