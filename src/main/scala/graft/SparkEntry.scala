@@ -23,7 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     lift(Reference.queries) ++ lift(Relational.queries) ++
       lift(Extended.queries) ++ lift(Grouped.queries) ++
-      lift(TextOps.queries) ++ lift(Dedup.queries) ++ lift(Similarity.queries)
+      lift(TextOps.queries) ++ lift(Dedup.queries) ++
+      lift(Similarity.queries) ++
+      Map("m01_media_features" -> ((s: SparkSession, _: String) =>
+        graft.multimodal.BinaryPipeline.m01(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

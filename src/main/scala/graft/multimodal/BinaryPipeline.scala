@@ -144,6 +144,23 @@ object BinaryPipeline {
     }.toDF("media_id", "modality", "frame_idx", "frame_bytes")
   }
 
+  /** m01 — the multimodal pipeline as a graded query: synthesize a
+    * deterministic media table (seeded by id), decode + feature-extract
+    * per partition, aggregate per modality. Rows-only (binary payloads
+    * and the stub codec are engine-specific); determinism comes from the
+    * seeded synthesis and order-free aggregates. */
+  def m01(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    decodeFeatures(synthesize(spark, 2000)).toDF()
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("width")).cast("long").as("max_width"),
+        round(avg(col("features")(0)), 4).as("avg_f0"))
+      .orderBy("modality")
+  }
+
   /** Join extracted media features back to their source documents —
     * multimodal columns co-live with text in one table. */
   def joinWithDocuments(features: Dataset[MediaFeatures], docs: DataFrame): DataFrame =

@@ -118,10 +118,38 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** s04 — multi-probe LSH ANN: each query additionally probes the
+    * `Planes` buckets at hamming distance 1 from its own (one plane bit
+    * flipped) — the standard recall knob that trades probe fan-out for
+    * hash tables. Probe expansion happens on the (tiny) query side only;
+    * the corpus is still bucketed once. Candidates dedup on (q, vec). */
+  def s04(t: Tables): DataFrame = {
+    val corpus = prepped(t)
+      .withColumn("bucket", rh_bucket(col("vec"), Planes, Seed))
+    val probes = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"), col("bucket"))
+      .withColumn("bucket",
+        explode(array((-1 until Planes).map {
+          case -1 => col("bucket")
+          case i  => col("bucket").bitwiseXOR(lit(1 << i))
+        }: _*)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(probes, Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "s01_cosine_topk" -> s01,
     "s02_lsh_ann" -> s02,
-    "s03_ivf_ann" -> s03)
+    "s03_ivf_ann" -> s03,
+    "s04_multiprobe_ann" -> s04)
 
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
     * s02's bucket function is a custom kernel → rows-only. */
