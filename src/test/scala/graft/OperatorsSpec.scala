@@ -107,4 +107,19 @@ class OperatorsSpec extends AnyFunSuite {
     val selfRows = ann.filter(r => r.getLong(0) == r.getLong(1))
     assert(selfRows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
   }
+
+  test("multi-probe raises recall over single-probe LSH vs exact ground truth") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(similarity.Similarity.s01(t))
+    val single = pairs(similarity.Similarity.s02(t))
+    val multi = pairs(similarity.Similarity.s04(t))
+    val rSingle = (single & exact).size.toDouble / exact.size
+    val rMulti = (multi & exact).size.toDouble / exact.size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti < single-probe $rSingle")
+    // synthetic vectors are near-orthogonal, so exact top-5 "neighbors"
+    // are weakly locality-sensitive — recall floor is modest at this SF
+    assert(rMulti >= 0.2, s"multi-probe recall unexpectedly low: $rMulti")
+  }
 }
