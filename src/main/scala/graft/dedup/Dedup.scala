@@ -65,14 +65,17 @@ object Dedup {
   /** doc_id + MinHash sig exploded into LSH band keys. Signatures stream
     * the 3-gram bytes through the hash (minhash_ngrams) — no shingle
     * array is ever materialized; hash-identical to the explicit-shingle
-    * path (HashPropertySpec proves it). */
-  private def minhashBanded(t: Tables): DataFrame = {
+    * path (HashPropertySpec proves it). With `withPayload=false` the
+    * banded rows carry a zero payload instead of the k-long signature —
+    * candidate-only consumers (d04) shuffle ids, not signatures. */
+  private def minhashBanded(t: Tables, withPayload: Boolean = true): DataFrame = {
     val sigs = t.documentsWide
       .withColumn("toks", tokensCol)
-      .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("payload"))
+      .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("sig"))
     val bandArr = array((0 until Bands).map(b =>
-      slice(col("payload"), b * RowsPerBand + 1, RowsPerBand)): _*)
-    sigs.select(col("doc_id"), col("payload"),
+      slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)
+    val payload = if (withPayload) col("sig") else lit(0L)
+    sigs.select(col("doc_id"), payload.as("payload"),
       posexplode(bandArr).as(Seq("band_id", "band_sig")))
   }
 
@@ -110,7 +113,7 @@ object Dedup {
     * primitive longs instead of shingle strings; Jaccard is identical up
     * to ~2^-64 collision odds. */
   def d04(t: Tables): DataFrame = {
-    val cands = bucketPairs(minhashBanded(t))
+    val cands = bucketPairs(minhashBanded(t, withPayload = false))
       .select("doc_a", "doc_b").distinct()
     val sets = t.documentsWide
       .withColumn("toks", tokensCol)
