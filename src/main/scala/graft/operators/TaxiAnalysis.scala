@@ -61,6 +61,50 @@ object TaxiAnalysis {
       .orderBy("vendor")
   }
 
+  /** Registration-window sanity: min/max pickup & dropoff timestamps per
+    * vendor (ref lines 80–85). */
+  def minMaxTimestamps(df: DataFrame): DataFrame =
+    df.groupBy(col("VendorID").as("vendor"))
+      .agg(
+        min(col("tpep_pickup_datetime")).as("min_pickup"),
+        max(col("tpep_pickup_datetime")).as("max_pickup"),
+        min(col("tpep_dropoff_datetime")).as("min_dropoff"),
+        max(col("tpep_dropoff_datetime")).as("max_dropoff"))
+      .orderBy("vendor")
+
+  /** Trip-duration stats (min/max/avg hours) per vendor (ref lines 87–92). */
+  def durationStats(df: DataFrame): DataFrame =
+    df.withColumn("hour_diff", hourDiff)
+      .groupBy(col("VendorID").as("vendor"))
+      .agg(round(min(col("hour_diff")), 4).as("minval"),
+        round(max(col("hour_diff")), 4).as("maxval"),
+        round(avg(col("hour_diff")), 4).as("average"))
+      .orderBy("vendor")
+
+  /** Negative-value scan for any money column per vendor — the reference
+    * repeats this shape for fare, tip, tolls, surcharge, mta_tax and
+    * total (ref lines 102–196); one parametric method covers all. */
+  def negativeValueScan(df: DataFrame, column: String): DataFrame =
+    df.filter(col(column) < 0)
+      .groupBy(col("VendorID").as("vendor"))
+      .agg(count(lit(1)).as(s"n_negative_$column"))
+      .orderBy("vendor")
+
+  /** Per-(vendor, value) categorical distribution — the reference's
+    * allowed-value checks for extra, payment_type, store_and_fwd_flag and
+    * ratecodeid (ref lines 123–220). */
+  def valueDistribution(df: DataFrame, column: String): DataFrame =
+    df.groupBy(col("VendorID").as("vendor"), col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("vendor", column)
+
+  /** Trips with zero/negative passengers per vendor (ref lines 132–138). */
+  def zeroPassengerCount(df: DataFrame): DataFrame =
+    df.filter(col("passenger_count") <= 0)
+      .groupBy(col("VendorID").as("vendor"))
+      .agg(count(lit(1)).as("n_no_passenger"))
+      .orderBy("vendor")
+
   /** Trips with negative or >24h duration per vendor (ref lines 99–104). */
   def invalidDurations(df: DataFrame): DataFrame =
     df.withColumn("hour_diff", hourDiff)

@@ -45,6 +45,27 @@ class TaxiSpec extends AnyFunSuite {
     assert(pct.toSeq == Seq(50.0, 50.0))
   }
 
+  test("min/max timestamps + duration stats per vendor (ref lines 80–92)") {
+    val mm = TaxiAnalysis.minMaxTimestamps(taxi).collect()
+    assert(mm.length == 2)
+    val v1 = mm.find(_.getString(0) == "1").get
+    assert(v1.getTimestamp(1) == ts("2017-11-01 10:00:00"))
+    assert(v1.getTimestamp(2) == ts("2017-12-25 09:00:00"))
+    val stats = TaxiAnalysis.durationStats(taxi).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(stats("1") == -1.0) // the negative-duration dirty row
+  }
+
+  test("negative scans, value distributions, zero passengers (ref lines 102–220)") {
+    // no negative fares in the fixture
+    assert(TaxiAnalysis.negativeValueScan(taxi, "fare_amount").collect().isEmpty)
+    val extraDist = TaxiAnalysis.valueDistribution(taxi, "extra").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(extraDist(("2", 4.5)) == 1) // the disallowed-extra dirty row
+    assert(extraDist(("1", 0.0)) == 2)
+    assert(TaxiAnalysis.zeroPassengerCount(taxi).collect().isEmpty)
+  }
+
   test("invalid durations found (ref lines 99–104)") {
     val bad = TaxiAnalysis.invalidDurations(taxi).collect()
     assert(bad.length == 1 && bad(0).getString(0) == "1" && bad(0).getLong(1) == 1L)
