@@ -55,10 +55,19 @@ object TrainingDataPipeline {
       posexplode(array((0 until Bands).map(b =>
         slice(col("sig"), b * (K / Bands) + 1, K / Bands)): _*))
         .as(Seq("band_id", "band_sig")))
+    // size-gate buckets BEFORE collecting members (hot-bucket OOM guard,
+    // same shape as dedup.Dedup.bucketPairs; dropped pairs are caught by
+    // the other bands with high probability)
+    val MaxBucket = 64
+    val keep = banded
+      .groupBy("band_id", "band_sig")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") >= 2 && col("bsz") <= MaxBucket)
+      .select("band_id", "band_sig")
     val losers = banded
+      .join(keep, Seq("band_id", "band_sig"), "left_semi")
       .groupBy("band_id", "band_sig")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("m"))
-      .filter(size(col("m")) >= 2)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(m) - 2), i ->
           |  transform(sequence(i + 1, size(m) - 1), j ->
