@@ -87,24 +87,39 @@ object Similarity {
     val C = 16
     val NProbe = 4
     val corpus = prepped(t)
-    val centroids = corpus.filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * C)
-      .select(col("vec_id").as("cent_id"), col("vec").as("c_vec"), col("norm").as("c_norm"))
-    def cos(v: String, c: String, nv: String, nc: String) =
-      dot_d(col(v), col(c)) / (col(nv) * col(nc))
-    // inverted-list assignment: nearest centroid per vector (one broadcast pass)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("vec"), col("norm"), col("cent_id"),
-        cos("vec", "c_vec", "norm", "c_norm").as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cent_id"), col("vec"), col("norm")), col("ccos")).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
-        col("best.vec").as("vec"), col("best.norm").as("norm"))
-    // query probes: NProbe nearest centroids per query
+    // The coarse-quantizer codebook is C=16 centroid vectors — collected
+    // to the driver and inlined as literals (how every IVF index holds
+    // its codebook). Assignment is then a MAP-ONLY argmax of C fused dot
+    // products per row: no shuffle of the corpus, no groupBy — the
+    // previous crossJoin+max_by formulation shuffled every (vec, norm)
+    // once just to pick the nearest centroid.
+    val cents: Array[(Int, Array[Double], Double)] = corpus
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * C)
+      .select(col("vec_id"), col("vec"), col("norm"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def bestCentroid(vecCol: String, normCol: String) = array_max(array(
+      cents.map { case (id, cvec, cnorm) =>
+        struct(
+          (dot_d(col(vecCol), typedlit(cvec)) / (col(normCol) * lit(cnorm)))
+            .as("ccos"),
+          lit(id).as("cent_id"))
+      }: _*))
+    val assigned = corpus
+      .withColumn("cent_id", bestCentroid("vec", "norm").getField("cent_id"))
+    // query probes: NProbe nearest centroids per query, ranked from the
+    // same inlined codebook (queries are tiny; explode + rank is fine)
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))
     val probes = corpus.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("norm").as("q_norm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cos("q_vec", "c_vec", "q_norm", "c_norm"))
+      .withColumn("c", explode(array(cents.map { case (id, cvec, cnorm) =>
+        struct(
+          (dot_d(col("q_vec"), typedlit(cvec)) / (col("q_norm") * lit(cnorm)))
+            .as("ccos"),
+          lit(id).as("cent_id"))
+      }: _*)))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("c.ccos").as("ccos"), col("c.cent_id").as("cent_id"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= NProbe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cent_id"))
@@ -112,7 +127,8 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     probes.join(assigned, Seq("cent_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cos("vec", "q_vec", "norm", "q_norm"), 4).as("sim"))
+        round(dot_d(col("vec"), col("q_vec")) / (col("norm") * col("q_norm")), 4)
+          .as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .orderBy("q_id", "rn")
