@@ -169,7 +169,47 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** d06 — duplicate clusters: connected components over the MinHash
+    * candidate-pair graph (est ≥ threshold), via iterative min-label
+    * propagation — each round, every node takes the minimum component id
+    * among itself and its neighbors; converges in O(diameter) ≤ O(log n)
+    * rounds for dedup graphs (tiny diameters in practice). Each round is
+    * one join + one aggregation on the node key; no driver-side graph.
+    * Survivor = min doc_id of the cluster (matches d01/pipeline policy).
+    * Rows-only (pairs come from the custom MinHash kernel). */
+  def d06(t: Tables): DataFrame = {
+    val pairs = d02(t).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val nodes = edges.select(col("doc_a").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("id"))
+        .groupBy(col("doc_a").as("id"))
+        .agg(min(col("comp")).as("n_comp"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("n_comp"), col("comp"))).as("comp"))
+        .localCheckpoint() // truncate the iterative lineage
+      changed = updated.filter(col("comp") =!= col("old_comp")).count()
+      labels = updated.select("id", "comp")
+      rounds += 1
+    }
+    labels
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        sort_array(collect_list(col("id"))).as("members"))
+      .select(col("cluster_id"), col("n_members"),
+        concat_ws(",", col("members")).as("members"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d06_dup_clusters" -> d06,
     "d05_embedding_neardup" -> d05,
     "d02_dedup_minhash" -> d02,
     "d03_dedup_simhash" -> d03,

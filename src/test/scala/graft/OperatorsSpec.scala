@@ -108,6 +108,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(selfRows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
   }
 
+  test("d06 clusters equal a driver-side union-find over the same pairs") {
+    val pairs = dedup.Dedup.d02(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toSeq
+      .groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).sorted }
+    val got = dedup.Dedup.d06(t).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSeq)
+      .toMap
+    assert(got.keySet == expected.keySet.map(identity))
+    expected.foreach { case (c, ms) => assert(got(c) == ms, s"cluster $c") }
+  }
+
   test("multi-probe raises recall over single-probe LSH vs exact ground truth") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
