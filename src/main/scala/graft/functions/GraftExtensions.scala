@@ -78,6 +78,12 @@ object GraftExtensions {
     ("dot_d",
       info("dot_d", "dot_d(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => DotDouble(args(0), args(1))),
+    ("winnow_fps",
+      info("winnow_fps", "winnow_fps(text[, hashWin[, winnowWin]]) - winnowing fingerprints"),
+      (args: Seq[Expression]) => WinnowFps(
+        args.head,
+        if (args.length > 1) intArg(args(1), "hashWin") else 16,
+        if (args.length > 2) intArg(args(2), "winnowWin") else 8)),
     ("rolling_hashes",
       info("rolling_hashes", "rolling_hashes(text[, windowSize]) - Rabin-Karp window hashes"),
       (args: Seq[Expression]) => RollingHashes(

@@ -247,6 +247,39 @@ object HashImpls {
     s
   }
 
+  /** Winnowing fingerprints (Schleimer et al.): the distinct sorted
+    * minima of every `winnowWin`-sized window over the rolling hashes —
+    * computed with a monotonic deque in O(n) total, vs the O(n·W)
+    * per-window array_min(slice(...)) HOF spelling. Degenerate inputs
+    * (fewer hashes than the window) fall back to the single global
+    * minimum, matching the HOF CASE-ELSE. */
+  def winnowFps(text: UTF8String, hashWin: Int, winnowWin: Int): Array[Long] = {
+    val h = rollingHashes(text, hashWin)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (h.length < winnowWin) {
+      var mn = h(0)
+      var i = 1
+      while (i < h.length) { if (h(i) < mn) mn = h(i); i += 1 }
+      return Array(mn)
+    }
+    val deque = new Array[Int](h.length) // indices, increasing hash order
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < h.length) {
+      while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - winnowWin) head += 1
+      if (i >= winnowWin - 1) out.add(h(deque(head)))
+      i += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { res(j) = it.next(); j += 1 }
+    res
+  }
+
   def jaccardEst(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var eq = 0
@@ -354,6 +387,24 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** winnow_fps(text, hashWin, winnowWin) → array<long>: distinct sorted
+  * winnowing fingerprints in one pass (monotonic deque). */
+case class WinnowFps(child: Expression, hashWin: Int, winnowWin: Int)
+    extends UnaryExpression {
+  require(hashWin > 0 && winnowWin > 0, "windows must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HashImpls.winnowFps(v.asInstanceOf[UTF8String], hashWin, winnowWin))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.winnowFps($c, $hashWin, $winnowWin))")
+  override protected def withNewChildInternal(c: Expression): WinnowFps =
+    copy(child = c)
+  override def prettyName: String = "winnow_fps"
+}
+
 /** dot_d(a, b) → double: fused dot product over two array<double>. */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -389,6 +440,8 @@ object exprs {
     column(DotDouble(expression(a), expression(b)))
   def rolling_hashes(text: Column, windowSize: Int = 16): Column =
     column(RollingHashes(expression(text), windowSize))
+  def winnow_fps(text: Column, hashWin: Int = 16, winnowWin: Int = 8): Column =
+    column(WinnowFps(expression(text), hashWin, winnowWin))
 }
 
 /** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial

@@ -169,21 +169,15 @@ object TextOps {
     * standard plagiarism/near-dup fingerprint (Schleimer et al.). Output
     * is per-doc fingerprint-set stats; the fingerprint sets themselves
     * feed an LSH bucket join at scale. Rows-only (custom kernel). */
-  def t06(t: Tables): DataFrame = {
-    val W = 8 // winnowing window over the hash sequence
+  def t06(t: Tables): DataFrame =
     t.documents
-      .withColumn("rh", graft.functions.exprs.rolling_hashes(col("text"), 16))
       .select(
         col("doc_id"),
-        expr("cast(size(rh) as bigint)").as("n_hashes"),
-        expr(s"""cast(size(array_distinct(
-          | CASE WHEN size(rh) >= $W
-          |   THEN transform(sequence(0, size(rh) - $W),
-          |                  i -> array_min(slice(rh, i + 1, $W)))
-          |   ELSE array(array_min(rh)) END)) as bigint)""".stripMargin)
+        size(graft.functions.exprs.rolling_hashes(col("text"), 16)).cast("long")
+          .as("n_hashes"),
+        size(graft.functions.exprs.winnow_fps(col("text"), 16, 8)).cast("long")
           .as("n_fingerprints"))
       .orderBy("doc_id")
-  }
 
   /** t07 — TF-IDF: top-5 highest-scoring terms per document.
     * tf per (doc, term) and df per term are two hash aggregations; N is a

@@ -48,6 +48,20 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFps equals the per-window array-min spelling") {
+    (1 to 200).foreach { _ =>
+      val text = UTF8String.fromString(
+        rnd.alphanumeric.take(rnd.nextInt(200)).mkString + "x") // non-empty
+      val (hw, ww) = (1 + rnd.nextInt(20), 1 + rnd.nextInt(12))
+      val h = HashImpls.rollingHashes(text, hw)
+      val expected =
+        (if (h.length >= ww) h.sliding(ww).map(_.min).toSeq else Seq(h.min))
+          .distinct.sorted
+      val got = HashImpls.winnowFps(text, hw, ww).toSeq
+      assert(got == expected, s"hw=$hw ww=$ww len=${h.length}")
+    }
+  }
+
   test("ngramHashes jaccard equals string-shingle jaccard") {
     (1 to 200).foreach { _ =>
       val a = randTokens()
