@@ -36,13 +36,6 @@ object Dedup {
 
   private def tokensCol = expr("split(trim(text), '\\\\s+')")
 
-  /** Word 3-gram shingles (whole text as one shingle for tiny docs). */
-  private def shinglesCol = expr(
-    """CASE WHEN size(toks) >= 3
-      | THEN transform(sequence(1, size(toks) - 2),
-      |                i -> concat_ws(' ', slice(toks, i, 3)))
-      | ELSE array(concat_ws(' ', toks)) END""".stripMargin)
-
   /** All in-bucket ordered pairs of `m` (array<struct<doc_id, payload>>,
     * pre-sorted by doc_id): the O(|m|²) pair generation runs inside the
     * bucket, bounded by MaxBucket. */

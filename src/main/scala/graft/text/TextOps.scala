@@ -15,8 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of `text`. */
-  private val toks = "string_split_regex" // doc note: duckdb name; spark uses split
+  /** Whitespace tokens of `text` (DuckDB oracle twin: string_split_regex). */
   private def tokensExpr = "split(trim(text), '\\\\s+')"
 
   private val Stopwords =
