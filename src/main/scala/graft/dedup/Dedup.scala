@@ -172,8 +172,12 @@ object Dedup {
     * Rows-only (pairs come from the custom MinHash kernel). */
   def d06(t: Tables): DataFrame = {
     val pairs = d02(t).select(col("doc_a"), col("doc_b"))
+    // materialize the edge list once — every propagation round joins it,
+    // and without the checkpoint each round would recompute the whole
+    // MinHash banding pipeline upstream
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     val nodes = edges.select(col("doc_a").as("id")).distinct()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var changed = 1L
