@@ -8,6 +8,19 @@ class ExprSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("GraftSession front door registers every SQL function") {
+    val s = GraftSession.build() // getOrCreate reuses the test session
+    val r = s.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+        | size(minhash_ngrams(array('a','b','c','d'), 3, 16, 42)) AS mh,
+        | rh_bucket(array(cast(0.5 as double)), 4, 7) AS rb,
+        | dot_d(array(cast(2.0 as double)), array(cast(3.0 as double))) AS d,
+        | size(winnow_fps('hello world text', 4, 2)) AS wf,
+        | size(ngram_hashes(array('a','b','c'), 3)) AS nh""".stripMargin).head()
+    assert(r.getDouble(3) == 6.0)
+    assert(r.getInt(5) == 1)
+  }
+
   test("simhash64: identical token arrays hash equal; near-identical differ in few bits") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -186,6 +186,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((0L, "click", 2L)))
   }
 
+  test("file-source backfill: jsonl dir streamed with AvailableNow") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(300), 1, "view", 3.0))
+      .toDF().write.mode("overwrite").json(dir)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .json(dir)
+    val q = EventsStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("backfill")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // AvailableNow stops itself after the backlog
+    val rows = spark.table("backfill").collect()
+      .map(r => (minuteOf(r.getTimestamp(0)), r.getString(1), r.getLong(2)))
+    assert(rows.contains((0L, "click", 2L)))
+  }
+
   test("foreachBatch sink writes date-partitioned parquet") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
