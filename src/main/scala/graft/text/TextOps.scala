@@ -205,7 +205,29 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** t09 — canonical text normalization (the pre-dedup normalizer every
+    * corpus pipeline runs): lowercase → digit runs → "0" → punctuation
+    * stripped → whitespace collapsed+trimmed. Emits the normalized
+    * fingerprint (md5) plus change counters; chained codegen'd
+    * regexp_replace, map-only. */
+  def t09(t: Tables): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[0-9]+", "0"),
+        "[^a-z0-9 ]", ""),
+      " +", " "))
+    t.documents
+      .select(
+        col("doc_id"),
+        md5(norm).as("norm_fp"),
+        length(norm).cast("long").as("n_norm_chars"),
+        expr("cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint)")
+          .as("n_num_runs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t09_normalize" -> t09,
     "t07_tfidf" -> t07,
     "t08_char_ngram_langid" -> t08,
     "t06_winnow_fingerprint" -> t06,
@@ -226,6 +248,19 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t09_normalize" ->
+      """SELECT doc_id, md5(norm) AS norm_fp,
+        | CAST(length(norm) AS BIGINT) AS n_norm_chars,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_runs
+        |FROM (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+        |        '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "t08_char_ngram_langid" ->
       s"""SELECT lang, pred, count(*) AS cnt FROM (
          | SELECT lang, CASE
