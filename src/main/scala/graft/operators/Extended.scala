@@ -310,10 +310,35 @@ object Extended {
         |ORDER BY grp, d""".stripMargin)
   }
 
+  /** q63 — full outer join with null-side accounting: users with events
+    * vs customers with orders, classifying rows into both/left-only/
+    * right-only. Completes the join-type surface (inner q21, semi q22,
+    * anti q23, lateral q58, asof q33, range q49, salted q53). */
+  def q63(t: Tables): DataFrame = {
+    val ev = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val ord = t.orders.filter(col("o_custkey") < 300)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    ev.join(ord, col("user_id") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("user_id").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("user_id").isNotNull, "events_only")
+          .otherwise("orders_only").as("side"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_events")).as("sum_events"),
+        sum(col("n_orders")).as("sum_orders"))
+      .orderBy("side")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "q59_decimal_agg" -> q59,
     "q60_try_cast" -> q60,
     "q62_rolling_window" -> q62,
+    "q63_outer_join" -> q63,
     "q57_unpivot" -> q57,
     "q58_lateral" -> q58,
     "q54_median" -> q54,
@@ -331,6 +356,21 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q63_outer_join" ->
+      """SELECT CASE WHEN user_id IS NOT NULL AND o_custkey IS NOT NULL
+        |   THEN 'both'
+        |   WHEN user_id IS NOT NULL THEN 'events_only'
+        |   ELSE 'orders_only' END AS side,
+        | count(*) AS n_keys,
+        | sum(coalesce(n_events, 0)) AS sum_events,
+        | sum(coalesce(n_orders, 0)) AS sum_orders
+        |FROM (SELECT user_id, count(*) AS n_events FROM events
+        |      GROUP BY user_id) e
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      WHERE o_custkey < 300 GROUP BY o_custkey) o
+        |  ON user_id = o_custkey
+        |GROUP BY side ORDER BY side""".stripMargin,
     "q62_rolling_window" ->
       """SELECT grp, d, rev,
         | sum(rev) OVER (PARTITION BY grp ORDER BY d
