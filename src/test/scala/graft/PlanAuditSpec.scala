@@ -66,6 +66,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q58 must de-correlate to a join, not nested-loop:\n$plan")
   }
 
+  test("value filter pushes into the parquet scan (through the ts rebuild)") {
+    val plan = operators.Reference.q06(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(value), LessThan(value,20.0)]"),
+      s"q06 filter must reach the scan:\n$plan")
+  }
+
+  test("aggregations run map-side partials before the exchange") {
+    for ((name, df) <- Seq(
+        "q01" -> operators.Reference.q01(TestSpark.tables),
+        "q59" -> operators.Extended.q59(TestSpark.tables))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_"),
+        s"$name should partial-aggregate before shuffling:\n$plan")
+    }
+  }
+
   test("salted join result equals the plain join") {
     val t = TestSpark.tables
     import org.apache.spark.sql.functions._
