@@ -265,9 +265,13 @@ object Extended {
     t.lineitem
       .groupBy(col("l_returnflag").as("grp"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("exact_revenue"),
+        // Pin the result width to DECIMAL(38,x) explicitly: Spark's sum
+        // widens DECIMAL(18,x) to (28,x) while DuckDB widens to (38,x) —
+        // same values, different physical type. 38 is the shared maximum.
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("exact_revenue"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).as("exact_discounted"),
+          .cast("decimal(18,4)")).cast("decimal(38,4)").as("exact_discounted"),
         count(lit(1)).as("cnt"))
       .orderBy("grp")
 
@@ -297,10 +301,10 @@ object Extended {
   def q62(t: Tables): DataFrame = {
     t.registerViews()
     t.spark.sql(
-      """SELECT grp, d, rev,
-        | sum(rev) OVER (PARTITION BY grp ORDER BY d
+      """SELECT grp, d, CAST(rev AS DECIMAL(38,2)) AS rev,
+        | CAST(sum(rev) OVER (PARTITION BY grp ORDER BY d
         |   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
-        |   AS rev_7d
+        |   AS DECIMAL(38,2)) AS rev_7d
         |FROM (
         |  SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
@@ -362,8 +366,8 @@ object Extended {
         |   WHEN user_id IS NOT NULL THEN 'events_only'
         |   ELSE 'orders_only' END AS side,
         | count(*) AS n_keys,
-        | sum(coalesce(n_events, 0)) AS sum_events,
-        | sum(coalesce(n_orders, 0)) AS sum_orders
+        | CAST(sum(coalesce(n_events, 0)) AS BIGINT) AS sum_events,
+        | CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS sum_orders
         |FROM (SELECT user_id, count(*) AS n_events FROM events
         |      GROUP BY user_id) e
         |FULL OUTER JOIN
@@ -372,10 +376,10 @@ object Extended {
         |  ON user_id = o_custkey
         |GROUP BY side ORDER BY side""".stripMargin,
     "q62_rolling_window" ->
-      """SELECT grp, d, rev,
-        | sum(rev) OVER (PARTITION BY grp ORDER BY d
+      """SELECT grp, d, CAST(rev AS DECIMAL(38,2)) AS rev,
+        | CAST(sum(rev) OVER (PARTITION BY grp ORDER BY d
         |   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
-        |   AS rev_7d
+        |   AS DECIMAL(38,2)) AS rev_7d
         |FROM (
         |  SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
@@ -388,14 +392,15 @@ object Extended {
         | count(TRY_CAST(source AS BIGINT)) AS n_whole_numeric,
         | count(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT))
         |   AS n_digit_extract,
-        | sum(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT))
-        |   AS sum_src
+        | CAST(sum(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT))
+        |   AS BIGINT) AS sum_src
         |FROM documents""".stripMargin,
     "q59_decimal_agg" ->
       """SELECT l_returnflag AS grp,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS exact_revenue,
-        | sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        |   AS exact_discounted,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |   AS DECIMAL(38,2)) AS exact_revenue,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |   AS DECIMAL(38,4)) AS exact_discounted,
         | count(*) AS cnt
         |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
     "q57_unpivot" ->
@@ -435,7 +440,8 @@ object Extended {
         |                            AND c_custkey IS NOT NULL)) AS n_not_in""".stripMargin,
     "q55_json_typed" ->
       """SELECT event_type,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS sum_k,
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -455,7 +461,7 @@ object Extended {
         |ORDER BY gid, grp, status""".stripMargin,
     "q46_regexp_extract" ->
       """SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5 AS src_mod,
-        | count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         | max(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)) AS max_src
         |FROM documents GROUP BY src_mod ORDER BY src_mod""".stripMargin,
     "q47_conditional_agg" ->

@@ -482,7 +482,8 @@ object Relational {
          | ((10 * sum_sec + 3 * n_sessions) // (6 * n_sessions)) / 100.0
          |   AS avg_session_min
          |FROM (
-         |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+         |SELECT user_id, count(*) AS n_sessions,
+         | CAST(sum(n_events) AS BIGINT) AS n_events,
          | sum(dur_sec) AS sum_sec
          |FROM (
          |  SELECT user_id, sess_id, count(*) AS n_events,

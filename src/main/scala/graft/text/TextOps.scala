@@ -332,8 +332,8 @@ object TextOps {
     "t04_fingerprint" ->
       s"SELECT doc_id, $dFp AS fp FROM documents ORDER BY doc_id",
     "d01_dedup_exact" ->
-      s"""SELECT sum(cnt) AS n_docs, count(*) AS n_distinct,
-         | sum(cnt) - count(*) AS n_dup_rows
+      s"""SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+         | CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_rows
          |FROM (SELECT $dFp AS fp, count(*) AS cnt, min(doc_id) AS survivor
          |      FROM documents GROUP BY fp)""".stripMargin)
 }

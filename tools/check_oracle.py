@@ -5,9 +5,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views named
-after the tables in <sfDir>, then compares: columns sorted by name, rows
-sorted, exact value equality (floats compared exactly — queries are expected
-to round on both sides). Exits nonzero on any mismatch.
+after the tables in <sfDir>, then compares: columns sorted by name, COLUMN
+TYPES (exact DuckDB type string — BIGINT vs HUGEINT and DECIMAL widths
+matter, replicating the driver's type-sensitive hash), rows sorted, exact
+value equality (floats compared exactly — queries are expected to round on
+both sides). Exits nonzero on any mismatch.
 """
 import json
 import math
@@ -53,18 +55,33 @@ def main():
             continue
         try:
             duck = con.sql(sql)
-            drows, dcols = duck.fetchall(), [d[0] for d in duck.description]
+            dcols, dtypes = duck.columns, [str(t) for t in duck.types]
+            drows = duck.fetchall()
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
         try:
             sp = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
-            srows, scols = sp.fetchall(), [d[0] for d in sp.description]
+            scols, stypes = sp.columns, [str(t) for t in sp.types]
+            srows = sp.fetchall()
         except Exception as e:
             failures.append((name, f"spark result read error: {e}"))
             continue
         if sorted(dcols) != sorted(scols):
             failures.append((name, f"columns differ: spark={sorted(scols)} oracle={sorted(dcols)}"))
+            continue
+        # Type gate: the driver hashes a typed serialization, so value-equal
+        # results with different physical types (DuckDB HUGEINT vs Spark
+        # BIGINT, DECIMAL(38,x) vs (28,x)) are driver failures. Compare the
+        # exact DuckDB type string per column name on both sides.
+        dtype_by = dict(zip(dcols, dtypes))
+        stype_by = dict(zip(scols, stypes))
+        type_diff = {c: (stype_by[c], dtype_by[c]) for c in dtype_by
+                     if stype_by[c] != dtype_by[c]}
+        if type_diff:
+            failures.append((name, "column types differ (spark, oracle): " +
+                             ", ".join(f"{c}=({s}, {d})" for c, (s, d)
+                                       in sorted(type_diff.items()))))
             continue
         dc, cols = canon(drows, dcols)
         sc, _ = canon(srows, scols)
