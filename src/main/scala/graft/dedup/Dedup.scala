@@ -196,6 +196,12 @@ object Dedup {
       labels = updated.select("id", "comp")
       rounds += 1
     }
+    // Never return unconverged (wrong) clusters silently: a component with
+    // diameter > rounds would still be split across labels here.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"d06 min-label propagation did not converge in $rounds rounds " +
+          s"($changed labels still changing); raise the round cap")
     labels
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"),

@@ -56,15 +56,22 @@ object TrainingDataPipeline {
         slice(col("sig"), b * (K / Bands) + 1, K / Bands)): _*))
         .as(Seq("band_id", "band_sig")))
     // size-gate buckets BEFORE collecting members (hot-bucket OOM guard,
-    // same shape as dedup.Dedup.bucketPairs; dropped pairs are caught by
-    // the other bands with high probability)
+    // same shape as dedup.Dedup.bucketPairs). Oversized buckets are NOT
+    // dropped: hot buckets are exactly the correlated-boilerplate case
+    // where >MaxBucket near-identical docs exceed the cap in EVERY band,
+    // so dropping would retain the hottest duplicate clusters. Instead
+    // each oversized bucket elects a representative (min doc_id) and every
+    // other member loses to it after a signature check — O(bucket) work,
+    // never O(bucket²).
     val MaxBucket = 64
-    val keep = banded
+    val stats = banded
       .groupBy("band_id", "band_sig")
-      .agg(count(lit(1)).as("bsz"))
+      .agg(count(lit(1)).as("bsz"),
+        min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
+    val keep = stats
       .filter(col("bsz") >= 2 && col("bsz") <= MaxBucket)
       .select("band_id", "band_sig")
-    val losers = banded
+    val pairLosers = banded
       .join(keep, Seq("band_id", "band_sig"), "left_semi")
       .groupBy("band_id", "band_sig")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("m"))
@@ -75,7 +82,16 @@ object TrainingDataPipeline {
           |           m[j].doc_id AS loser))))""".stripMargin)).as("p"))
       .filter(graft.functions.exprs.jaccard_est(col("p.sig_a"), col("p.sig_b")) >= minEst)
       .select(col("p.loser").as("doc_id"))
-      .distinct()
+    val hotReps = stats
+      .filter(col("bsz") > MaxBucket)
+      .select(col("band_id"), col("band_sig"),
+        col("rep.doc_id").as("rep_id"), col("rep.sig").as("rep_sig"))
+    val hotLosers = banded
+      .join(hotReps, Seq("band_id", "band_sig"))
+      .filter(col("doc_id") =!= col("rep_id") &&
+        graft.functions.exprs.jaccard_est(col("sig"), col("rep_sig")) >= minEst)
+      .select("doc_id")
+    val losers = pairLosers.union(hotLosers).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

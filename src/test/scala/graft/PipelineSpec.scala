@@ -25,6 +25,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.select("lang").distinct().count() == 5)
   }
 
+  test("near-dup removal collapses oversized (hot) buckets to one survivor") {
+    import spark.implicits._
+    // 80 identical docs overflow every band bucket (MaxBucket=64): the
+    // correlated-boilerplate case where dropping oversized buckets would
+    // retain the whole cluster. The representative path must keep exactly
+    // the min doc_id and drop the other 79.
+    val boiler = ("the quick brown fox jumps over the lazy dog " * 5).trim
+    val hot = (0L until 80L).map(i => (i, boiler))
+    val uniq = (100L until 105L).map(i =>
+      (i, s"distinct doc $i " + (1 to 12).map(j => s"w${i}x$j").mkString(" ")))
+    val docs = (hot ++ uniq).toDF("doc_id", "text")
+    val kept = TrainingDataPipeline.nearDupRemoval(docs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.contains(0L), "hot-cluster survivor (min doc_id) must remain")
+    assert(!kept.exists(id => id > 0 && id < 80),
+      "all non-representative members of the hot cluster must be removed")
+    assert((100L until 105L).forall(kept.contains),
+      "unique docs must be untouched")
+  }
+
   test("observe metrics accumulate data-quality counters during the job") {
     val df = TrainingDataPipeline.curatedWithMetrics(t)
     // the metrics belong to the QueryExecution that ran the action, so

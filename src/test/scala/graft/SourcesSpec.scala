@@ -89,6 +89,37 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.orc(dir)
     assert(back.count() > 0)
     assert(back.columns.contains("l_extendedprice"))
+    // query-surface equality: the same aggregation over the ORC read and
+    // over the parquet source must agree (the ORC path is a first-class
+    // input, not just a sink)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
+      .orderBy("l_returnflag")
+      .collect().toSeq
+    val viaParquet = {
+      val p = Files.createTempDirectory("graft-etl-parquet").toString
+      PartitionedWriter.cleanedPartitionedETL(t, p, format = "parquet")
+      agg(spark.read.parquet(p))
+    }
+    assert(agg(back) == viaParquet)
+  }
+
+  test("Compactor sizes output from a partitioned (nested) layout") {
+    val small = Files.createTempDirectory("graft-small-part").toString
+    val compacted = Files.createTempDirectory("graft-compacted-part").toString
+    // partitioned write nests data files under lang=... dirs — a
+    // non-recursive listing would see 0 data files and collapse everything
+    // into one output file regardless of size
+    t.documents.repartition(8).write.mode("overwrite")
+      .partitionBy("lang").parquet(small)
+    val (before, after) = Compactor.compact(spark, small, compacted,
+      targetBytes = 64L << 10)
+    assert(before > 0, "recursive listing must find nested data files")
+    assert(after > 1, s"output should be sized from real bytes, got $after file(s)")
+    assert(spark.read.parquet(compacted).count() ==
+      spark.read.parquet(small).count())
   }
 
   test("joining two co-bucketed tables plans no shuffle (the point of CLUSTERED BY)") {
