@@ -94,6 +94,93 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- Golden-value fixtures -----------------------------------------
+  // Expected values computed by an INDEPENDENT Python reimplementation of
+  // the documented algorithms (FNV-1a 64, splitmix64, SimHash voting,
+  // MinHash h_j(x)=mix64(fnv64(x)^mix64(seed+j)), Rabin-Karp B=1000003 +
+  // mix64 finalizer, winnowing window minima, random-hyperplane signs).
+  // The Python oracle itself reproduces the published FNV-1a and
+  // splitmix64 test vectors, so these pins are cross-validated, not
+  // self-referential: any constant drift (an off-by-one in fnv64, a wrong
+  // multiplier, a changed seed derivation) fails here even though every
+  // property test above would still pass.
+
+  test("fnv64 matches the published FNV-1a 64 test vectors") {
+    def f(s: String) = HashImpls.fnv64(s.getBytes("UTF-8"))
+    assert(f("") == 0xcbf29ce484222325L)   // offset basis
+    assert(f("a") == 0xaf63dc4c8601ec8cL)
+    assert(f("hello") == 0xa430d84680aabd0bL)
+  }
+
+  test("mix64 matches the published splitmix64 sequence from seed 0") {
+    assert(HashImpls.mix64(0L) == 0xe220a8397b1dcdafL)
+    assert(HashImpls.mix64(0x9e3779b97f4a7c15L) == 0x6e789e6aa1b965f4L)
+    assert(HashImpls.mix64(0x9e3779b97f4a7c15L * 2) == 0x06c45d188009454fL)
+  }
+
+  private val fixToks = Seq("the", "quick", "brown", "fox")
+
+  test("simhash64 golden value on a fixed token list") {
+    assert(HashImpls.simhash64(arr(fixToks)) == 5363936793200807308L)
+  }
+
+  test("minhash signature golden values (k=4, seed=42)") {
+    val expected = Seq(-6064225106290547670L, -8906606055218868636L,
+      -3223372162286936807L, 1228260984575542398L)
+    val shingles = Seq("the quick brown", "quick brown fox")
+    assert(HashImpls.minhashSigs(arr(shingles), 4, 42L).toSeq == expected)
+    // the streamed n-gram path must land on the same pinned values
+    assert(HashImpls.minhashNgrams(arr(fixToks), 3, 4, 42L).toSeq == expected)
+  }
+
+  test("ngramHashes golden values (sorted signed order)") {
+    assert(HashImpls.ngramHashes(arr(fixToks), 3).toSeq ==
+      Seq(-8421630478583369269L, 9185940588308658957L))
+  }
+
+  test("rollingHashes golden values ('winnowing', w=4)") {
+    assert(HashImpls.rollingHashes(UTF8String.fromString("winnowing"), 4).toSeq ==
+      Seq(-4694910225844039464L, -1307326639315936142L, -8373744826442844816L,
+        -5614326321921721338L, 5383943387697390170L, 8125953172252415221L))
+  }
+
+  test("winnowFps golden values (hashWin=4, winnowWin=3)") {
+    val fps = HashImpls.winnowFps(
+      UTF8String.fromString("do not copy this winnowing fixture"), 4, 3)
+    assert(fps.toSeq == Seq(-8963405201042702251L, -8848708780846717404L,
+      -8636223019335492605L, -8373744826442844816L, -6845833186229268406L,
+      -5852379895635180323L, -5614326321921721338L, -5484934113770802213L,
+      -4694910225844039464L, -4534735052127747578L, -4490087559354591539L,
+      -2841340504377191227L, -2738637037192758994L, -2361182922449300356L,
+      -2122423741283622134L, -890767155884604861L))
+  }
+
+  test("rhBucket golden values (8 planes)") {
+    assert(HashImpls.rhBucket(
+      new GenericArrayData(Array(1.0, 2.0, 3.0)), 8, 7L) == 205)
+    assert(HashImpls.rhBucket(
+      new GenericArrayData(Array(0.5, -1.25, 2.0, 0.75)), 8, 42L) == 185)
+  }
+
+  test("LSH banding on a 3-doc fixture finds the planted pair only") {
+    // two near-identical docs (one token differs) and one unrelated doc,
+    // through the production banding constants (K=32, 8 bands of 4)
+    val a = "large scale web corpus deduplication removes near duplicate documents from training data pipelines at massive scale every day across shards".split(" ").toSeq
+    val b = "large scale web corpus deduplication removes near duplicate documents from training data pipelines at massive scale every day across shardsx".split(" ").toSeq
+    val c = "completely unrelated text about cooking pasta with tomato sauce and fresh basil leaves".split(" ").toSeq
+    def sig(t: Seq[String]) = HashImpls.minhashNgrams(arr(t), 3, 32, 42L).toSeq
+    def bands(s: Seq[Long]) = s.grouped(4).toSeq
+    val (sa, sb, sc) = (sig(a), sig(b), sig(c))
+    def sharedBands(x: Seq[Long], y: Seq[Long]) =
+      bands(x).zip(bands(y)).count { case (p, q) => p == q }
+    assert(sharedBands(sa, sb) >= 1, "near-dup pair must collide in >=1 band")
+    assert(sharedBands(sa, sc) == 0 && sharedBands(sb, sc) == 0,
+      "unrelated doc must not collide")
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 32.0
+    assert(est >= 0.5, s"estimated jaccard of the planted pair too low: $est")
+    assert(sa.zip(sc).count { case (x, y) => x == y } / 32.0 < 0.2)
+  }
+
   test("rolling hashes: deterministic, n-w+1 windows, equal windows collide") {
     (1 to 200).foreach { _ =>
       val s = rnd.alphanumeric.take(4 + rnd.nextInt(60)).mkString
