@@ -26,6 +26,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     * on ~1.7e18 nano values.
     */
   def events: DataFrame = {
+    // Session-level conf mutation is acceptable in this single-session
+    // test/bench environment only; a production deployment would set
+    // nanosAsLong once in the session builder (it is read at scan
+    // planning, and flipping it mid-flight affects other readers).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table("events").withColumn(
       "ts", org.apache.spark.sql.functions.timestamp_micros(

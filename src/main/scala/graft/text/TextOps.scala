@@ -182,7 +182,15 @@ object TextOps {
     * tf per (doc, term) and df per term are two hash aggregations; N is a
     * broadcast scalar; the per-doc top-5 rank filter compiles to the
     * two-phase WindowGroupLimit. Orders by the ROUNDED score so the
-    * tie-break (term asc) is decided identically on both engines. */
+    * tie-break (term asc) is decided identically on both engines.
+    *
+    * Skew guard on tf⨝df: token frequency is Zipfian, so a plain shuffle
+    * join funnels every tf row of a "the"-class token through one reducer.
+    * df is split at half the corpus: the head (tokens in > N/2 docs —
+    * bounded by the stopword count at any corpus size) joins broadcast
+    * (map-only, no hot key ever shuffles on token), the tail joins shuffle
+    * with the hot keys already removed. Disjoint split → identical result
+    * set (the oracle proves it). */
   def t07(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t.documents
@@ -191,12 +199,15 @@ object TextOps {
     val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf
-      .join(df, "token")
-      .crossJoin(broadcast(n))
+    val dfN = df.crossJoin(broadcast(n))
+    val hotDf = dfN.filter(col("df") * 2 > col("n"))
+    val coldDf = dfN.filter(col("df") * 2 <= col("n"))
+    def score(joined: DataFrame) = joined
       .select(col("doc_id"), col("token"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 4)
           .as("tfidf"))
+    val scored = score(tf.join(broadcast(hotDf), Seq("token")))
+      .unionByName(score(tf.join(coldDf, Seq("token"))))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
     scored

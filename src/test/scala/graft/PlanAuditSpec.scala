@@ -58,6 +58,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t07 tf-df join guards the Zipf head: hot tokens broadcast, tail shuffles") {
+    val plan = text.TextOps.t07(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // the high-df head must join map-only (no hot token key ever shuffles)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t07 must broadcast the high-df token head:\n$plan")
+    // and the guarded result must still equal the single-join spelling
+    import org.apache.spark.sql.functions._
+    val t = TestSpark.tables
+    val terms = t.documents
+      .select(col("doc_id"), explode(expr("split(trim(text), '\\\\s+')")).as("token"))
+    val tf = terms.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n"))
+    val plain = tf.join(df, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    val expected = plain.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5).orderBy("doc_id", "rn")
+    assert(text.TextOps.t07(t).collect().toSeq == expected.collect().toSeq)
+  }
+
   test("lateral top-1 subquery de-correlates (no per-outer-row rescan plan)") {
     val plan = operators.Extended.q58(TestSpark.tables)
       .queryExecution.executedPlan.toString
