@@ -1,0 +1,136 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.HashImpls
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end VALUE checks of the rows-only dedup operators (d02–d06) on
+  * the fixture corpus: the DataFrame pipelines (band slicing, posexplode
+  * wiring, bucket grouping, label propagation) are compared against
+  * expectations computed directly from the golden-pinned kernels. A wrong
+  * slice offset, band index, or join key would keep row counts plausible
+  * but fails these equality assertions.
+  */
+class DedupFixtureSpec extends AnyFunSuite {
+  lazy val t = FixtureData.tables
+  import FixtureData.round4
+
+  private def toks(s: String): Seq[String] = s.trim.split("\\s+").toSeq
+  private def arr(ts: Seq[String]) =
+    new GenericArrayData(ts.map(UTF8String.fromString))
+  private def sig(s: String): Seq[Long] =
+    HashImpls.minhashNgrams(arr(toks(s)), 3, 32, 42L).toSeq
+  private def bands(s: Seq[Long]): Seq[Seq[Long]] = s.grouped(4).toSeq
+
+  private lazy val sigs: Map[Long, Seq[Long]] =
+    FixtureData.docTexts.map { case (id, text) => id -> sig(text) }.toMap
+  private lazy val ids: Seq[Long] = FixtureData.docTexts.map(_._1).sorted
+
+  /** Pairs sharing at least one LSH band (the candidate set). */
+  private lazy val bandPairs: Seq[(Long, Long)] = for {
+    i <- ids; j <- ids if i < j
+    if bands(sigs(i)).zip(bands(sigs(j))).exists { case (a, b) => a == b }
+  } yield (i, j)
+
+  private def est(i: Long, j: Long): Double =
+    sigs(i).zip(sigs(j)).count { case (a, b) => a == b } / 32.0
+
+  test("d02 minhash LSH pairs equal the kernel-computed expectation") {
+    val expected = bandPairs
+      .filter { case (i, j) => est(i, j) >= 0.5 }
+      .map { case (i, j) => (i, j, round4(est(i, j))) }
+      .sortBy(p => (p._1, p._2))
+    val got = Dedup.d02(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the fixture plants pairs: 1-2, 1-7 (chain) and 3-4 (exact)
+    assert(expected.map(p => (p._1, p._2)).toSet
+      .intersect(Set((1L, 2L), (3L, 4L))).size == 2)
+  }
+
+  test("d03 simhash chunk-band pairs equal the kernel-computed expectation") {
+    val sh = FixtureData.docTexts.map { case (id, text) =>
+      id -> HashImpls.simhash64(arr(toks(text)))
+    }.toMap
+    def chunks(h: Long): Seq[Long] = (0 until 4).map(i => (h >> (i * 16)) & 0xffffL)
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if chunks(sh(i)).zip(chunks(sh(j))).exists { case (a, b) => a == b }
+      hamming = java.lang.Long.bitCount(sh(i) ^ sh(j)).toLong
+      if hamming <= 8
+    } yield (i, j, hamming)).sortBy(p => (p._1, p._2))
+    val got = Dedup.d03(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.contains((3L, 4L, 0L)), "exact dups must have hamming 0")
+  }
+
+  test("d04 exact n-gram jaccard equals the kernel-computed expectation") {
+    val grams = FixtureData.docTexts.map { case (id, text) =>
+      id -> HashImpls.ngramHashes(arr(toks(text)), 3).toSet
+    }.toMap
+    val expected = bandPairs
+      .map { case (i, j) =>
+        val jac = grams(i).intersect(grams(j)).size.toDouble /
+          grams(i).union(grams(j)).size
+        (i, j, round4(jac))
+      }
+      .filter(_._3 >= 0.3)
+      .sortBy(p => (p._1, p._2))
+    val got = Dedup.d04(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(expected.exists { case (i, j, jac) => (i, j) == (3L, 4L) && jac == 1.0 })
+  }
+
+  test("d05 embedding LSH near-dups equal the kernel-computed expectation") {
+    val dvecs = FixtureData.vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val vids = FixtureData.vecs.map(_._1).sorted
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = dvecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val buckets = dvecs.map { case (id, v) =>
+      id -> (0 until 8).map(i =>
+        HashImpls.rhBucket(new GenericArrayData(v), 4, 1000L + i))
+    }
+    val expected = (for {
+      i <- vids; j <- vids if i < j
+      if buckets(i).zip(buckets(j)).exists { case (a, b) => a == b }
+      cos = dot(dvecs(i), dvecs(j)) / (norms(i) * norms(j))
+      if cos >= 0.4
+    } yield (i, j, round4(cos))).sortBy(p => (p._1, p._2))
+    val got = Dedup.d05(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(expected.exists { case (i, j, c) => (i, j) == (10L, 11L) && c == 1.0 },
+      "planted identical vectors must surface with cosine 1.0")
+  }
+
+  test("d06 clusters equal union-find over the d02 pair graph") {
+    val pairs = bandPairs.filter { case (i, j) => est(i, j) >= 0.5 }
+    // reference union-find
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = touched.groupBy(find).toSeq
+      .map { case (root, members) =>
+        (root, members.size.toLong, members.toSeq.sorted.mkString(","))
+      }
+      .sortBy(_._1)
+    val got = Dedup.d06(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected)
+    // the 1-2 / 1-7 chain must collapse into one cluster rooted at 1
+    assert(expected.exists { case (root, n, members) =>
+      root == 1L && members.split(",").length >= 3 && n >= 3 })
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.HashImpls
+import graft.similarity.Similarity
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end VALUE checks of the rows-only ANN operators (s02–s04) on
+  * the fixture embeddings: bucket assignment, probe expansion, inverted
+  * lists, and ranking are compared against expectations computed directly
+  * from the golden-pinned kernels (rhBucket / dot). Complements s01's SQL
+  * oracle: a wrong probe bit-flip or centroid argmax would still return
+  * plausible row counts but fails these equality assertions.
+  */
+class SimilarityFixtureSpec extends AnyFunSuite {
+  lazy val t = FixtureData.tables
+  import FixtureData.round4
+
+  private val dvecs: Map[Long, Array[Double]] =
+    FixtureData.vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+  private val vids: Seq[Long] = FixtureData.vecs.map(_._1).sorted
+  private val qids: Seq[Long] = vids.filter(_ < 10)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private val norm: Map[Long, Double] =
+    dvecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+  private def sim(c: Long, q: Long): Double =
+    round4(dot(dvecs(c), dvecs(q)) / (norm(c) * norm(q)))
+
+  /** top-5 by (sim desc, vec_id asc) with row numbers — the s0x ranking. */
+  private def top5(q: Long, cands: Iterable[Long]): Seq[(Long, Long, Double, Long)] =
+    cands.toSeq.map(c => (c, sim(c, q)))
+      .sortBy { case (c, s) => (-s, c) }
+      .take(5).zipWithIndex
+      .map { case ((c, s), i) => (q, c, s, i + 1L) }
+
+  private def collect4(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+
+  test("s02 single-probe LSH ANN equals the kernel-computed expectation") {
+    val bucket = dvecs.map { case (id, v) =>
+      id -> HashImpls.rhBucket(new GenericArrayData(v), 8, 7L)
+    }
+    val expected = qids.flatMap { q =>
+      top5(q, vids.filter(c => bucket(c) == bucket(q)))
+    }
+    assert(collect4(Similarity.s02(t)) == expected)
+  }
+
+  test("s04 multi-probe LSH ANN equals the kernel-computed expectation") {
+    val bucket = dvecs.map { case (id, v) =>
+      id -> HashImpls.rhBucket(new GenericArrayData(v), 8, 7L)
+    }
+    val expected = qids.flatMap { q =>
+      val probes = (bucket(q) +: (0 until 8).map(i => bucket(q) ^ (1 << i))).toSet
+      top5(q, vids.filter(c => probes.contains(bucket(c))))
+    }
+    assert(collect4(Similarity.s04(t)) == expected)
+    // multi-probe must never return fewer candidates than single-probe
+    assert(collect4(Similarity.s04(t)).size >= collect4(Similarity.s02(t)).size)
+  }
+
+  test("s03 IVF ANN equals the kernel-computed expectation (5 lists, 4 probes)") {
+    val centIds = vids.filter(id => id % 37 == 0 && id < 37 * 16)
+    assert(centIds == Seq(0L, 37L, 74L, 111L, 148L),
+      "fixture must exercise probe selection: more lists than NProbe")
+    def ccos(v: Long, c: Long): Double =
+      dot(dvecs(v), dvecs(c)) / (norm(v) * norm(c))
+    // assignment: array_max over struct(ccos, cent_id) = lexicographic max
+    val assigned: Map[Long, Long] = vids.map { v =>
+      v -> centIds.maxBy(c => (ccos(v, c), c))
+    }.toMap
+    // probes: top NProbe=4 centroids by (ccos desc, cent_id asc)
+    val expected = qids.flatMap { q =>
+      val probed = centIds.sortBy(c => (-ccos(q, c), c)).take(4).toSet
+      top5(q, vids.filter(v => probed.contains(assigned(v))))
+    }
+    assert(collect4(Similarity.s03(t)) == expected)
+  }
+}
