@@ -237,7 +237,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t10 — benchmark decontamination: flag corpus documents sharing any
+    * word 8-gram with an eval/benchmark set — the n-gram overlap check
+    * every training-corpus build runs before release (a contaminated doc
+    * inflates eval scores). Benchmark here = doc_id % 50 == 0; in
+    * production the eval set is an external (small) table.
+    *
+    * Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
+    * so its distinct gram hashes BROADCAST and corpus grams stream through
+    * the broadcast hash join map-side — the corpus never shuffles its
+    * n-grams; only the per-doc hit aggregation shuffles (rows ∝ matches,
+    * not corpus size). Grams are 64-bit streamed FNV hashes
+    * (ngram_hashes), not strings: the hash set is the gram set up to
+    * ~2^-64 collision odds, and the join runs on primitive longs. */
+  def t10(t: Tables): DataFrame = {
+    import graft.functions.exprs.ngram_hashes
+    val grams = t.documentsWide
+      .withColumn("toks", expr(tokensExpr))
+      .select(col("doc_id"), explode(ngram_hashes(col("toks"), 8)).as("g"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t10_decontaminate" -> t10,
     "t09_normalize" -> t09,
     "t07_tfidf" -> t07,
     "t08_char_ngram_langid" -> t08,
@@ -346,5 +375,26 @@ object TextOps {
       s"""SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, count(*) AS n_distinct,
          | CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_rows
          |FROM (SELECT $dFp AS fp, count(*) AS cnt, min(doc_id) AS survivor
-         |      FROM documents GROUP BY fp)""".stripMargin)
+         |      FROM documents GROUP BY fp)""".stripMargin,
+    // string 8-grams stand in for the Spark side's 64-bit gram hashes
+    // (identical sets up to ~2^-64 collision odds; the short-doc branch
+    // mirrors the kernel's whole-text fallback)
+    "t10_decontaminate" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |  WHERE len(tk) >= 8),
+         |short AS (SELECT doc_id, array_to_string(tk, ' ') AS g
+         |          FROM toks WHERE len(tk) < 8),
+         |allg AS (SELECT DISTINCT doc_id, g FROM
+         |         (SELECT * FROM grams UNION ALL SELECT * FROM short)),
+         |bench AS (SELECT doc_id AS bench_id, g FROM allg WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM allg WHERE doc_id % 50 <> 0)
+         |SELECT corpus.doc_id AS doc_id,
+         |  CAST(count(DISTINCT corpus.g) AS BIGINT) AS n_shared_grams,
+         |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+         |FROM corpus JOIN bench USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -82,6 +82,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(text.TextOps.t07(t).collect().toSeq == expected.collect().toSeq)
   }
 
+  test("t10 decontamination broadcasts the benchmark gram set") {
+    val plan = text.TextOps.t10(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t10 must stream corpus grams through a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"t10 must not shuffle corpus n-grams:\n$plan")
+  }
+
   test("lateral top-1 subquery de-correlates (no per-outer-row rescan plan)") {
     val plan = operators.Extended.q58(TestSpark.tables)
       .queryExecution.executedPlan.toString
