@@ -265,7 +265,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t11 — intra-document repetition scoring (the Gopher-class quality
+    * rule): fraction of duplicated word 3-grams inside each document.
+    * Boilerplate/spam text repeats itself; corpus curation drops docs
+    * above a dup-ratio threshold. Map-only per row (gram hashing is the
+    * streamed kernel; distinct counting happens inside the sorted-dedup
+    * hash array), no shuffle except the output sort. The ratio is rounded
+    * via exact integer arithmetic — round(x/y) on doubles diverges between
+    * engines exactly on representation ties. */
+  def t11(t: Tables): DataFrame = {
+    import graft.functions.exprs.ngram_hashes
+    t.documents
+      .withColumn("toks", expr(tokensExpr))
+      .select(
+        col("doc_id"),
+        when(expr("size(toks)") >= 3, expr("size(toks) - 2"))
+          .otherwise(lit(1)).cast("long").as("n_grams"),
+        size(ngram_hashes(col("toks"), 3)).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio", expr(
+        // `10000.0` in Spark SQL is a DECIMAL(5,1) literal and would turn
+        // the division into DECIMAL(28,7); cast to double to match DuckDB
+        "((20000 * (n_grams - n_distinct) + n_grams) div (2 * n_grams))" +
+          " / cast(10000 as double)"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t11_repetition" -> t11,
     "t10_decontaminate" -> t10,
     "t09_normalize" -> t09,
     "t07_tfidf" -> t07,
@@ -396,5 +422,20 @@ object TextOps {
          |  CAST(count(DISTINCT corpus.g) AS BIGINT) AS n_shared_grams,
          |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
          |FROM corpus JOIN bench USING (g)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t11_repetition" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 3
+         |      THEN [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+         |      ELSE [array_to_string(tk, ' ')] END AS gs
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(gs) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+         |  ((20000 * (len(gs) - len(list_distinct(gs))) + len(gs))
+         |     // (2 * len(gs))) / 10000.0 AS dup_ratio
+         |FROM grams ORDER BY doc_id""".stripMargin)
 }
