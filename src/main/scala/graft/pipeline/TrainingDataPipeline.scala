@@ -9,18 +9,19 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation: the composition every large-scale
   * corpus build runs, wired from the individual SURVEY §2 operators:
   *
-  *   quality filter → exact dedup → MinHash near-dup removal → partitioned
-  *   write (by lang)
+  *   quality filter → exact dedup → MinHash near-dup removal →
+  *   benchmark decontamination → partitioned write (by lang)
   *
   * Scale shape: two map-only passes (quality + signatures), one shuffle for
   * exact dedup (fingerprint), one banding shuffle for near-dups, one hash
-  * join to subtract losers, partitioned columnar write. Nothing touches the
-  * driver; no stage is O(pairs).
+  * join to subtract losers, a broadcast join against the (tiny) benchmark
+  * gram set, partitioned columnar write. Nothing touches the driver; no
+  * stage is O(pairs).
   */
 object TrainingDataPipeline {
 
   case class Stats(input: Long, afterQuality: Long, afterExact: Long,
-                   afterNearDup: Long)
+                   afterNearDup: Long, afterDecontam: Long)
 
   private val K = 32
   private val Bands = 8
@@ -95,15 +96,41 @@ object TrainingDataPipeline {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination (the t10 operator as a pipeline stage):
+    * drop every corpus document sharing more than `maxShared` distinct
+    * word n-grams with the benchmark/eval set. The benchmark gram hashes
+    * broadcast (eval sets are tiny vs the corpus), corpus grams stream
+    * through the join map-side, and the anti-join removes the hits. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+                    n: Int = 8, maxShared: Long = 0): DataFrame = {
+    import graft.functions.exprs.ngram_hashes
+    def grams(df: DataFrame) = df
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .select(col("doc_id"), explode(ngram_hashes(col("toks"), n)).as("g"))
+    val bGrams = grams(bench).select("g").distinct()
+    val contaminated = grams(docs)
+      .join(broadcast(bGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") > maxShared)
+      .select("doc_id")
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Full pipeline; writes the curated corpus partitioned by lang and
-    * returns per-stage counts. */
+    * returns per-stage counts. Documents with doc_id % 50 == 0 stand in
+    * for the external eval/benchmark set: they are held out of the corpus
+    * and any surviving document overlapping them is dropped. */
   def run(t: Tables, outPath: String): Stats = {
     val input = t.documents
-    val q = qualityFilter(input).drop("toks", "n_tokens")
+    val bench = input.filter(col("doc_id") % 50 === 0)
+    val corpus = input.filter(col("doc_id") % 50 =!= 0)
+    val q = qualityFilter(corpus).drop("toks", "n_tokens")
     val e = exactDedup(q)
     val n = nearDupRemoval(e)
-    PartitionedWriter.writePartitioned(n, outPath, Seq("lang"))
-    Stats(input.count(), q.count(), e.count(), n.count())
+    val d = decontaminate(n, bench)
+    PartitionedWriter.writePartitioned(d, outPath, Seq("lang"))
+    Stats(input.count(), q.count(), e.count(), n.count(), d.count())
   }
 
   /** The curated corpus with `observe` data-quality counters attached:

@@ -9,20 +9,38 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   lazy val t = TestSpark.tables
 
-  test("full curation pipeline: quality → exact dedup → near-dup → write") {
+  test("full curation pipeline: quality → dedup → decontaminate → write") {
     val out = Files.createTempDirectory("graft-pipeline").toString
     val stats = TrainingDataPipeline.run(t, out)
     assert(stats.input == 500)
     assert(stats.afterQuality <= stats.input && stats.afterQuality > 0)
     assert(stats.afterExact <= stats.afterQuality)
     assert(stats.afterNearDup <= stats.afterExact)
+    assert(stats.afterDecontam <= stats.afterNearDup)
     // near-dup stage removes the planted near-duplicates found by d02
     val planted = dedup.Dedup.d02(t).count()
     if (planted > 0) assert(stats.afterNearDup < stats.afterExact)
-    // partitioned-by-lang layout on disk, readable back
+    // held-out benchmark docs never reach the output
     val back = spark.read.parquet(out)
-    assert(back.count() == stats.afterNearDup)
+    assert(back.count() == stats.afterDecontam)
+    assert(back.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .count() == 0)
     assert(back.select("lang").distinct().count() == 5)
+  }
+
+  test("decontaminate drops exactly the docs sharing grams with the benchmark") {
+    import spark.implicits._
+    val mk = (id: Long, text: String) => (id, text)
+    val evalDoc = "this exact benchmark sentence has at least eight tokens in sequence here"
+    val docs = Seq(
+      mk(1L, "clean document " + (1 to 12).map(i => s"c$i").mkString(" ")),
+      mk(2L, "prefix words then " + evalDoc + " trailing tail"),
+      mk(3L, "another clean one " + (1 to 12).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq(mk(100L, evalDoc)).toDF("doc_id", "text")
+    val kept = TrainingDataPipeline.decontaminate(docs, bench)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), "doc 2 contains a benchmark 8-gram and must drop")
   }
 
   test("near-dup removal collapses oversized (hot) buckets to one survivor") {
