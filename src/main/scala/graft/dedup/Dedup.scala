@@ -211,7 +211,30 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** d07 — winnowing-fingerprint near-dup candidates (the MOSS-style
+    * overlap detector, complementing MinHash d02 and SimHash d03 with a
+    * POSITION-ROBUST textual method: winnow fingerprints survive local
+    * edits because each is a window minimum of rolling hashes). Per-doc
+    * fingerprints (already distinct) become an inverted index: explode,
+    * bucket by fingerprint, pair docs within buckets (same single-shuffle
+    * bucketPairs machinery, same hot-bucket guard), then count shared
+    * fingerprints per pair — one row per pair per shared fp, so the
+    * count IS the overlap. */
+  def d07(t: Tables): DataFrame = {
+    val MinShared = 3
+    val fps = t.documentsWide
+      .select(col("doc_id"), explode(winnow_fps(col("text"), 16, 8)).as("fp"))
+      .select(col("doc_id"), lit(0L).as("payload"),
+        lit(0).as("band_id"), col("fp").as("band_sig"))
+    bucketPairs(fps)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d07_winnow_overlap" -> d07,
     "d06_dup_clusters" -> d06,
     "d05_embedding_neardup" -> d05,
     "d02_dedup_minhash" -> d02,

@@ -111,6 +111,31 @@ class DedupFixtureSpec extends AnyFunSuite {
       "planted identical vectors must surface with cosine 1.0")
   }
 
+  test("d07 winnow-overlap pairs equal the kernel-computed expectation") {
+    val fps = FixtureData.docTexts.map { case (id, text) =>
+      id -> HashImpls.winnowFps(UTF8String.fromString(text), 16, 8).toSeq
+    }.toMap
+    // inverted index with the bucketPairs size guard [2, 64]
+    val byFp = ids.flatMap(id => fps(id).map(fp => fp -> id))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      .filter { case (_, docs) => docs.size >= 2 && docs.size <= 64 }
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byFp.values.foreach { docs =>
+      for (a <- docs; b <- docs if a < b)
+        shared((a, b)) = shared.getOrElse((a, b), 0L) + 1
+    }
+    val expected = shared.toSeq.collect {
+      case ((a, b), n) if n >= 3 => (a, b, n)
+    }.sortBy(p => (p._1, p._2))
+    val got = Dedup.d07(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.exists { case (a, b, _) => (a, b) == (3L, 4L) },
+      "exact dups share every fingerprint")
+    assert(expected.exists { case (a, b, _) => (a, b) == (1L, 2L) },
+      "near-dups keep most winnow fingerprints through a local edit")
+  }
+
   test("d06 clusters equal union-find over the d02 pair graph") {
     val pairs = bandPairs.filter { case (i, j) => est(i, j) >= 0.5 }
     // reference union-find
