@@ -25,14 +25,14 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // min of 2 runs per query: the host VM shows multi-second noise spikes;
+    // min of 3 runs per query: the host VM shows multi-second noise spikes;
     // min approximates steady-state cost.
     // Execute the FULL physical plan (`toRdd.foreach`), not `.count()`:
     // under a count Catalyst prunes every projected expression, so map-only
     // queries (t01/t04/t05/t09/q50...) would time a parquet row count
     // instead of their kernels.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
