@@ -32,14 +32,17 @@ object Bench {
     // queries (t01/t04/t05/t09/q50...) would time a parquet row count
     // instead of their kernels.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
           catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      // min over SUCCESSFUL runs; -1 only if every run failed (a -1
+      // sentinel inside min would let one transient failure mask two
+      // good runs and corrupt the total)
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *    (A self-join formulation would recompute the signature pipeline per
   *    join side and shuffle twice.)
   *  - Hot buckets (boilerplate text at web scale) would blow up pair
-  *    generation quadratically: buckets larger than MaxBucket are dropped,
-  *    the standard web-dedup guard (those pairs are still caught by the
-  *    other bands with high probability).
+  *    generation quadratically: buckets larger than MaxBucket are dropped
+  *    from pair generation. For the multi-band operators (d02–d05) those
+  *    pairs are still caught by the other bands with high probability;
+  *    the curation pipeline, which must not lose hot clusters, routes
+  *    oversized buckets through a representative instead
+  *    (TrainingDataPipeline.nearDupRemoval); d07 treats the gate as
+  *    deliberate common-fingerprint suppression (see its doc).
   *  - Verification (exact n-gram Jaccard) runs only on candidate pairs,
   *    joined back to shingle sets.
   */
@@ -34,7 +38,7 @@ object Dedup {
   private val MinEstJaccard = 0.5
   private val MaxHamming = 8
 
-  private def tokensCol = expr("split(trim(text), '\\\\s+')")
+  private def tokensCol = expr(graft.functions.exprs.wsTokensSql)
 
   /** All in-bucket ordered pairs of `m` (array<struct<doc_id, payload>>,
     * pre-sorted by doc_id): the O(|m|²) pair generation runs inside the
@@ -52,7 +56,7 @@ object Dedup {
     * memory. The count agg, the semi-join, and the collect agg all share
     * the (band_id, band_sig) hash partitioning, so data still shuffles
     * once; AQE broadcasts the (tiny) size table when it can. */
-  private def bucketPairs(banded: DataFrame): DataFrame = {
+  private[graft] def bucketPairs(banded: DataFrame): DataFrame = {
     val keep = banded
       .groupBy("band_id", "band_sig")
       .agg(count(lit(1)).as("bsz"))
@@ -146,6 +150,9 @@ object Dedup {
       col("vec_id").as("doc_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vec"))
       .withColumn("norm", sqrt(dot_d(col("vec"), col("vec"))))
+      // zero-norm guard: cosine vs a zero vector is NaN, and NaN passes
+      // >= thresholds under Spark's NaN-is-largest semantics
+      .filter(col("norm") > 0)
       .withColumn("payload", struct(col("vec"), col("norm")))
     val banded = prepped.select(col("doc_id"), col("payload"),
       posexplode(array((0 until L).map(i =>
@@ -217,9 +224,16 @@ object Dedup {
     * edits because each is a window minimum of rolling hashes). Per-doc
     * fingerprints (already distinct) become an inverted index: explode,
     * bucket by fingerprint, pair docs within buckets (same single-shuffle
-    * bucketPairs machinery, same hot-bucket guard), then count shared
-    * fingerprints per pair — one row per pair per shared fp, so the
-    * count IS the overlap. */
+    * bucketPairs machinery), then count shared fingerprints per pair —
+    * one row per pair per shared fp, so the count IS the overlap.
+    *
+    * The [2, MaxBucket] bucket gate acts here as deliberate
+    * COMMON-FINGERPRINT SUPPRESSION, not a recall guard: with a single
+    * "band" there are no other bands to catch dropped pairs, and that is
+    * intentional — a fingerprint present in >MaxBucket documents is a
+    * ubiquitous boilerplate window (MOSS suppresses common code the same
+    * way), so n_shared counts only DISCRIMINATIVE overlap and pairs
+    * sharing nothing but boilerplate stay below MinShared. */
   def d07(t: Tables): DataFrame = {
     val MinShared = 3
     val fps = t.documentsWide

@@ -425,6 +425,13 @@ case class DotDouble(left: Expression, right: Expression)
 object exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
+  /** The canonical whitespace tokenizer (SQL spelling) — ONE definition,
+    * shared by TextOps, Extended, Dedup, and the curation pipeline: this
+    * expression is the contract keeping MinHash signatures, n-gram
+    * hashes, TF-IDF, and the DuckDB oracle twins in agreement, so
+    * divergent copies must be impossible. */
+  val wsTokensSql: String = "split(trim(text), '\\\\s+')"
+
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def minhash_sigs(shingles: Column, k: Int = 32, seed: Long = 42L): Column =
     column(MinHashSigs(expression(shingles), k, seed))

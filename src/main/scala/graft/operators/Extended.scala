@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
-  private def tokensExpr = "split(trim(text), '\\\\s+')"
+  private def tokensExpr = graft.functions.exprs.wsTokensSql
 
   /** q44 — explode tokens + global top-20 by frequency. TakeOrdered plan:
     * per-partition heap, no full sort. */

@@ -1,10 +1,12 @@
 package graft.pipeline
 
 import graft.Tables
+import graft.functions.exprs
 import graft.functions.exprs.minhash_ngrams
 import graft.sources.PartitionedWriter
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end training-data curation: the composition every large-scale
   * corpus build runs, wired from the individual SURVEY §2 operators:
@@ -27,14 +29,16 @@ object TrainingDataPipeline {
   private val Bands = 8
   private val Seed = 42L
 
-  /** Quality gate: token-count band + punctuation ratio (TextOps t02
-    * semantics inlined on purpose — the pipeline must not depend on the
-    * verification queries). */
+  /** Quality gate, matching TextOps.t02's `quality_ok` semantics
+    * (token-count band AND punctuation ratio < 0.2 — a long document
+    * that is mostly punctuation is spam, not prose). */
   def qualityFilter(docs: DataFrame): DataFrame =
     docs
-      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("toks", expr(exprs.wsTokensSql))
       .withColumn("n_tokens", size(col("toks")))
-      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")) * 1.0
+          / length(col("text")) < 0.2)
 
   /** Exact dedup: canonical-text md5, survivor = min doc_id. */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -47,50 +51,38 @@ object TrainingDataPipeline {
 
   /** Near-dup removal: MinHash banding pairs (est Jaccard ≥ threshold),
     * drop the higher doc_id of each pair. Signatures stream 3-gram bytes
-    * (no shingle materialization). */
+    * (no shingle materialization). Pair generation inside normal-size
+    * buckets is the SHARED dedup machinery (Dedup.bucketPairs — one
+    * definition of the band-bucket pair join for the whole library).
+    * Oversized buckets are NOT dropped: hot buckets are exactly the
+    * correlated-boilerplate case where >MaxBucket near-identical docs
+    * exceed the cap in EVERY band, so dropping would retain the hottest
+    * duplicate clusters. Each oversized bucket instead elects a
+    * representative (min doc_id) and every other member loses to it
+    * after a signature check — O(bucket) work, never O(bucket²). */
   def nearDupRemoval(docs: DataFrame, minEst: Double = 0.8): DataFrame = {
+    val MaxBucket = 64
     val sigs = docs
-      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("toks", expr(exprs.wsTokensSql))
       .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"), col("sig").as("payload"),
       posexplode(array((0 until Bands).map(b =>
         slice(col("sig"), b * (K / Bands) + 1, K / Bands)): _*))
         .as(Seq("band_id", "band_sig")))
-    // size-gate buckets BEFORE collecting members (hot-bucket OOM guard,
-    // same shape as dedup.Dedup.bucketPairs). Oversized buckets are NOT
-    // dropped: hot buckets are exactly the correlated-boilerplate case
-    // where >MaxBucket near-identical docs exceed the cap in EVERY band,
-    // so dropping would retain the hottest duplicate clusters. Instead
-    // each oversized bucket elects a representative (min doc_id) and every
-    // other member loses to it after a signature check — O(bucket) work,
-    // never O(bucket²).
-    val MaxBucket = 64
-    val stats = banded
+    val pairLosers = graft.dedup.Dedup.bucketPairs(banded)
+      .filter(exprs.jaccard_est(col("p_a"), col("p_b")) >= minEst)
+      .select(col("doc_b").as("doc_id"))
+    val hotReps = banded
       .groupBy("band_id", "band_sig")
       .agg(count(lit(1)).as("bsz"),
-        min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
-    val keep = stats
-      .filter(col("bsz") >= 2 && col("bsz") <= MaxBucket)
-      .select("band_id", "band_sig")
-    val pairLosers = banded
-      .join(keep, Seq("band_id", "band_sig"), "left_semi")
-      .groupBy("band_id", "band_sig")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("m"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(m) - 2), i ->
-          |  transform(sequence(i + 1, size(m) - 1), j ->
-          |    struct(m[i].sig AS sig_a, m[j].sig AS sig_b,
-          |           m[j].doc_id AS loser))))""".stripMargin)).as("p"))
-      .filter(graft.functions.exprs.jaccard_est(col("p.sig_a"), col("p.sig_b")) >= minEst)
-      .select(col("p.loser").as("doc_id"))
-    val hotReps = stats
+        min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("rep"))
       .filter(col("bsz") > MaxBucket)
       .select(col("band_id"), col("band_sig"),
-        col("rep.doc_id").as("rep_id"), col("rep.sig").as("rep_sig"))
+        col("rep.doc_id").as("rep_id"), col("rep.payload").as("rep_sig"))
     val hotLosers = banded
       .join(hotReps, Seq("band_id", "band_sig"))
       .filter(col("doc_id") =!= col("rep_id") &&
-        graft.functions.exprs.jaccard_est(col("sig"), col("rep_sig")) >= minEst)
+        exprs.jaccard_est(col("payload"), col("rep_sig")) >= minEst)
       .select("doc_id")
     val losers = pairLosers.union(hotLosers).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
@@ -105,7 +97,7 @@ object TrainingDataPipeline {
                     n: Int = 8, maxShared: Long = 0): DataFrame = {
     import graft.functions.exprs.ngram_hashes
     def grams(df: DataFrame) = df
-      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("toks", expr(exprs.wsTokensSql))
       .select(col("doc_id"), explode(ngram_hashes(col("toks"), n)).as("g"))
     val bGrams = grams(bench).select("g").distinct()
     val contaminated = grams(docs)
@@ -120,17 +112,28 @@ object TrainingDataPipeline {
   /** Full pipeline; writes the curated corpus partitioned by lang and
     * returns per-stage counts. Documents with doc_id % 50 == 0 stand in
     * for the external eval/benchmark set: they are held out of the corpus
-    * and any surviving document overlapping them is dropped. */
+    * and any surviving document overlapping them is dropped.
+    *
+    * Each stage is persisted so it computes exactly ONCE: the write plus
+    * the five Stats counts would otherwise re-execute the full upstream
+    * lineage per action (the banding shuffle three times, exact dedup
+    * four times) — and the stages that consume their input twice
+    * internally (signature path + anti-join) read the materialized stage
+    * instead of recomputing it. A production pipeline checkpoints
+    * between stages for the same reason. */
   def run(t: Tables, outPath: String): Stats = {
     val input = t.documents
     val bench = input.filter(col("doc_id") % 50 === 0)
     val corpus = input.filter(col("doc_id") % 50 =!= 0)
     val q = qualityFilter(corpus).drop("toks", "n_tokens")
-    val e = exactDedup(q)
-    val n = nearDupRemoval(e)
-    val d = decontaminate(n, bench)
-    PartitionedWriter.writePartitioned(d, outPath, Seq("lang"))
-    Stats(input.count(), q.count(), e.count(), n.count(), d.count())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = exactDedup(q).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nearDupRemoval(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val d = decontaminate(n, bench).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      PartitionedWriter.writePartitioned(d, outPath, Seq("lang"))
+      Stats(input.count(), q.count(), e.count(), n.count(), d.count())
+    } finally Seq(q, e, n, d).foreach(_.unpersist(false))
   }
 
   /** The curated corpus with `observe` data-quality counters attached:

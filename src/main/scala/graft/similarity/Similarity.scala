@@ -26,12 +26,16 @@ object Similarity {
   private val Planes = 8
   private val Seed = 7L
 
-  /** vec as array<double> + precomputed L2 norm (one map-only pass). */
+  /** vec as array<double> + precomputed L2 norm (one map-only pass).
+    * Zero-norm vectors are excluded up front: cosine against them is
+    * 0/0 = NaN, and Spark orders NaN LARGEST, so a single zero vector
+    * would otherwise rank as the top neighbor of every query. */
   private def prepped(t: Tables): DataFrame =
     t.embeddingsWide.select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vec"))
       .withColumn("norm", sqrt(dot_d(col("vec"), col("vec"))))
+      .filter(col("norm") > 0)
 
   /** Fused single-loop dot product (custom codegen'd expression) — the
     * HOF spelling aggregate(zip_with(...)) allocates the zipped array and
@@ -85,7 +89,12 @@ object Similarity {
     * NProbe/C of the corpus. */
   /** Coarse-quantizer codebooks, cached per sf-dir: building an IVF query
     * plan must not re-run the centroid-collection Spark job on every plan
-    * construction (bench/verify loops build each plan repeatedly). */
+    * construction (bench/verify loops build each plan repeatedly). The
+    * cache assumes a table directory is immutable within a process —
+    * true for the snapshot layout this library targets, and how any IVF
+    * index treats its codebook (built once per index, not per query);
+    * regenerating a directory's embeddings requires a new process or a
+    * new dir. Entries are a few KB each (C=16 centroid vectors). */
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double], Double)]]
 
@@ -187,7 +196,9 @@ object Similarity {
          |   row_number() OVER (PARTITION BY q.vec_id
          |     ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[],
          |                      q.embedding::DOUBLE[]), 4) DESC, v.vec_id) AS rn
-         | FROM embeddings v,
-         |      (SELECT * FROM embeddings WHERE vec_id < $NQueries) q)
+         | FROM (SELECT * FROM embeddings
+         |       WHERE len(list_filter(embedding, x -> x <> 0)) > 0) v,
+         |      (SELECT * FROM embeddings WHERE vec_id < $NQueries
+         |         AND len(list_filter(embedding, x -> x <> 0)) > 0) q)
          |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin)
 }

@@ -103,13 +103,17 @@ object PartitionedWriter {
   /** Partitioned columnar write (parquet/orc), the reference's
     * PARTITIONED BY (yr, mnth). `maxRecordsPerFile` guards the small-file /
     * giant-file extremes; dynamic partition overwrite only rewrites the
-    * partitions present in `df`. */
+    * partitions present in `df` — it must be REQUESTED explicitly (the
+    * per-write option below): Spark's default is STATIC, which deletes
+    * the entire output path, destroying partitions absent from `df` on
+    * any incremental run. */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String],
                        format: String = "parquet",
                        maxRecordsPerFile: Long = 5000000L): Unit =
     df.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .option("compression", "snappy")
       .partitionBy(partitionCols: _*)

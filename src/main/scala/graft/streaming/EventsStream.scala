@@ -117,16 +117,21 @@ object EventsStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** foreachBatch sink: stream micro-batches into the partitioned
-    * columnar writer (append), giving the streaming path the same layout
-    * as the batch ETL. */
+    * columnar writer, giving the streaming path the same layout as the
+    * batch ETL. foreachBatch is AT-LEAST-ONCE (a batch whose files
+    * committed before the checkpoint offset was written is re-executed on
+    * restart), so each micro-batch overwrites its own batch_id=N
+    * subdirectory — replays rewrite exactly their own output instead of
+    * appending duplicates, making the sink effectively exactly-once.
+    * Readers of `path` see batch_id as a discovered partition column. */
   def sinkPartitioned(events: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch
         .withColumn("dt", org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts")))
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("dt")
-        .parquet(path)
+        .parquet(s"$path/batch_id=$batchId")
     }
 
   /** Custom-state sessionization via flatMapGroupsWithState: same gap

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokens of `text` (DuckDB oracle twin: string_split_regex). */
-  private def tokensExpr = "split(trim(text), '\\\\s+')"
+  private def tokensExpr = graft.functions.exprs.wsTokensSql
 
   private val Stopwords =
     Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")

@@ -220,5 +220,9 @@ class StreamingSpec extends AnyFunSuite {
     val back = spark.read.parquet(out)
     assert(back.count() == 2)
     assert(back.columns.contains("dt"))
+    // batch-scoped overwrite layout: replayed micro-batches rewrite their
+    // own batch_id=N dir (at-least-once foreachBatch -> effective
+    // exactly-once), and readers discover batch_id as a partition column
+    assert(back.columns.contains("batch_id"))
   }
 }
