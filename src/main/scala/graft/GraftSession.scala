@@ -20,6 +20,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // incremental partitioned writes must only replace the partitions
+      // they produce (the default STATIC overwrite deletes the whole
+      // table root); the writer also requests this per-write
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // read TIMESTAMP(NANOS) parquet as long once, session-wide (the
+      // Tables facade rebuilds microsecond timestamps from it)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
