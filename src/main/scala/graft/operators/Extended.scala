@@ -338,7 +338,27 @@ object Extended {
       .orderBy("side")
   }
 
+  /** q64 — recursive CTE (Spark 4.x WITH RECURSIVE): walk the implicit
+    * binary-tree hierarchy parent(c) = c div 2 from each customer to the
+    * root, reporting depth and the ancestor-key path sum. The recursion
+    * is iterative joins under the hood — depth is O(log key), bounded by
+    * the engine's recursion limit; each iteration touches only the
+    * frontier rows, so the work is rows × depth, not quadratic. */
+  def q64(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """WITH RECURSIVE chain(start_key, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 100
+        |  UNION ALL
+        |  SELECT start_key, cur div 2, depth + 1 FROM chain WHERE cur > 1
+        |)
+        |SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root,
+        |       CAST(sum(cur) AS BIGINT) AS path_key_sum
+        |FROM chain GROUP BY start_key ORDER BY start_key""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q64_recursive_cte" -> q64,
     "q59_decimal_agg" -> q59,
     "q60_try_cast" -> q60,
     "q62_rolling_window" -> q62,
@@ -360,6 +380,15 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q64_recursive_cte" ->
+      """WITH RECURSIVE chain(start_key, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 100
+        |  UNION ALL
+        |  SELECT start_key, cur // 2, depth + 1 FROM chain WHERE cur > 1
+        |)
+        |SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root,
+        |       CAST(sum(cur) AS BIGINT) AS path_key_sum
+        |FROM chain GROUP BY start_key ORDER BY start_key""".stripMargin,
     "q63_outer_join" ->
       """SELECT CASE WHEN user_id IS NOT NULL AND o_custkey IS NOT NULL
         |   THEN 'both'
