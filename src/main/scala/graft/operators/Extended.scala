@@ -357,7 +357,27 @@ object Extended {
         |FROM chain GROUP BY start_key ORDER BY start_key""".stripMargin)
   }
 
+  /** q65 — VARIANT semi-structured access (Spark 4.x): parse each JSON
+    * props payload ONCE into the binary VARIANT encoding, then extract
+    * typed fields with variant_get. This is the modern scale path for
+    * heterogeneous JSON (vs q32's per-path get_json_object, which
+    * re-parses the string per path, and q55's from_json, which needs a
+    * fixed schema up front): one parse, shredded binary access, schema
+    * drift tolerated per row. */
+  def q65(t: Tables): DataFrame = {
+    t.events.createOrReplaceTempView("events_v")
+    t.spark.sql(
+      """SELECT event_type,
+        | count(variant_get(v, '$.k', 'bigint')) AS n_with_k,
+        | CAST(sum(variant_get(v, '$.k', 'bigint')) AS BIGINT) AS sum_k,
+        | count(CASE WHEN variant_get(v, '$.k', 'bigint') > 50 THEN 1 END)
+        |   AS n_k_gt50
+        |FROM (SELECT event_type, parse_json(props) AS v FROM events_v)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q65_variant_json" -> q65,
     "q64_recursive_cte" -> q64,
     "q59_decimal_agg" -> q59,
     "q60_try_cast" -> q60,
@@ -380,6 +400,14 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q65_variant_json" ->
+      """SELECT event_type,
+        | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |   AS BIGINT) AS sum_k,
+        | count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |   THEN 1 END) AS n_k_gt50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q64_recursive_cte" ->
       """WITH RECURSIVE chain(start_key, cur, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 100
