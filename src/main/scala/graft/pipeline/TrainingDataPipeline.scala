@@ -123,8 +123,16 @@ object TrainingDataPipeline {
     * between stages for the same reason. */
   def run(t: Tables, outPath: String): Stats = {
     val input = t.documents
-    val bench = input.filter(col("doc_id") % 50 === 0)
-    val corpus = input.filter(col("doc_id") % 50 =!= 0)
+    run(input.filter(col("doc_id") % 50 =!= 0),
+      input.filter(col("doc_id") % 50 === 0), outPath,
+      inputCount = input.count())
+  }
+
+  /** Pipeline over an explicit (corpus, benchmark) pair — the production
+    * entry point (the eval set is an external table) and the testable
+    * one (a planted contaminated doc can be injected). */
+  def run(corpus: DataFrame, bench: DataFrame, outPath: String,
+          inputCount: Long = -1L): Stats = {
     val q = qualityFilter(corpus).drop("toks", "n_tokens")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = exactDedup(q).persist(StorageLevel.MEMORY_AND_DISK)
@@ -132,7 +140,8 @@ object TrainingDataPipeline {
     val d = decontaminate(n, bench).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       PartitionedWriter.writePartitioned(d, outPath, Seq("lang"))
-      Stats(input.count(), q.count(), e.count(), n.count(), d.count())
+      val in = if (inputCount >= 0) inputCount else corpus.count()
+      Stats(in, q.count(), e.count(), n.count(), d.count())
     } finally Seq(q, e, n, d).foreach(_.unpersist(false))
   }
 

@@ -163,11 +163,14 @@ class HashPropertySpec extends AnyFunSuite {
   }
 
   test("LSH banding on a 3-doc fixture finds the planted pair only") {
-    // two near-identical docs (one token differs) and one unrelated doc,
-    // through the production banding constants (K=32, 8 bands of 4)
-    val a = "large scale web corpus deduplication removes near duplicate documents from training data pipelines at massive scale every day across shards".split(" ").toSeq
-    val b = "large scale web corpus deduplication removes near duplicate documents from training data pipelines at massive scale every day across shardsx".split(" ").toSeq
-    val c = "completely unrelated text about cooking pasta with tomato sauce and fresh basil leaves".split(" ").toSeq
+    // the same planted corpus the end-to-end fixture specs run on — one
+    // definition of the fixture texts (FixtureData; its lazy Spark-backed
+    // `tables` is untouched here), through the production banding
+    // constants (K=32, 8 bands of 4)
+    val byId = FixtureData.docTexts.toMap
+    val a = byId(1L).split(" ").toSeq // base doc
+    val b = byId(2L).split(" ").toSeq // near-dup: last token differs
+    val c = byId(5L).split(" ").toSeq // unrelated
     def sig(t: Seq[String]) = HashImpls.minhashNgrams(arr(t), 3, 32, 42L).toSeq
     def bands(s: Seq[Long]) = s.grouped(4).toSeq
     val (sa, sb, sc) = (sig(a), sig(b), sig(c))

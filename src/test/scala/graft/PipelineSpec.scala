@@ -30,17 +30,37 @@ class PipelineSpec extends AnyFunSuite {
 
   test("decontaminate drops exactly the docs sharing grams with the benchmark") {
     import spark.implicits._
-    val mk = (id: Long, text: String) => (id, text)
     val evalDoc = "this exact benchmark sentence has at least eight tokens in sequence here"
     val docs = Seq(
-      mk(1L, "clean document " + (1 to 12).map(i => s"c$i").mkString(" ")),
-      mk(2L, "prefix words then " + evalDoc + " trailing tail"),
-      mk(3L, "another clean one " + (1 to 12).map(i => s"d$i").mkString(" ")))
+      (1L, "clean document " + (1 to 12).map(i => s"c$i").mkString(" ")),
+      (2L, "prefix words then " + evalDoc + " trailing tail"),
+      (3L, "another clean one " + (1 to 12).map(i => s"d$i").mkString(" ")))
       .toDF("doc_id", "text")
-    val bench = Seq(mk(100L, evalDoc)).toDF("doc_id", "text")
+    val bench = Seq((100L, evalDoc)).toDF("doc_id", "text")
     val kept = TrainingDataPipeline.decontaminate(docs, bench)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L), "doc 2 contains a benchmark 8-gram and must drop")
+  }
+
+  test("run() end-to-end drops a planted contaminated doc from the output") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-pipeline-contam").toString
+    val evalDoc = "held out benchmark passage with enough tokens to form " +
+      "several eight grams in a row"
+    def filler(id: Long) = (1 to 20).map(j => s"w${id}x$j").mkString(" ")
+    val corpus = Seq(
+      (1L, s"clean text ${filler(1)}", "en"),
+      // planted contamination: contains the benchmark passage verbatim
+      (2L, s"leading words ${evalDoc} trailing words", "en"),
+      (3L, s"other clean text ${filler(3)}", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, evalDoc, "en")).toDF("doc_id", "text", "lang")
+    val stats = TrainingDataPipeline.run(corpus, bench, out)
+    assert(stats.afterDecontam == stats.afterNearDup - 1,
+      "exactly the planted contaminated doc must drop at the decontam stage")
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L), "contaminated doc must not reach the output")
+    assert(ids.contains(1L) && ids.contains(3L))
   }
 
   test("near-dup removal collapses oversized (hot) buckets to one survivor") {

@@ -58,9 +58,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** Runs `body` with auto-broadcast disabled: at test scale AQE would
+    * broadcast ANY tiny side, masking a removed explicit broadcast()
+    * hint — with the threshold at -1 only hinted joins stay broadcast,
+    * so the audit actually detects a regressed guard. */
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
   test("t07 tf-df join guards the Zipf head: hot tokens broadcast, tail shuffles") {
-    val plan = text.TextOps.t07(TestSpark.tables)
-      .queryExecution.executedPlan.toString
+    val plan = withoutAutoBroadcast {
+      text.TextOps.t07(TestSpark.tables).queryExecution.executedPlan.toString
+    }
     // the high-df head must join map-only (no hot token key ever shuffles)
     assert(plan.contains("BroadcastHashJoin"),
       s"t07 must broadcast the high-df token head:\n$plan")
@@ -83,8 +95,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("t10 decontamination broadcasts the benchmark gram set") {
-    val plan = text.TextOps.t10(TestSpark.tables)
-      .queryExecution.executedPlan.toString
+    val plan = withoutAutoBroadcast {
+      text.TextOps.t10(TestSpark.tables).queryExecution.executedPlan.toString
+    }
     assert(plan.contains("BroadcastHashJoin"),
       s"t10 must stream corpus grams through a broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"),

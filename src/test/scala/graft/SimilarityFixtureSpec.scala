@@ -55,13 +55,18 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     val bucket = dvecs.map { case (id, v) =>
       id -> HashImpls.rhBucket(new GenericArrayData(v), 8, 7L)
     }
+    val expectedS02 = qids.flatMap { q =>
+      top5(q, vids.filter(c => bucket(c) == bucket(q)))
+    }
     val expected = qids.flatMap { q =>
       val probes = (bucket(q) +: (0 until 8).map(i => bucket(q) ^ (1 << i))).toSet
       top5(q, vids.filter(c => probes.contains(bucket(c))))
     }
-    assert(collect4(Similarity.s04(t)) == expected)
+    val got = collect4(Similarity.s04(t))
+    assert(got == expected)
     // multi-probe must never return fewer candidates than single-probe
-    assert(collect4(Similarity.s04(t)).size >= collect4(Similarity.s02(t)).size)
+    // (compared on the kernel-side expectations — no extra Spark jobs)
+    assert(expected.size >= expectedS02.size)
   }
 
   test("s03 IVF ANN equals the kernel-computed expectation (5 lists, 4 probes)") {

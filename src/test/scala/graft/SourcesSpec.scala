@@ -114,8 +114,16 @@ class SourcesSpec extends AnyFunSuite {
     // into one output file regardless of size
     t.documents.repartition(8).write.mode("overwrite")
       .partitionBy("lang").parquet(small)
+    // size the target from the MEASURED input so the >1-file assertion
+    // can't flake if testdata or parquet overhead changes: total/3 bytes
+    // per file forces ~3 output files whatever the corpus size
+    val total = java.nio.file.Files.walk(java.nio.file.Paths.get(small))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
     val (before, after) = Compactor.compact(spark, small, compacted,
-      targetBytes = 64L << 10)
+      targetBytes = math.max(1L, total / 3))
     assert(before > 0, "recursive listing must find nested data files")
     assert(after > 1, s"output should be sized from real bytes, got $after file(s)")
     assert(spark.read.parquet(compacted).count() ==
