@@ -376,7 +376,29 @@ object Extended {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** q66 — map-type function suite: build a per-user map of
+    * event_type → count (map_from_entries over the grouped counts), then
+    * read it back with map_keys/element_at. Maps are the Hive dialect's
+    * other collection type (arrays are q50); the aggregation is two hash
+    * aggs sharing the user_id partitioning, and the map stays small
+    * (distinct event types per user), never a scale risk. The oracle
+    * computes the same VALUES without maps — the check is semantic. */
+  def q66(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(
+        col("user_id"),
+        size(map_keys(col("m"))).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_clicks"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchases"))
+      .orderBy("user_id")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q66_map_funcs" -> q66,
     "q65_variant_json" -> q65,
     "q64_recursive_cte" -> q64,
     "q59_decimal_agg" -> q59,
@@ -400,6 +422,17 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    // the oracle reproduces q66's VALUES without map functions (DuckDB
+    // map extraction semantics differ across versions; the semantic
+    // content — per-user type counts — is engine-neutral)
+    "q66_map_funcs" ->
+      """SELECT user_id,
+        | count(DISTINCT event_type) AS n_types,
+        | CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+        |   AS BIGINT) AS n_clicks,
+        | CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+        |   AS BIGINT) AS n_purchases
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q65_variant_json" ->
       """SELECT event_type,
         | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
