@@ -60,7 +60,11 @@ object Extended {
   def q46(t: Tables): DataFrame =
     t.documents
       .select(
-        regexp_extract(col("source"), "([0-9]+)", 1).cast("long").as("src_num"),
+        // try_cast, not cast: a digitless `source` extracts '' and a bare
+        // CAST('' AS BIGINT) THROWS under Spark 4's default ANSI mode —
+        // per-row tolerance is the only operable semantics at scale
+        expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)")
+          .as("src_num"),
         col("n_chars"))
       .groupBy((col("src_num") % 5).as("src_mod"))
       .agg(count(lit(1)).as("n_docs"),
@@ -397,7 +401,22 @@ object Extended {
         coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchases"))
       .orderBy("user_id")
 
+  /** q67 — approx_top_k heavy-hitter sketch (Spark 4.x): the mergeable
+    * fixed-size sketch path for "top categories" at scale — one pass,
+    * partial sketches merge associatively, memory bounded by the tracked
+    * item count regardless of input rows (vs q44's exact groupBy top-k,
+    * whose hash table grows with cardinality). With maxItemsTracked ≥
+    * the column's distinct count the sketch is EXACT, so the result is
+    * oracle-checkable against a plain GROUP BY. */
+  def q67(t: Tables): DataFrame =
+    t.orders
+      .agg(expr("approx_top_k(o_orderpriority, 5, 100)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("priority"), col("e.count").cast("long").as("cnt"))
+      .orderBy("priority")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q67_approx_topk" -> q67,
     "q66_map_funcs" -> q66,
     "q65_variant_json" -> q65,
     "q64_recursive_cte" -> q64,
@@ -422,6 +441,9 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q67_approx_topk" ->
+      """SELECT o_orderpriority AS priority, count(*) AS cnt
+        |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
     // the oracle reproduces q66's VALUES without map functions (DuckDB
     // map extraction semantics differ across versions; the semantic
     // content — per-user type counts — is engine-neutral)
@@ -550,9 +572,9 @@ object Extended {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, grp, status""".stripMargin,
     "q46_regexp_extract" ->
-      """SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5 AS src_mod,
+      """SELECT TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5 AS src_mod,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        | max(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)) AS max_src
+        | max(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)) AS max_src
         |FROM documents GROUP BY src_mod ORDER BY src_mod""".stripMargin,
     "q47_conditional_agg" ->
       """SELECT l_returnflag AS grp, count(*) AS n_total,
