@@ -415,7 +415,25 @@ object Extended {
       .select(col("e.item").as("priority"), col("e.count").cast("long").as("cnt"))
       .orderBy("priority")
 
+  /** q68 — ordered string aggregation (Spark 4.x listagg / ISO
+    * LISTAGG ... WITHIN GROUP): collapse each customer's order
+    * priorities into one deterministic ordered string. The WITHIN GROUP
+    * ordering is what makes the result reproducible across partitionings
+    * (an unordered string_agg is partition-order dependent and could
+    * never be oracle-checked). */
+  def q68(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT o_custkey,
+        | listagg(DISTINCT o_orderpriority, '|')
+        |   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+        | count(*) AS n_orders
+        |FROM orders WHERE o_custkey < 200
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q68_listagg" -> q68,
     "q67_approx_topk" -> q67,
     "q66_map_funcs" -> q66,
     "q65_variant_json" -> q65,
@@ -441,6 +459,13 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    "q68_listagg" ->
+      """SELECT o_custkey,
+        | string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+        |   AS priorities,
+        | count(*) AS n_orders
+        |FROM orders WHERE o_custkey < 200
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q67_approx_topk" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt
         |FROM orders GROUP BY priority ORDER BY priority""".stripMargin,
