@@ -264,18 +264,23 @@ object Extended {
   /** q59 — exact DECIMAL aggregation: at 100 TB a float sum accumulates
     * rounding drift and is partition-order dependent; casting the measure
     * to DECIMAL makes the sum exact, associative, and bit-stable across
-    * any partitioning (decimal partials are mergeable integers). */
+    * any partitioning (decimal partials are mergeable integers).
+    *
+    * The RESULT columns are scaled-integer BIGINT (cents / 1e-4 units),
+    * not DECIMAL: Spark writes DECIMAL(38,x) parquet as decimal128
+    * fixed-len byte arrays while DuckDB's is HUGEINT-backed, so a typed
+    * hash over the physical representation diverges even when every
+    * value is identical. int64 is the one representation both engines
+    * cannot disagree on; the decimal arithmetic stays internal. */
   def q59(t: Tables): DataFrame =
     t.lineitem
       .groupBy(col("l_returnflag").as("grp"))
       .agg(
-        // Pin the result width to DECIMAL(38,x) explicitly: Spark's sum
-        // widens DECIMAL(18,x) to (28,x) while DuckDB widens to (38,x) —
-        // same values, different physical type. 38 is the shared maximum.
-        sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(38,2)").as("exact_revenue"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(38,4)").as("exact_discounted"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")) * lit(100))
+          .cast("bigint").as("revenue_cents"),
+        (sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")) * lit(10000))
+          .cast("bigint").as("discounted_e4"),
         count(lit(1)).as("cnt"))
       .orderBy("grp")
 
@@ -304,11 +309,14 @@ object Extended {
     * ulp between sliding and recompute implementations). */
   def q62(t: Tables): DataFrame = {
     t.registerViews()
+    // Result columns are BIGINT cents (see q59's scaladoc): the sliding
+    // RANGE-frame sums run in exact DECIMAL internally, then scale to
+    // int64 so the physical output representation is engine-identical.
     t.spark.sql(
-      """SELECT grp, d, CAST(rev AS DECIMAL(38,2)) AS rev,
+      """SELECT grp, d, CAST(rev * 100 AS BIGINT) AS rev_cents,
         | CAST(sum(rev) OVER (PARTITION BY grp ORDER BY d
         |   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
-        |   AS DECIMAL(38,2)) AS rev_7d
+        |   * 100 AS BIGINT) AS rev_7d_cents
         |FROM (
         |  SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
@@ -513,10 +521,10 @@ object Extended {
         |  ON user_id = o_custkey
         |GROUP BY side ORDER BY side""".stripMargin,
     "q62_rolling_window" ->
-      """SELECT grp, d, CAST(rev AS DECIMAL(38,2)) AS rev,
+      """SELECT grp, d, CAST(rev * 100 AS BIGINT) AS rev_cents,
         | CAST(sum(rev) OVER (PARTITION BY grp ORDER BY d
         |   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
-        |   AS DECIMAL(38,2)) AS rev_7d
+        |   * 100 AS BIGINT) AS rev_7d_cents
         |FROM (
         |  SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
@@ -535,9 +543,9 @@ object Extended {
     "q59_decimal_agg" ->
       """SELECT l_returnflag AS grp,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |   AS DECIMAL(38,2)) AS exact_revenue,
+        |   * 100 AS BIGINT) AS revenue_cents,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        |   AS DECIMAL(38,4)) AS exact_discounted,
+        |   * 10000 AS BIGINT) AS discounted_e4,
         | count(*) AS cnt
         |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
     "q57_unpivot" ->

@@ -14,9 +14,29 @@ both sides). Exits nonzero on any mismatch.
 import json
 import math
 import os
+import re
 import sys
 
 import duckdb
+
+# Widest decimal that parquet stores as int64 in both engines. Wider
+# decimals are physically decimal128 fixed-len byte arrays in Spark but
+# HUGEINT-backed in DuckDB, and the driver's typed hash diverges on that
+# representation even when every value is identical (round-2 q59/q62).
+# Policy: result schemas must not carry a DECIMAL wider than this —
+# scale to BIGINT (cents) or round to DOUBLE instead.
+MAX_DECIMAL_PRECISION = 18
+
+DECIMAL_RE = re.compile(r"DECIMAL\((\d+),\s*(\d+)\)")
+
+
+def wide_decimals(cols, types):
+    out = {}
+    for c, t in zip(cols, types):
+        m = DECIMAL_RE.search(str(t))
+        if m and int(m.group(1)) > MAX_DECIMAL_PRECISION:
+            out[c] = str(t)
+    return out
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -66,6 +86,13 @@ def main():
             srows = sp.fetchall()
         except Exception as e:
             failures.append((name, f"spark result read error: {e}"))
+            continue
+        wide = wide_decimals(scols, stypes)
+        if wide:
+            failures.append((name, "result schema carries a driver-hash-unstable "
+                             f"DECIMAL wider than ({MAX_DECIMAL_PRECISION},x): " +
+                             ", ".join(f"{c}={t}" for c, t in sorted(wide.items())) +
+                             " — emit BIGINT cents or DOUBLE instead"))
             continue
         if sorted(dcols) != sorted(scols):
             failures.append((name, f"columns differ: spark={sorted(scols)} oracle={sorted(dcols)}"))
