@@ -31,7 +31,13 @@ object Bench {
     // under a count Catalyst prunes every projected expression, so map-only
     // queries (t01/t04/t05/t09/q50...) would time a parquet row count
     // instead of their kernels.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for targeted local iteration
+    // (unset in driver runs → full suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -57,4 +57,23 @@ final case class Tables(spark: SparkSession, dir: String) {
     df.repartition(spark.sparkContext.defaultParallelism)
   def documentsWide: DataFrame  = wide(documents)
   def embeddingsWide: DataFrame = wide(embeddings)
+
+  /** Cache-key salt for process-wide derived artifacts (IVF codebook,
+    * dedup pair graph): the table file's name/size/mtime listing. A
+    * regenerated directory changes the fingerprint, so a cache keyed on
+    * it can never serve artifacts built from deleted data. */
+  def tableFingerprint(name: String): String =
+    Tables.fingerprint(s"$dir/$name.parquet")
+}
+
+object Tables {
+  private[graft] def fingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName))
+      kids.map(_.flatMap(walk)).getOrElse(Seq(f))
+    }
+    walk(new java.io.File(path))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
 }

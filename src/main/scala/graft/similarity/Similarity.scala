@@ -88,43 +88,86 @@ object Similarity {
     * inverted lists are the partition layout — each probe touches
     * NProbe/C of the corpus. */
   /** Coarse-quantizer codebooks, cached per sf-dir: building an IVF query
-    * plan must not re-run the centroid-collection Spark job on every plan
-    * construction (bench/verify loops build each plan repeatedly). The
-    * cache assumes a table directory is immutable within a process —
-    * true for the snapshot layout this library targets, and how any IVF
-    * index treats its codebook (built once per index, not per query);
-    * regenerating a directory's embeddings requires a new process or a
-    * new dir. Entries are a few KB each (C=16 centroid vectors). */
+    * plan must not re-run the centroid Spark jobs on every plan
+    * construction (bench/verify loops build each plan repeatedly) — how
+    * any IVF index treats its codebook (built once per index, not per
+    * query). The key includes the embeddings file fingerprint
+    * (name/size/mtime), so a regenerated directory can never be served a
+    * codebook trained on deleted data. Entries are a few KB each (C=16
+    * centroid vectors). */
   private val codebookCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double], Double)]]
 
-  def s03(t: Tables): DataFrame = {
+  private def codebookKey(t: Tables): String =
+    s"${t.dir}:${t.tableFingerprint("embeddings")}"
+
+  /** Argmax-centroid assignment expression: a MAP-ONLY lexicographic max
+    * over C fused dot products per row against the inlined codebook — no
+    * shuffle of the corpus, no groupBy (a crossJoin+max_by formulation
+    * would shuffle every (vec, norm) just to pick the nearest centroid). */
+  private def bestCentroid(cb: Array[(Int, Array[Double], Double)],
+                           vecCol: String, normCol: String) = array_max(array(
+    cb.map { case (id, cvec, cnorm) =>
+      struct(
+        (dot_d(col(vecCol), typedlit(cvec)) / (col(normCol) * lit(cnorm)))
+          .as("ccos"),
+        lit(id).as("cent_id"))
+    }: _*))
+
+  /** Builds the C-centroid coarse quantizer: a deterministic sample seeds
+    * the codebook, then `lloydIters` rounds of spherical k-means refine it
+    * — each round is one map-only assignment pass + one groupBy(cent_id)
+    * elementwise mean (C groups, so the shuffle is C rows of partials) +
+    * a C-row collect. Centroid labels stay stable across rounds; a
+    * cluster that empties (or collapses to zero norm) drops out. Trained
+    * centroids cover the corpus's actual density, which is what probe
+    * recall depends on at production scale. */
+  private def buildCodebook(t: Tables, corpus: DataFrame, c: Int,
+                            lloydIters: Int): Array[(Int, Array[Double], Double)] = {
+    var cb: Array[(Int, Array[Double], Double)] = corpus
+      .filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * c)
+      .select(col("vec_id"), col("vec"), col("norm"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(cb.nonEmpty,
+      s"s03: empty IVF codebook — no centroid rows matched in ${t.dir}/embeddings")
+    val dim = cb(0)._2.length
+    for (_ <- 1 to lloydIters) {
+      val means = corpus
+        .withColumn("cent_id", bestCentroid(cb, "vec", "norm").getField("cent_id"))
+        .groupBy("cent_id")
+        .agg(avg(col("vec")(0)).as("m0"),
+          (1 until dim).map(i => avg(col("vec")(i)).as(s"m$i")): _*)
+        .collect()
+      cb = means.map { r =>
+        val v = Array.tabulate(dim)(i => r.getDouble(i + 1))
+        (r.getInt(0), v, math.sqrt(v.map(x => x * x).sum))
+      }.filter(_._3 > 0).sortBy(_._1)
+    }
+    cb
+  }
+
+  private val LloydIters = 3
+
+  def s03(t: Tables): DataFrame = s03With(t, LloydIters)
+
+  /** lloydIters=0 reproduces the pure sampled codebook — kept reachable so
+    * the fixture spec can pin the sampled path exactly and assert trained
+    * recall ≥ sampled recall. */
+  private[graft] def s03With(t: Tables, lloydIters: Int): DataFrame = {
     val C = 16
     val NProbe = 4
     val corpus = prepped(t)
     // The coarse-quantizer codebook is C=16 centroid vectors — collected
     // to the driver and inlined as literals (how every IVF index holds
-    // its codebook). Assignment is then a MAP-ONLY argmax of C fused dot
-    // products per row: no shuffle of the corpus, no groupBy — the
-    // previous crossJoin+max_by formulation shuffled every (vec, norm)
-    // once just to pick the nearest centroid.
+    // its codebook).
     val cents: Array[(Int, Array[Double], Double)] =
-      codebookCache.getOrElseUpdate(t.dir, corpus
-        .filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * C)
-        .select(col("vec_id"), col("vec"), col("norm"))
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray, r.getDouble(2))))
-    require(cents.nonEmpty,
-      s"s03: empty IVF codebook — no centroid rows matched in ${t.dir}/embeddings")
-    def bestCentroid(vecCol: String, normCol: String) = array_max(array(
-      cents.map { case (id, cvec, cnorm) =>
-        struct(
-          (dot_d(col(vecCol), typedlit(cvec)) / (col(normCol) * lit(cnorm)))
-            .as("ccos"),
-          lit(id).as("cent_id"))
-      }: _*))
+      codebookCache.getOrElseUpdate(s"${codebookKey(t)}:$lloydIters",
+        buildCodebook(t, corpus, C, lloydIters))
+    def bestCent(vecCol: String, normCol: String) =
+      bestCentroid(cents, vecCol, normCol)
     val assigned = corpus
-      .withColumn("cent_id", bestCentroid("vec", "norm").getField("cent_id"))
+      .withColumn("cent_id", bestCent("vec", "norm").getField("cent_id"))
     // query probes: NProbe nearest centroids per query, ranked from the
     // same inlined codebook (queries are tiny; explode + rank is fine)
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))

@@ -69,7 +69,8 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     assert(expected.size >= expectedS02.size)
   }
 
-  test("s03 IVF ANN equals the kernel-computed expectation (5 lists, 4 probes)") {
+  test("s03 IVF ANN (sampled codebook) equals the kernel-computed expectation " +
+    "(5 lists, 4 probes)") {
     val centIds = vids.filter(id => id % 37 == 0 && id < 37 * 16)
     assert(centIds == Seq(0L, 37L, 74L, 111L, 148L),
       "fixture must exercise probe selection: more lists than NProbe")
@@ -84,6 +85,23 @@ class SimilarityFixtureSpec extends AnyFunSuite {
       val probed = centIds.sortBy(c => (-ccos(q, c), c)).take(4).toSet
       top5(q, vids.filter(v => probed.contains(assigned(v))))
     }
-    assert(collect4(Similarity.s03(t)) == expected)
+    assert(collect4(Similarity.s03With(t, lloydIters = 0)) == expected)
+  }
+
+  test("s03 trained codebook (Lloyd) has recall@5 >= sampled codebook") {
+    // ground truth: kernel-side brute-force top-5 over the whole corpus
+    val truth: Map[Long, Set[Long]] = qids.map { q =>
+      q -> top5(q, vids).map(_._2).toSet
+    }.toMap
+    def recall(rows: Seq[(Long, Long, Double, Long)]): Double = {
+      val byQ = rows.groupBy(_._1).map { case (q, rs) =>
+        rs.map(_._2).toSet.intersect(truth(q)).size.toDouble / truth(q).size
+      }
+      byQ.sum / qids.size
+    }
+    val sampled = recall(collect4(Similarity.s03With(t, lloydIters = 0)))
+    val trained = recall(collect4(Similarity.s03(t))) // default = trained
+    assert(trained >= sampled,
+      s"Lloyd-trained codebook recall $trained < sampled-codebook recall $sampled")
   }
 }
