@@ -26,11 +26,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     * on ~1.7e18 nano values.
     */
   def events: DataFrame = {
-    // Session-level conf mutation is acceptable in this single-session
-    // test/bench environment only; a production deployment would set
-    // nanosAsLong once in the session builder (it is read at scan
-    // planning, and flipping it mid-flight affects other readers).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set at build time by every session builder in this
+    // library (GraftSession / Verify / Bench / Explain); this fallback
+    // only fires for a caller-supplied session that lacks it, since the
+    // conf is read at scan planning and the read fails without it.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table("events").withColumn(
       "ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))

@@ -149,23 +149,35 @@ object Relational {
 
   /** q31 — gap-based sessionization (30-min inactivity gap) via
     * lag + cumulative-sum windows, then per-user session stats. */
-  def q31(t: Tables): DataFrame = {
+  /** Gap-based sessionization core, shared by q31 and the streaming
+    * equivalence spec: per-(user, session) summary under the same 30-min
+    * gap semantics as streaming.EventsStream.sessionWindows (streaming
+    * session_end = session_last + gap). One shuffle on user_id; both
+    * windows and the aggregation reuse that partitioning. */
+  private[graft] def sessionized(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val gapSec =
       unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
-    val flagged = t.events.withColumn(
+    val flagged = events.withColumn(
       "new_session",
       when(gapSec.isNull || gapSec > SessionGapSec, 1L).otherwise(0L))
-    val sessioned = flagged.withColumn(
-      "sess_id",
-      sum(col("new_session"))
-        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sessions = sessioned
+    flagged.withColumn(
+        "sess_id",
+        sum(col("new_session"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sess_id"))
-      .agg(count(lit(1)).as("n_events"),
-        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
-          .as("dur_sec"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_last"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  def q31(t: Tables): DataFrame = {
+    val sessions = sessionized(t.events)
+      .select(col("user_id"), col("n_events"),
+        (unix_timestamp(col("session_last")) -
+          unix_timestamp(col("session_start"))).as("dur_sec"))
     // avg session minutes, half-up at 2dp via EXACT integer arithmetic:
     // round(sum_sec/(60n)·100) = (10·sum_sec + 3n) div (6n). Rounding the
     // float average diverges across engines when the value's shortest

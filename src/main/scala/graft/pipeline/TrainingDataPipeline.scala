@@ -59,7 +59,20 @@ object TrainingDataPipeline {
     * exceed the cap in EVERY band, so dropping would retain the hottest
     * duplicate clusters. Each oversized bucket instead elects a
     * representative (min doc_id) and every other member loses to it
-    * after a signature check — O(bucket) work, never O(bucket²). */
+    * after a signature check — O(bucket) work, never O(bucket²).
+    *
+    * RECALL BOUND of the representative shortcut: within an oversized
+    * bucket, only members estimated-similar TO THE REPRESENTATIVE are
+    * removed. Two members that are near-dups of each other but both
+    * < minEst vs the rep stay — if they also share no normal-size bucket
+    * in any other band, that pair is missed. This is the deliberate
+    * trade: for the boilerplate clusters that create hot buckets, the
+    * cluster is dense around its medoid and the miss probability decays
+    * with the other Bands-1 bands; an exhaustive in-bucket pass would be
+    * O(bucket²) on exactly the buckets where that blows up. Callers
+    * needing full recall inside hot buckets should re-run the pipeline
+    * (survivors of a hot bucket are < MaxBucket on the next pass, so the
+    * residual pairs take the normal pair path). */
   def nearDupRemoval(docs: DataFrame, minEst: Double = 0.8): DataFrame = {
     val MaxBucket = 64
     val sigs = docs

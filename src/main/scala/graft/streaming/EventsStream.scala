@@ -130,6 +130,12 @@ object EventsStream {
       batch
         .withColumn("dt", org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts")))
         .write.mode("overwrite")
+        // The whole batch_id=N dir is the idempotency unit, so force STATIC
+        // overwrite semantics for this write: under the session-wide
+        // dynamic mode (GraftSession) a replay would only replace the dt
+        // partitions present in the replayed batch, leaving stale dt dirs
+        // from a failed attempt whose batch produced a different dt set.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("dt")
         .parquet(s"$path/batch_id=$batchId")
     }

@@ -71,6 +71,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q34 approx percentiles within the sketch's rank-error band of exact " +
+    "(sf0.01)") {
+    import org.apache.spark.sql.functions._
+    val t1 = Tables(spark, "/root/testdata/sf0.01")
+    val approx = operators.Reference.q34(t1).head()
+    // accuracy=10000 bounds rank error at n/10000 of the ordering; a
+    // correct sketch's value must therefore lie between the exact
+    // percentiles at p -/+ eps for eps far above 1/10000 (20x here, plus
+    // 0.01 absolute for the 2dp rounding both columns apply). A broken
+    // sketch constant lands whole percentile bands away.
+    val eps = 0.002
+    val bands = t1.orders.agg(
+      round(percentile(col("o_totalprice"), lit(0.25 - eps)), 2),
+      round(percentile(col("o_totalprice"), lit(0.25 + eps)), 2),
+      round(percentile(col("o_totalprice"), lit(0.50 - eps)), 2),
+      round(percentile(col("o_totalprice"), lit(0.50 + eps)), 2),
+      round(percentile(col("o_totalprice"), lit(0.75 - eps)), 2),
+      round(percentile(col("o_totalprice"), lit(0.75 + eps)), 2)).head()
+    Seq(0, 1, 2).foreach { i =>
+      val (lo, hi) = (bands.getDouble(2 * i), bands.getDouble(2 * i + 1))
+      val v = approx.getDouble(i)
+      assert(v >= lo - 0.01 && v <= hi + 0.01,
+        s"p${Seq(25, 50, 75)(i)} approx $v outside exact band [$lo, $hi]")
+    }
+  }
+
+  test("q42 approx distinct within rsd band of q27 exact (sf0.01)") {
+    val t1 = Tables(spark, "/root/testdata/sf0.01")
+    val approx = operators.Relational.q42(t1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = operators.Relational.q27(t1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rsd=0.02: assert within 5 sigma (10%) — catches a broken register
+    // constant while never flaking on legitimate sketch variance
+    exact.foreach { case (g, (p, s)) =>
+      assert(math.abs(approx(g)._1 - p) <= math.max(3, p * 0.1))
+      assert(math.abs(approx(g)._2 - s) <= math.max(3, s * 0.1))
+    }
+  }
+
   test("q43 stratified sample respects fractions roughly") {
     val sampled = operators.Relational.q43(t).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -81,6 +81,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.get.n_events == 2 && math.abs(first.get.sum_value - 4.0) < 1e-9)
   }
 
+  test("sessionWindows streaming output equals batch sessionization (q31 " +
+    "core) on the same fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gaps chosen clearly off the 30-min boundary: AT exactly gap, batch
+    // (gap > 1800s starts a session) and streaming (interval overlap)
+    // legitimately differ
+    val fixture = Seq(
+      Event(1, ts(0), 7, "click", 1.25),
+      Event(2, ts(10), 7, "view", 2.0),    // same session as minute 0
+      Event(3, ts(60), 7, "click", 0.5),   // 50-min gap → new session
+      Event(4, ts(5), 8, "click", 3.0),
+      Event(5, ts(100), 8, "view", 1.0))   // 95-min gap → new session
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    mem.addData(Event(99, ts(4000), 99, "click", 0.0)) // watermark push
+    val q = EventsStream.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sweq")
+      .outputMode(OutputMode.Append).start()
+    runToCompletion(q)
+    val streamed = spark.table("sweq").collect()
+      .filter(_.getLong(0) != 99L) // pusher's own session is still open
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // batch twin: the oracle-checked q31 sessionization core on the same
+    // rows; streaming session_end = session_last + gap
+    val batch = operators.Relational.sessionized(fixture.toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2),
+        new Timestamp(r.getTimestamp(3).getTime + 30L * 60000),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(streamed == batch,
+      s"streaming sessions $streamed != batch sessions $batch")
+    assert(streamed.size == 4)
+  }
+
   test("stream-static join enriches events with a broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
