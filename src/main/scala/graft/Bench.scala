@@ -38,8 +38,11 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Default 3 runs/query; SPARK_GRAFT_BENCH_RUNS=2 reproduces the round
+    // driver's min-of-2 protocol for like-for-like baseline comparisons.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 3).flatMap { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
