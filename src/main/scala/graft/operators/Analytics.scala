@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 analytic-surface growth (SURVEY §2 q69–q72): distribution
+  * windows, bitwise aggregates, equal-width histogramming, and linear
+  * regression aggregates — the remaining ANSI aggregate/window families
+  * the inventory did not yet exercise.
+  *
+  * Scale notes: every query here aggregates to a small keyed result
+  * before any window runs (windows see ~groups×months rows, never raw
+  * data), and every aggregation is a single hash-shuffle on its group
+  * key with map-side partials — the shapes that survive a 100 TB fact
+  * table unchanged.
+  */
+object Analytics {
+
+  /** q69 — distribution window functions: cume_dist over an ordered
+    * partition plus per-partition share (percent-of-total as a PARTITIONED
+    * window — the global variant is q02's broadcast-scalar pattern; within
+    * a partition the window is safe because the input is pre-aggregated to
+    * months). */
+  def q69(t: Tables): DataFrame = {
+    val m = t.orders
+      .groupBy(col("o_orderpriority").as("prio"),
+        month(col("o_orderdate")).as("mnth"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("cnt"), col("mnth"))
+    m.select(col("prio"), col("mnth").cast("long").as("mnth"), col("cnt"),
+        round(cume_dist().over(w), 4).as("cd"),
+        round(col("cnt") / sum(col("cnt"))
+          .over(Window.partitionBy(col("prio"))), 4).as("share"))
+      .orderBy("prio", "mnth")
+  }
+
+  /** q70 — bitwise aggregates (bit_and / bit_or / bit_xor): mergeable,
+    * order-independent integer folds — e.g. permission masks or feature
+    * flags at scale. Exact and partition-stable by construction. */
+  def q70(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        expr("bit_and(l_partkey)").as("band"),
+        expr("bit_or(l_partkey)").as("bor"),
+        expr("bit_xor(l_partkey)").as("bxor"),
+        count(lit(1)).as("cnt"))
+      .orderBy("grp")
+
+  /** q71 — equal-width histogram via width_bucket: single scan, map-side
+    * bucket assignment, shuffle of ≤ nbuckets+2 keys — the fixed-bin
+    * histogram every data-profiling pass runs at scale (the DuckDB oracle
+    * spells the same binning arithmetically; overflow lands in bucket
+    * nbuckets+1, underflow in 0). */
+  def q71(t: Tables): DataFrame =
+    t.orders
+      .select(expr("width_bucket(o_totalprice, 0.0D, 600000.0D, 12)")
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** q72 — linear-regression aggregates (regr_slope / regr_intercept /
+    * regr_r2 / regr_count): single-pass mergeable moment sketches, the
+    * scale-out spelling of fitting y~x per group without collecting
+    * anything. Results rounded 4dp on both engine sides (the moments are
+    * double sums; last-ulp summation-order noise sits ~8 orders below the
+    * rounding grid for these magnitudes). */
+  def q72(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        expr("round(regr_slope(l_extendedprice, l_quantity), 4)").as("slope"),
+        expr("round(regr_intercept(l_extendedprice, l_quantity), 4)").as("icept"),
+        expr("round(regr_r2(l_extendedprice, l_quantity), 4)").as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy("grp")
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "q69_cume_dist" -> q69,
+    "q70_bitwise_agg" -> q70,
+    "q71_histogram" -> q71,
+    "q72_regression_agg" -> q72)
+
+  val oracles: Map[String, String] = Map(
+    "q69_cume_dist" ->
+      """SELECT prio, mnth, cnt,
+        | round(cume_dist() OVER (PARTITION BY prio ORDER BY cnt, mnth), 4)
+        |   AS cd,
+        | round(cnt / sum(cnt) OVER (PARTITION BY prio), 4) AS share
+        |FROM (SELECT o_orderpriority AS prio, month(o_orderdate) AS mnth,
+        |        count(*) AS cnt
+        |      FROM orders GROUP BY prio, mnth)
+        |ORDER BY prio, mnth""".stripMargin,
+    "q70_bitwise_agg" ->
+      """SELECT l_returnflag AS grp, bit_and(l_partkey) AS band,
+        | bit_or(l_partkey) AS bor, bit_xor(l_partkey) AS bxor,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
+    "q71_histogram" ->
+      """SELECT CAST(CASE WHEN o_totalprice >= 600000 THEN 13
+        |   WHEN o_totalprice < 0 THEN 0
+        |   ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+        | count(*) AS cnt
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q72_regression_agg" ->
+      """SELECT l_returnflag AS grp,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        | round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin)
+}

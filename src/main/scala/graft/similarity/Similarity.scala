@@ -222,11 +222,32 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** s05 — per-dimension embedding audit: mean / stddev / min / max /
+    * count for every embedding dimension — the collapse-and-anisotropy
+    * check an embedding pipeline runs before trusting cosine distances
+    * (a dimension with ~zero variance or a runaway mean distorts every
+    * similarity). posexplode is map-side; the shuffle carries dim-keyed
+    * partial moments (rows ∝ dims × partitions, never corpus size). */
+  def s05(t: Tables): DataFrame =
+    t.embeddings
+      .select(posexplode(expr("transform(embedding, x -> cast(x as double))"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(round(avg(col("x")), 4).as("mean_x"),
+        round(stddev(col("x")), 4).as("sd_x"),
+        round(min(col("x")), 4).as("min_x"),
+        round(max(col("x")), 4).as("max_x"),
+        count(lit(1)).as("n"))
+      .select(col("dim").cast("long").as("dim"), col("mean_x"), col("sd_x"),
+        col("min_x"), col("max_x"), col("n"))
+      .orderBy("dim")
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "s01_cosine_topk" -> s01,
     "s02_lsh_ann" -> s02,
     "s03_ivf_ann" -> s03,
-    "s04_multiprobe_ann" -> s04)
+    "s04_multiprobe_ann" -> s04,
+    "s05_dim_stats" -> s05)
 
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
     * s02's bucket function is a custom kernel → rows-only. */
@@ -243,5 +264,13 @@ object Similarity {
          |       WHERE len(list_filter(embedding, x -> x <> 0)) > 0) v,
          |      (SELECT * FROM embeddings WHERE vec_id < $NQueries
          |         AND len(list_filter(embedding, x -> x <> 0)) > 0) q)
-         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin)
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+    "s05_dim_stats" ->
+      """SELECT CAST(i - 1 AS BIGINT) AS dim,
+        | round(avg(x), 4) AS mean_x, round(stddev(x), 4) AS sd_x,
+        | round(min(x), 4) AS min_x, round(max(x), 4) AS max_x,
+        | count(*) AS n
+        |FROM (SELECT embedding[i]::DOUBLE AS x, i
+        |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
+        |GROUP BY dim ORDER BY dim""".stripMargin)
 }

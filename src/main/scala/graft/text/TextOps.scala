@@ -290,7 +290,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t12 — fixed-size token chunking: split each document into 64-token
+    * chunks (the context-window packing primitive of every training-data
+    * pipeline), emitting per-chunk token counts and an md5 content id for
+    * downstream chunk-level dedup. Map-only: chunk boundaries are pure
+    * per-row arithmetic (no shuffle until the output sort); at 100 TB
+    * this is a pass-through transform feeding the tokenizer. */
+  def t12(t: Tables): DataFrame = {
+    val C = 64
+    t.documents
+      .select(col("doc_id"), expr(tokensExpr).as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(tk) - 1) div $C), i -> slice(tk, i * $C + 1, $C))"))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** t13 — token novelty by first occurrence: for each document, how many
+    * of its distinct tokens first appear in THIS document (min doc_id
+    * over the corpus) — the incremental-corpus novelty signal (a doc
+    * contributing no new vocabulary is likely boilerplate). One shuffle
+    * on token for the first-occurrence attribution + one on doc_id; the
+    * Zipf head never skews the join because min(doc_id) reduces each
+    * token to one row before the join back (t07's broadcast-head split
+    * applies if the gram-level variant is needed). */
+  def t13(t: Tables): DataFrame = {
+    val docToks = t.documentsWide
+      .select(col("doc_id"), explode(array_distinct(expr(tokensExpr))).as("tok"))
+    val first = docToks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+    docToks.join(first, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_toks"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .orderBy("doc_id")
+  }
+
+  /** d08 — dedup accounting by provenance: per source, document count,
+    * distinct-fingerprint count, and how many of its documents share a
+    * fingerprint with ANOTHER source (cross-source contamination — the
+    * provenance question a multi-source corpus build must answer before
+    * choosing per-source sampling weights). Two shuffles, both on the
+    * md5 fingerprint (corpus-size-proportional, same shape as d01). */
+  def d08(t: Tables): DataFrame = {
+    val base = t.documents.select(col("source"), col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val spread = base.groupBy("fp")
+      .agg(countDistinct(col("source")).as("n_sources"))
+    base.join(spread, Seq("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fps"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_cross_docs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t13_novelty" -> t13,
+    "t12_chunk_split" -> t12,
+    "d08_source_dup_stats" -> d08,
     "t11_repetition" -> t11,
     "t10_decontaminate" -> t10,
     "t09_normalize" -> t09,
@@ -423,6 +484,35 @@ object TextOps {
          |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
          |FROM corpus JOIN bench USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t12_chunk_split" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |  CAST(len(tk[i*64+1 : i*64+64]) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(tk[i*64+1 : i*64+64], ' ')) AS chunk_md5
+         |FROM toks, UNNEST(range(0, (len(tk) - 1) // 64 + 1)) AS t(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t13_novelty" ->
+      raw"""WITH dt AS (SELECT DISTINCT doc_id,
+         |        unnest(string_split_regex(trim(text), '\s+')) AS tok
+         |      FROM documents),
+         |f AS (SELECT tok, min(doc_id) AS first_doc FROM dt GROUP BY tok)
+         |SELECT doc_id, count(*) AS n_distinct_toks,
+         |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel
+         |FROM dt JOIN f USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d08_source_dup_stats" ->
+      s"""WITH base AS (SELECT source, doc_id, $dFp AS fp FROM documents),
+         |spread AS (SELECT fp, CAST(count(DISTINCT source) AS BIGINT)
+         |             AS n_sources
+         |           FROM base GROUP BY fp)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
+         |  CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross_docs
+         |FROM base JOIN spread USING (fp)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t11_repetition" ->
       raw"""WITH toks AS (SELECT doc_id,
          |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
