@@ -78,13 +78,47 @@ object Analytics {
         expr("regr_count(l_extendedprice, l_quantity)").as("n"))
       .orderBy("grp")
 
+  /** q73 — forward fill via IGNORE NULLS windows: carry the last non-null
+    * observation forward within each user's ordered event stream (the
+    * gap-fill primitive for sparse sensor/attribute columns), then
+    * summarize fill coverage per user. One shuffle on user_id; the fill
+    * itself is a running window over already-partitioned rows. */
+  def q73(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("k_filled", last(col("k"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_k_present"),
+        count(col("k_filled")).as("n_k_filled"),
+        sum(col("k_filled")).as("sum_k_filled"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q73_fill_forward" -> q73,
     "q69_cume_dist" -> q69,
     "q70_bitwise_agg" -> q70,
     "q71_histogram" -> q71,
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q73_fill_forward" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |f AS (SELECT user_id, k,
+        |    last_value(k IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_filled
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events, count(k) AS n_k_present,
+        |  count(k_filled) AS n_k_filled,
+        |  CAST(sum(k_filled) AS BIGINT) AS sum_k_filled
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q69_cume_dist" ->
       """SELECT prio, mnth, cnt,
         | round(cume_dist() OVER (PARTITION BY prio ORDER BY cnt, mnth), 4)

@@ -348,7 +348,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** PII patterns, scrubbed in this order (emails first — they contain
+    * dots and digits the later patterns would mangle). Both engines run
+    * the same regexes; Java regex and RE2 agree on these constructs
+    * (classes, bounded/greedy quantifiers, \b, \d). */
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIp = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private[graft] val PiiId = "\\d{6,}"
+
+  /** t14 — PII scrubbing: redact emails / IPv4 addresses / long digit
+    * runs (id numbers) and count hits per document — the privacy pass a
+    * released training corpus must run. Map-only (regex replace + count
+    * per row, no shuffle except the output sort); the md5 of the
+    * redacted text makes the oracle verify the full transformation, not
+    * just the counts. The synthetic corpus is PII-free, so the driver
+    * oracle pins zero-hit identity; the planted-PII redaction path is
+    * value-gated in TextFixtureSpec. */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PiiIp), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PiiId), lit(0)))
+          .cast("long").as("n_ids"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiId, "<ID>"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+
+  def t14(t: Tables): DataFrame = piiScrub(t.documents)
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t14_pii_scrub" -> t14,
     "t13_novelty" -> t13,
     "t12_chunk_split" -> t12,
     "d08_source_dup_stats" -> d08,
@@ -484,6 +517,19 @@ object TextOps {
          |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
          |FROM corpus JOIN bench USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t14_pii_scrub" ->
+      raw"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text,
+         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         |   AS n_emails,
+         | CAST(len(regexp_extract_all(text,
+         |   '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS n_ids,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |   '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+         |   '\d{6,}', '<ID>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t12_chunk_split" ->
       raw"""WITH toks AS (SELECT doc_id,
          |        string_split_regex(trim(text), '\s+') AS tk FROM documents)
