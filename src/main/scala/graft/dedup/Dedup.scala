@@ -272,7 +272,35 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d09 — containment duplication: asymmetric near-dup detection for the
+    * doc-inside-doc case Jaccard misses (a short document fully quoted
+    * inside a long one has low Jaccard but containment ≈ 1). Shared
+    * 8-gram counts come from the same bounded inverted-index machinery as
+    * d07 (one shuffle on gram, [2, MaxBucket] bucket gate = common-gram
+    * suppression); containment_a = shared / |grams(a)|. Gram sets are
+    * streamed 64-bit hashes; the SQL oracle uses the string 8-grams
+    * (identical up to ~2^-64 collision odds, t10 precedent). */
+  def d09(t: Tables): DataFrame = {
+    val MinCont = 0.5
+    val withGrams = t.documentsWide
+      .withColumn("toks", tokensCol)
+      .select(col("doc_id"), ngram_hashes(col("toks"), 8).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("payload"),
+        explode(col("grams")).as("band_sig"))
+      .withColumn("band_id", lit(0))
+    bucketPairs(withGrams)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        max(col("p_a")).as("n_a"), max(col("p_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared") / col("n_a"), 4).as("cont_a"),
+        round(col("n_shared") / col("n_b"), 4).as("cont_b"))
+      .filter(col("cont_a") >= MinCont || col("cont_b") >= MinCont)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d09_containment" -> d09,
     "d07_winnow_overlap" -> d07,
     "d06_dup_clusters" -> d06,
     "d05_embedding_neardup" -> d05,
@@ -282,6 +310,34 @@ object Dedup {
 
   /** MinHash/SimHash pipelines are not ANSI-SQL-expressible (custom hash
     * kernels) → driver records rows-only checks; determinism is guaranteed
-    * by fixed seeds + sorted output. */
-  val oracles: Map[String, String] = Map.empty
+    * by fixed seeds + sorted output. d09's gram sets ARE SQL-expressible
+    * as string 8-grams (t10 precedent), so it carries a full oracle. */
+  val oracles: Map[String, String] = Map(
+    "d09_containment" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |  WHERE len(tk) >= 8
+         |  UNION
+         |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS g
+         |  FROM toks WHERE len(tk) < 8),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |keep AS (SELECT g FROM grams GROUP BY g
+         |         HAVING count(*) BETWEEN 2 AND 64),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM (SELECT * FROM grams JOIN keep USING (g)) a
+         |  JOIN grams b USING (g)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b, n_shared,
+         |    round(n_shared / sa.n, 4) AS cont_a,
+         |    round(n_shared / sb.n, 4) AS cont_b
+         |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+         |             JOIN sizes sb ON sb.doc_id = doc_b)
+         |WHERE cont_a >= 0.5 OR cont_b >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin)
 }
