@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface (SURVEY §2 non-query APIs): the streaming
   * twins of q30 (tumbling window agg) and q31 (gap sessionization).
@@ -19,6 +19,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Top-level and public: the state-store encoder's generated code must be
   * able to call the accessors (Janino rejects nested private classes). */
 case class SessionState(start: Long, last: Long, n: Long, acc: Double)
+
+/** Per-user running totals for [[EventsStream.runningStats]] (top-level
+  * for the same encoder-codegen reason as [[SessionState]]). */
+case class RunningStats(n: Long, acc: Double)
+
+/** transformWithState processor (Spark 4 arbitrary-state v2 — the
+  * successor of flatMapGroupsWithState, RocksDB-backed with typed state
+  * handles and TTL support): maintains per-user running event count and
+  * value sum, emitting the updated totals for every input batch. State is
+  * one ValueState row per active user — hash-partitioned across
+  * executors' state stores, never driver-resident. */
+class RunningStatsProcessor
+    extends StatefulProcessor[Long, EventsStream.Event, (Long, Long, Double)] {
+  @transient private var st: ValueState[RunningStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RunningStats]("running",
+      Encoders.product[RunningStats], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[EventsStream.Event],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var cur = if (st.exists()) st.get() else RunningStats(0L, 0.0)
+    rows.foreach(e => cur = RunningStats(cur.n + 1, cur.acc + e.value))
+    st.update(cur)
+    Iterator.single((key, cur.n, cur.acc))
+  }
+}
 
 object EventsStream {
 
@@ -95,6 +123,40 @@ object EventsStream {
         col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
       .select(col("click_id"), col("purchase_id"), col("c_uid").as("user_id"),
         col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Left-outer stream-stream interval join: like [[clickToPurchase]] but
+    * clicks WITHOUT a purchase in the hour still emit (null purchase
+    * side) once the purchase watermark passes their join horizon — the
+    * funnel-abandonment query. Same watermark-bounded state as the inner
+    * variant; the null-side emission is exactly the state eviction. */
+  def clickToPurchaseLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_uid"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+      col("c_uid") === col("p_uid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("c_uid").as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Per-user running totals via transformWithState (Spark 4 state v2;
+    * requires the RocksDB state store provider). Update-mode output:
+    * each micro-batch emits the new totals for the users it touched. */
+  def runningStats(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-static join: enrich the event stream with a dimension table.

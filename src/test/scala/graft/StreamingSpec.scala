@@ -194,6 +194,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 100L)))
   }
 
+  test("left-outer stream-stream join emits unmatched clicks with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts(0), 1, "click", 0.0),
+      Event(2, ts(0), 2, "click", 0.0))   // user 2 never purchases
+    purchases.addData(
+      Event(100, ts(30), 1, "purchase", 9.99),
+      Event(102, ts(600), 3, "purchase", 1.00)) // watermark push
+    val q = EventsStream.clickToPurchaseLeftOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("c2plo")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // push BOTH watermarks far enough that click 2's join horizon closes
+    clicks.addData(Event(3, ts(700), 9, "click", 0.0))
+    purchases.addData(Event(103, ts(700), 9, "purchase", 1.0))
+    runToCompletion(q)
+    val rows = spark.table("c2plo").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows.contains((1L, 100L)), s"matched pair missing from $rows")
+    assert(rows.contains((2L, -1L)),
+      s"unmatched click must emit a null purchase side: $rows")
+  }
+
+  test("transformWithState running totals update per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.5),
+        Event(2, ts(1), 1, "view", 2.5),
+        Event(3, ts(2), 2, "click", 1.0))
+      val q = EventsStream.runningStats(mem.toDS())
+        .toDF("user_id", "n", "acc")
+        .writeStream.format("memory").queryName("rstats")
+        .outputMode(OutputMode.Update).start()
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(3), 1, "view", 3.0))
+      runToCompletion(q)
+      val rows = spark.table("rstats").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // state carries across micro-batches: user 1's second update sees
+      // the first batch's totals
+      assert(rows.contains((1L, 2L, 4.0)), s"batch-1 totals missing: ${rows.toSeq}")
+      assert(rows.contains((1L, 3L, 7.0)), s"batch-2 totals missing: ${rows.toSeq}")
+      assert(rows.contains((2L, 1L, 1.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("windowed agg restarts from checkpoint without loss or duplication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
