@@ -11,14 +11,18 @@ import org.apache.spark.storage.StorageLevel
 /** End-to-end training-data curation: the composition every large-scale
   * corpus build runs, wired from the individual SURVEY §2 operators:
   *
-  *   quality filter → exact dedup → MinHash near-dup removal →
+  *   PII scrub → quality filter → exact dedup → MinHash near-dup removal →
   *   benchmark decontamination → partitioned write (by lang)
   *
-  * Scale shape: two map-only passes (quality + signatures), one shuffle for
-  * exact dedup (fingerprint), one banding shuffle for near-dups, one hash
-  * join to subtract losers, a broadcast join against the (tiny) benchmark
-  * gram set, partitioned columnar write. Nothing touches the driver; no
-  * stage is O(pairs).
+  * Scale shape: map-only passes for scrub + quality + signatures, one
+  * shuffle for exact dedup (fingerprint), one banding shuffle for
+  * near-dups, one hash join to subtract losers, a broadcast join against
+  * the (tiny) benchmark gram set, partitioned columnar write. Nothing
+  * touches the driver; no stage is O(pairs).
+  *
+  * Stage order matters: scrub runs FIRST so fingerprints/signatures are
+  * computed over the released (redacted) text — two docs differing only
+  * in redacted PII dedup as the duplicates they are.
   */
 object TrainingDataPipeline {
 
@@ -28,6 +32,11 @@ object TrainingDataPipeline {
   private val K = 32
   private val Bands = 8
   private val Seed = 42L
+
+  /** PII scrub (the t14 operator as a pipeline stage): map-only redaction
+    * of emails / IPs / id numbers in place. */
+  def scrub(docs: DataFrame): DataFrame =
+    docs.withColumn("text", graft.text.TextOps.scrubText(col("text")))
 
   /** Quality gate, matching TextOps.t02's `quality_ok` semantics
     * (token-count band AND punctuation ratio < 0.2 — a long document
@@ -146,7 +155,7 @@ object TrainingDataPipeline {
     * one (a planted contaminated doc can be injected). */
   def run(corpus: DataFrame, bench: DataFrame, outPath: String,
           inputCount: Long = -1L): Stats = {
-    val q = qualityFilter(corpus).drop("toks", "n_tokens")
+    val q = qualityFilter(scrub(corpus)).drop("toks", "n_tokens")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = exactDedup(q).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nearDupRemoval(e).persist(StorageLevel.MEMORY_AND_DISK)

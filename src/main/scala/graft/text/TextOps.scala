@@ -364,6 +364,12 @@ object TextOps {
     * just the counts. The synthetic corpus is PII-free, so the driver
     * oracle pins zero-hit identity; the planted-PII redaction path is
     * value-gated in TextFixtureSpec. */
+  /** The redaction transform alone (reused by the curation pipeline's
+    * scrub stage): same order, same patterns as t14. */
+  private[graft] def scrubText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiId, "<ID>")
+
   private[graft] def piiScrub(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
@@ -373,9 +379,7 @@ object TextOps {
           .cast("long").as("n_ips"),
         size(regexp_extract_all(col("text"), lit(PiiId), lit(0)))
           .cast("long").as("n_ids"),
-        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
-          PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiId, "<ID>"))
-          .as("redacted_md5"))
+        md5(scrubText(col("text"))).as("redacted_md5"))
       .orderBy("doc_id")
 
   def t14(t: Tables): DataFrame = piiScrub(t.documents)

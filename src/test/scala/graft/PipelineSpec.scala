@@ -63,6 +63,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.contains(1L) && ids.contains(3L))
   }
 
+  test("scrub stage redacts planted PII before the written output") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fillerA = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fillerB = (1 to 30).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"reach me at alice@example.org about $fillerA", "en"),
+      (2L, s"clean prose without identifiers $fillerB", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, "benchmark " + (1 to 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val out = Files.createTempDirectory("graft-pipeline-pii").toString
+    TrainingDataPipeline.run(corpus, bench, out)
+    val texts = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.contains(1L), "the PII doc itself must survive curation")
+    assert(!texts(1L).contains("alice@example.org"))
+    assert(texts(1L).contains("<EMAIL>"))
+    assert(texts(2L).contains("clean prose"))
+  }
+
   test("near-dup removal collapses oversized (hot) buckets to one survivor") {
     import spark.implicits._
     // 80 identical docs overflow every band bucket (MaxBucket=64): the

@@ -129,6 +129,56 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partition-keyed dim join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    sources.PartitionedWriter.cleanedPartitionedETL(TestSpark.tables, dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real source (a local Seq's filter constant-folds
+    // into the LocalRelation, leaving no selective predicate for the DPP
+    // rule to key on)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq((1, "keep"), (2, "keep"), (3, "drop")).toDF("mnth_key", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(broadcast(dim.filter(col("tag") === "keep")),
+      col("mnth") === col("mnth_key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // at 100 TB this is the difference between scanning 2 partitions and
+    // scanning the table: the broadcast dim's keys prune the fact scan's
+    // partition list at runtime
+    assert(plan.contains("dynamicpruningexpression"),
+      s"partitioned fact scan should carry a dynamic pruning filter:\n$plan")
+  }
+
+  test("runtime bloom filter injects might_contain for a selective dim on " +
+    "a shuffle join") {
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // tiny test tables sit far below the production size gates; zero
+      // them so the rewrite is observable at fixture scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = TestSpark.tables
+      val joined = t.lineitem.join(
+        t.part.filter(col("p_retailprice") > 1900), // selective creation side
+        col("l_partkey") === col("p_partkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the selective dim side builds a bloom filter that pre-filters the
+      // fact scan before the shuffle — rows that cannot join never shuffle
+      assert(plan.contains("might_contain"),
+        s"shuffle join should carry a runtime bloom filter:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join result equals the plain join") {
     val t = TestSpark.tables
     import org.apache.spark.sql.functions._
