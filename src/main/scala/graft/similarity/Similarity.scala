@@ -242,7 +242,108 @@ object Similarity {
         col("min_x"), col("max_x"), col("n"))
       .orderBy("dim")
 
+  /** Per-(dir, M, Ks) PQ codebooks: Array(M)(k)(subDim) — subspace m's
+    * k-th sub-centroid. Same fingerprint-keyed caching as the IVF
+    * codebook. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  /** s06 — product-quantization ANN (IVF-PQ's compression half): vectors
+    * are encoded as M=8 sub-centroid indices (4 bits each at Ks=16 — a
+    * 64-dim float vector compresses 64× to 8 bytes), queries score
+    * candidates via asymmetric distance computation (ADC: per-query
+    * lookup table of query-subvector · sub-centroid dots, summed over the
+    * M code positions), and the ADC top-`Shortlist` is re-ranked with
+    * exact cosine. At 100 TB the codes table is what lives in memory —
+    * the raw vectors are only fetched for the shortlist join.
+    *
+    * Scale shape: encoding is MAP-ONLY (argmax of Ks fused dot products
+    * per subspace); scoring joins the corpus codes against a broadcast
+    * 10-row LUT table; both top-k ranks compile to the two-phase
+    * WindowGroupLimit heap. Codebooks are a deterministic sample
+    * (vec_id % 37) of sub-vectors, cached per table fingerprint. */
+  def s06(t: Tables): DataFrame = {
+    val M = 8              // subspaces
+    val Shortlist = 50     // ADC candidates re-ranked exactly
+    val corpus = prepped(t)
+
+    val cb: Array[Array[Array[Double]]] =
+      pqCache.getOrElseUpdate(s"${codebookKey(t)}:pq$M", {
+        val seeds = corpus
+          .filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * 16)
+          .select(col("vec"))
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(seeds.nonEmpty,
+          s"s06: no PQ codebook seed rows in ${t.dir}/embeddings")
+        val d = seeds(0).length
+        require(d % M == 0, s"s06: dim $d not divisible by M=$M")
+        val sub = d / M
+        Array.tabulate(M)(m => seeds.map(_.slice(m * sub, m * sub + sub)))
+      })
+    val sub = cb(0)(0).length
+    val ks = cb(0).length
+
+    // encode: per subspace, the index of the nearest sub-centroid by L2
+    // (argmin ||x-c||² == argmax x·c − ||c||²/2); fused dot expressions,
+    // map-only
+    def subv(m: Int) = expr(s"slice(vec, ${m * sub + 1}, $sub)")
+    val codeCols = (0 until M).map { m =>
+      array_max(array(cb(m).zipWithIndex.map { case (c, j) =>
+        struct(
+          (dot_d(subv(m), typedlit(c)) - lit(c.map(x => x * x).sum / 2))
+            .as("score"),
+          lit(j).as("j"))
+      }: _*)).getField("j")
+    }
+    val codes = corpus.select(
+      (col("vec_id") +: col("vec") +: col("norm") +:
+        codeCols.zipWithIndex.map { case (c, m) => c.as(s"c$m") }): _*)
+
+    // per-query ADC lookup tables: lut[m*ks + j] = q_sub(m) · cb(m)(j)
+    val qRows = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val luts = qRows.map { case (qid, qv) =>
+      (qid, Array.tabulate(M * ks) { i =>
+        val (m, j) = (i / ks, i % ks)
+        val c = cb(m)(j)
+        var s = 0.0; var k = 0
+        while (k < sub) { s += qv(m * sub + k) * c(k); k += 1 }
+        s
+      })
+    }.toSeq
+    import t.spark.implicits._
+    val lutDf = luts.toDF("q_id", "lut")
+
+    val adcExpr = (0 until M)
+      .map(m => element_at(col("lut"), col(s"c$m") + lit(m * ks) + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codes.crossJoin(broadcast(lutDf))
+      .select(col("q_id"), col("vec_id"), col("vec"), col("norm"),
+        adcExpr.as("adc"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= Shortlist)
+
+    // exact cosine re-rank of the shortlist (queries broadcast)
+    val queries10 = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist.join(broadcast(queries10), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot_d(col("vec"), col("q_vec")) / (col("norm") * col("q_norm")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wExact).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s06_pq_ann" -> s06,
     "s01_cosine_topk" -> s01,
     "s02_lsh_ann" -> s02,
     "s03_ivf_ann" -> s03,
