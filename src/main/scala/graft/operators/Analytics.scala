@@ -98,7 +98,38 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q74 — ordered funnel analysis: click → view (≤6h later) → purchase
+    * (≤24h after the view), counted per user — the sequential-pattern
+    * query behind every conversion dashboard. All three stage timestamps
+    * come from windows over the SAME user_id partitioning, so the whole
+    * funnel is ONE shuffle on user_id + a scalar aggregate (never a
+    * self-join per stage, which would shuffle the events table once per
+    * funnel step). */
+  def q74(t: Tables): DataFrame = {
+    val byU = Window.partitionBy(col("user_id"))
+    val a = t.events.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click", col("ts"))).over(byU))
+    val b = a.withColumn("t_view",
+      min(when(col("event_type") === "view" &&
+        col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + expr("interval 6 hours"),
+        col("ts"))).over(byU))
+    val c = b.withColumn("t_purchase",
+      min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t_view") &&
+        col("ts") <= col("t_view") + expr("interval 24 hours"),
+        col("ts"))).over(byU))
+    c.groupBy("user_id")
+      .agg(max(col("t_click")).as("t1"), max(col("t_view")).as("t2"),
+        max(col("t_purchase")).as("t3"))
+      .agg(count(lit(1)).as("n_users"), count(col("t1")).as("n_click"),
+        count(col("t2")).as("n_click_view"),
+        count(col("t3")).as("n_full_funnel"))
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q74_funnel" -> q74,
     "q73_fill_forward" -> q73,
     "q69_cume_dist" -> q69,
     "q70_bitwise_agg" -> q70,
@@ -106,6 +137,23 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q74_funnel" ->
+      """WITH a AS (SELECT user_id, event_type, ts,
+        |   min(CASE WHEN event_type = 'click' THEN ts END)
+        |     OVER (PARTITION BY user_id) AS t_click FROM events),
+        |b AS (SELECT *,
+        |   min(CASE WHEN event_type = 'view' AND ts > t_click
+        |     AND ts <= t_click + INTERVAL 6 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t_view FROM a),
+        |c AS (SELECT *,
+        |   min(CASE WHEN event_type = 'purchase' AND ts > t_view
+        |     AND ts <= t_view + INTERVAL 24 HOUR THEN ts END)
+        |   OVER (PARTITION BY user_id) AS t_purchase FROM b),
+        |u AS (SELECT user_id, max(t_click) AS t1, max(t_view) AS t2,
+        |      max(t_purchase) AS t3 FROM c GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(t1) AS n_click,
+        |  count(t2) AS n_click_view, count(t3) AS n_full_funnel
+        |FROM u""".stripMargin,
     "q73_fill_forward" ->
       """WITH e AS (SELECT user_id, ts, event_id,
         |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
