@@ -128,7 +128,35 @@ object Analytics {
         count(col("t3")).as("n_full_funnel"))
   }
 
+  /** q75 — calendar densification: every (group, day) cell for January
+    * 1996 exists in the output, zero-filled where no rows landed — the
+    * gap-fill scaffold every time-series dashboard/model-feature job
+    * needs (a missing day must read as zero, not as absent). The
+    * calendar × groups scaffold is a broadcast of a tiny literal
+    * sequence; the daily aggregate shuffles on (grp, day); revenue is
+    * BIGINT cents per the decimal-representation policy. */
+  def q75(t: Tables): DataFrame = {
+    val days = t.spark.range(1).select(explode(expr(
+      "sequence(date'1996-01-01', date'1996-01-31', interval 1 day)")).as("d"))
+    val grps = t.lineitem.select(col("l_returnflag").as("grp")).distinct()
+    val daily = t.lineitem
+      .filter(expr("l_shipdate >= date'1996-01-01' AND " +
+        "l_shipdate <= date'1996-01-31'"))
+      .groupBy(col("l_returnflag").as("grp"),
+        col("l_shipdate").cast("date").as("d"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * lit(100))
+        .cast("bigint").as("rev_cents"),
+        count(lit(1)).as("n"))
+    grps.crossJoin(broadcast(days))
+      .join(daily, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"),
+        coalesce(col("rev_cents"), lit(0L)).as("rev_cents"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("grp", "d")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q75_densify" -> q75,
     "q74_funnel" -> q74,
     "q73_fill_forward" -> q73,
     "q69_cume_dist" -> q69,
@@ -137,6 +165,24 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q75_densify" ->
+      """WITH days AS (SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+        |    DATE '1996-01-31', INTERVAL 1 DAY)) AS DATE) AS d),
+        |grps AS (SELECT DISTINCT l_returnflag AS grp FROM lineitem),
+        |daily AS (SELECT l_returnflag AS grp, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents,
+        |    count(*) AS n
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate <= DATE '1996-01-31'
+        |  GROUP BY grp, d)
+        |SELECT g.grp AS grp, days.d AS d,
+        |  coalesce(daily.rev_cents, 0) AS rev_cents,
+        |  coalesce(daily.n, 0) AS n
+        |FROM grps g CROSS JOIN days
+        |LEFT JOIN daily ON daily.grp = g.grp AND daily.d = days.d
+        |ORDER BY g.grp, days.d""".stripMargin,
     "q74_funnel" ->
       """WITH a AS (SELECT user_id, event_type, ts,
         |   min(CASE WHEN event_type = 'click' THEN ts END)

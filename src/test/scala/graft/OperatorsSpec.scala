@@ -111,6 +111,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 densify emits every calendar cell and zero-fills the gaps") {
+    val rows = operators.Analytics.q75(t).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2), r.getLong(3)))
+    val groups = rows.map(_._1).distinct
+    // every group covers all 31 January days
+    groups.foreach { g =>
+      assert(rows.count(_._1 == g) == 31, s"group $g must have 31 days")
+    }
+    // sf0.001 has day gaps: the zero-fill path must actually fire, and a
+    // zero-revenue day is exactly a zero-count day
+    val zeroDays = rows.filter(_._4 == 0L)
+    assert(zeroDays.nonEmpty, "fixture SF must exercise the gap fill")
+    assert(zeroDays.forall(_._3 == 0L))
+  }
+
   test("q43 stratified sample respects fractions roughly") {
     val sampled = operators.Relational.q43(t).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
