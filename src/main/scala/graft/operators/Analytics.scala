@@ -155,7 +155,28 @@ object Analytics {
       .orderBy("grp", "d")
   }
 
+  /** q76 — XML ingest (Spark 4 from_xml with an explicit DDL schema):
+    * round-trips each event through an XML payload and aggregates the
+    * parsed fields. The oracle computes the same aggregate from the raw
+    * columns, so any parse/format divergence (numeric repr, field
+    * mapping, null handling) fails the compare — the identity IS the
+    * test. Never schema_of_xml at scale: inference is an extra full
+    * scan; the explicit schema keeps the parse one codegen'd map pass. */
+  def q76(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        format_string("<e><u>%d</u><v>%s</v></e>",
+          col("user_id"), col("value")).as("x"))
+      .select(col("event_type"),
+        expr("from_xml(x, 'u BIGINT, v DOUBLE')").as("p"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.u")).as("sum_u"),
+        round(sum(col("p.v")), 2).as("sum_v"))
+      .orderBy("event_type")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q76_xml_ingest" -> q76,
     "q75_densify" -> q75,
     "q74_funnel" -> q74,
     "q73_fill_forward" -> q73,
@@ -165,6 +186,11 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q76_xml_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(user_id) AS BIGINT) AS sum_u,
+        | round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q75_densify" ->
       """WITH days AS (SELECT CAST(unnest(generate_series(DATE '1996-01-01',
         |    DATE '1996-01-31', INTERVAL 1 DAY)) AS DATE) AS d),
