@@ -175,7 +175,35 @@ object Analytics {
         round(sum(col("p.v")), 2).as("sum_v"))
       .orderBy("event_type")
 
+  /** q77 — SCD type-2 build: collapse each user's event stream into
+    * validity intervals [valid_from, valid_to) that change only when the
+    * tracked attribute (event_type) changes — the dimension-history
+    * primitive every warehouse maintains. Change detection (lag) and
+    * interval close (lead) are windows over the same user_id
+    * partitioning: one shuffle builds the whole history. Open versions
+    * carry NULL valid_to. */
+  def q77(t: Tables): DataFrame = {
+    val byU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val chg = t.events
+      .withColumn("prev", lag(col("event_type"), 1).over(byU))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"))
+    val scd = chg.withColumn("valid_to",
+      lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("event_id"))))
+    scd.groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+        sum(unix_timestamp(coalesce(col("valid_to"), col("valid_from"))) -
+          unix_timestamp(col("valid_from"))).as("total_sec"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q77_scd2" -> q77,
     "q76_xml_ingest" -> q76,
     "q75_densify" -> q75,
     "q74_funnel" -> q74,
@@ -186,6 +214,23 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q77_scd2" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, ts, event_type FROM o
+        |        WHERE prev IS NULL OR event_type <> prev),
+        |scd AS (SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to
+        |  FROM chg)
+        |SELECT user_id, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_open,
+        |  CAST(sum(date_diff('second', valid_from,
+        |    coalesce(valid_to, valid_from))) AS BIGINT) AS total_sec
+        |FROM scd GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q76_xml_ingest" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(user_id) AS BIGINT) AS sum_u,

@@ -384,7 +384,26 @@ object TextOps {
 
   def t14(t: Tables): DataFrame = piiScrub(t.documents)
 
+  /** t15 — corpus-mix diagnostics: per source, the Shannon entropy of
+    * its language distribution — the balance signal a multi-source
+    * corpus build monitors (entropy 0 = monolingual source; ln(k) =
+    * uniform over k languages). Two tiny keyed aggregations; the
+    * entropy itself sums ≤ #languages doubles per source. */
+  def t15(t: Tables): DataFrame = {
+    val c = t.documents.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("source").agg(sum(col("n")).as("tot"))
+    c.join(tot, "source")
+      .groupBy(col("source"), col("tot"))
+      .agg(count(lit(1)).as("n_langs"),
+        round(-sum((col("n") / col("tot")) * log(col("n") / col("tot"))), 4)
+          .as("lang_entropy"))
+      .select(col("source"), col("tot").cast("bigint").as("n_docs"),
+        col("n_langs"), col("lang_entropy"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t15_lang_entropy" -> t15,
     "t14_pii_scrub" -> t14,
     "t13_novelty" -> t13,
     "t12_chunk_split" -> t12,
@@ -521,6 +540,15 @@ object TextOps {
          |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
          |FROM corpus JOIN bench USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t15_lang_entropy" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n
+        |          FROM documents GROUP BY source, lang),
+        |t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+        |SELECT c.source AS source, CAST(t.tot AS BIGINT) AS n_docs,
+        |  count(*) AS n_langs,
+        |  round(-sum((n / t.tot) * ln(n / t.tot)), 4) AS lang_entropy
+        |FROM c JOIN t ON c.source = t.source
+        |GROUP BY c.source, t.tot ORDER BY source""".stripMargin,
     "t14_pii_scrub" ->
       raw"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text,
