@@ -26,8 +26,11 @@ object SparkEntry {
       lift(Analytics.queries) ++
       lift(TextOps.queries) ++ lift(Dedup.queries) ++
       lift(Similarity.queries) ++
-      Map("m01_media_features" -> ((s: SparkSession, _: String) =>
-        graft.multimodal.BinaryPipeline.m01(s)))
+      Map(
+        "m01_media_features" -> ((s: SparkSession, _: String) =>
+          graft.multimodal.BinaryPipeline.m01(s)),
+        "m02_frame_sample" -> ((s: SparkSession, _: String) =>
+          graft.multimodal.BinaryPipeline.m02(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -161,6 +161,22 @@ object BinaryPipeline {
       .orderBy("modality")
   }
 
+  /** m02 — frame sampling as a graded query: every 2nd frame of each
+    * synthesized payload, aggregated per modality (frame counts, bytes
+    * retained). The explode is flatMap (map-side, output rows ∝ frames /
+    * stride); only the tiny per-modality aggregate shuffles. Rows-only
+    * for the same reason as m01. */
+  def m02(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    sampleFrames(synthesize(spark, 2000), stride = 2)
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("media_id")).as("n_media"),
+        sum(length(col("frame_bytes"))).as("bytes_kept"))
+      .orderBy("modality")
+  }
+
   /** Join extracted media features back to their source documents —
     * multimodal columns co-live with text in one table. */
   def joinWithDocuments(features: Dataset[MediaFeatures], docs: DataFrame): DataFrame =

@@ -42,4 +42,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.count() == 40)
     assert(joined.columns.contains("lang"))
   }
+
+  test("m02 frame sampling is deterministic: stride-2 keeps frames 0 and 2") {
+    val rows = BinaryPipeline.m02(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // 2000 media, id%3==0 -> audio (667), else image (1333); 64-byte body
+    // = 4 frames of 16 bytes; stride 2 keeps 2 frames x 16 bytes each
+    assert(rows("audio") == ((1334L, 667L, 21344L)), s"audio: ${rows("audio")}")
+    assert(rows("image") == ((2666L, 1333L, 42656L)), s"image: ${rows("image")}")
+  }
 }
