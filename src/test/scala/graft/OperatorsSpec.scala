@@ -13,8 +13,17 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("every SURVEY §2 query runs and q-oracle keys line up") {
     val qs = SparkEntry.queries
-    assert(qs.size >= 41, s"expected >=41 inventory entries, got ${qs.size}")
+    assert(qs.size >= 109, s"expected >=109 inventory entries, got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // the inventory is a ++ of module maps: a duplicated key would
+    // silently drop an operator — the merged size must equal the sum
+    val moduleSizes =
+      operators.Reference.queries.size + operators.Relational.queries.size +
+        operators.Extended.queries.size + operators.Grouped.queries.size +
+        operators.Analytics.queries.size + text.TextOps.queries.size +
+        dedup.Dedup.queries.size + similarity.Similarity.queries.size + 2
+    assert(qs.size == moduleSizes,
+      s"key collision between module query maps: ${qs.size} != $moduleSizes")
   }
 
   test("driver entry() returns rows at sf0.001") {
