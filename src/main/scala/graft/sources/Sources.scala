@@ -165,7 +165,12 @@ object PartitionedWriter {
       min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
     def scaled(c: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (col(c).cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+      // scale in double: (x-lo)*65535 in long arithmetic overflows for
+      // ranges wider than 2^63/65535 (epoch-nano columns); the double
+      // path loses only sub-bucket precision, which the 16-bit
+      // quantization discards anyway
+      else ((col(c).cast("double") - lit(lo.toDouble)) * lit(65535.0)
+        / lit((hi - lo).toDouble)).cast("long")
     val z = spread16(scaled(c1, lo1, hi1).cast("long"))
       .bitwiseOR(shiftleft(spread16(scaled(c2, lo2, hi2).cast("long")), 1))
     df.withColumn("__z", z)
