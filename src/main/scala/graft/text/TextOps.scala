@@ -402,7 +402,36 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t16 — sequence packing: assign documents to fixed token-budget
+    * packs (the context-window packing step between chunking and
+    * tokenization). Approximate boundary semantics — pack_id =
+    * cumulative-tokens-before DIV budget, so a document may straddle a
+    * boundary — which is the standard streaming-packer behavior and
+    * keeps the operator a pure window + integer arithmetic (exact
+    * greedy reset is inherently sequential state). Packing is PER
+    * SOURCE: the running sum partitions by source, so no global-order
+    * single-task window exists at any scale; integer-only outputs are
+    * hash-stable by construction. */
+  def t16(t: Tables): DataFrame = {
+    val Budget = 512
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("source"), col("doc_id"),
+        expr(s"cast(size($tokensExpr) as bigint)").as("n_tokens"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"cum_before div $Budget"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t16_seq_packing" -> t16,
     "t15_lang_entropy" -> t15,
     "t14_pii_scrub" -> t14,
     "t13_novelty" -> t13,
@@ -540,6 +569,21 @@ object TextOps {
          |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
          |FROM corpus JOIN bench USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t16_seq_packing" ->
+      raw"""WITH toks AS (SELECT source, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |packed AS (SELECT source, doc_id, n_tokens,
+         |    CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+         |      // 512 AS BIGINT) AS pack_id
+         |  FROM toks)
+         |SELECT source, pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM packed GROUP BY source, pack_id
+         |ORDER BY source, pack_id""".stripMargin,
     "t15_lang_entropy" ->
       """WITH c AS (SELECT source, lang, count(*) AS n
         |          FROM documents GROUP BY source, lang),
