@@ -202,7 +202,41 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q78 — multiset set operations (INTERSECT ALL / EXCEPT ALL):
+    * bag semantics complete q36's distinct-set surface — duplicates
+    * count, which matters when the operands are fact keys. Spark plans
+    * both as a single aggregate-join on the value (count-min per side),
+    * shuffle ∝ distinct values. */
+  def q78(t: Tables): DataFrame = {
+    val c = t.customer.select(col("c_nationkey").as("k"))
+    val s = t.supplier.select(col("s_nationkey").as("k"))
+    val ia = c.intersectAll(s)
+      .agg(count(lit(1)).as("n")).select(lit("intersect_all").as("op"), col("n"))
+    val ea = c.exceptAll(s)
+      .agg(count(lit(1)).as("n")).select(lit("except_all").as("op"), col("n"))
+    ia.unionByName(ea).orderBy("op")
+  }
+
+  /** q79 — error-tolerant arithmetic (try_divide): division by zero
+    * yields NULL instead of an ANSI runtime error, with null accounting —
+    * the per-row fault-tolerance semantics a 100 TB job needs (one bad
+    * divisor must not kill a task). The sum is reported in thousands:
+    * a raw ~3e10 double sum's summation-order noise (~0.1) would sit ON
+    * a 2dp rounding boundary; at 1e-3 scale the noise is 5 orders below
+    * the grid. */
+  def q79(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_returnflag").as("grp"),
+        expr("try_divide(l_extendedprice, l_discount)").as("ratio"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        count(col("ratio")).as("n_divisible"),
+        round(sum(col("ratio")) / lit(1000), 2).as("sum_ratio_k"))
+      .orderBy("grp")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q79_try_arithmetic" -> q79,
+    "q78_setops_all" -> q78,
     "q77_scd2" -> q77,
     "q76_xml_ingest" -> q76,
     "q75_densify" -> q75,
@@ -214,6 +248,22 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q78_setops_all" ->
+      """SELECT 'intersect_all' AS op, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except_all', count(*) FROM (
+        |  SELECT c_nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY op""".stripMargin,
+    "q79_try_arithmetic" ->
+      """SELECT l_returnflag AS grp, count(*) AS n,
+        | CAST(count(CASE WHEN l_discount <> 0 THEN 1 END) AS BIGINT)
+        |   AS n_divisible,
+        | round(sum(CASE WHEN l_discount <> 0
+        |   THEN l_extendedprice / l_discount END) / 1000, 2) AS sum_ratio_k
+        |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
     "q77_scd2" ->
       """WITH o AS (SELECT user_id, event_id, ts, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
