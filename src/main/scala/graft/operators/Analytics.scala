@@ -234,7 +234,20 @@ object Analytics {
         round(sum(col("ratio")) / lit(1000), 2).as("sum_ratio_k"))
       .orderBy("grp")
 
+  /** q80 — GROUP BY ALL / ORDER BY ALL (Spark 4 dialect sugar, matching
+    * DuckDB's): every non-aggregate select item groups, every column
+    * orders — the ad-hoc-analytics spelling; plans identically to the
+    * explicit GROUP BY (same hash aggregate + range sort). */
+  def q80(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT l_returnflag AS grp, l_linestatus AS status,
+        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q80_group_by_all" -> q80,
     "q79_try_arithmetic" -> q79,
     "q78_setops_all" -> q78,
     "q77_scd2" -> q77,
@@ -248,6 +261,10 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q80_group_by_all" ->
+      """SELECT l_returnflag AS grp, l_linestatus AS status,
+        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
     "q78_setops_all" ->
       """SELECT 'intersect_all' AS op, count(*) AS n FROM (
         |  SELECT c_nationkey AS k FROM customer
