@@ -62,7 +62,9 @@ object Bench {
     println(line)
     // Stdout from sbt drowns/truncates the JSON line (round-1 BENCH had
     // "parsed": null) — also persist it to a file the driver/judge can read.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Default under tmpdir so unconfigured runs never dirty the checkout.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("java.io.tmpdir"), "bench_out.json").getPath)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
