@@ -189,19 +189,21 @@ object Dedup {
       d02(t).select(col("doc_a"), col("doc_b")).localCheckpoint())
   }
 
-  /** d06 — duplicate clusters: connected components over the MinHash
-    * candidate-pair graph (est ≥ threshold), via iterative min-label
-    * propagation — each round, every node takes the minimum component id
-    * among itself and its neighbors; converges in O(diameter) ≤ O(log n)
-    * rounds for dedup graphs (tiny diameters in practice). Each round is
-    * ONE Spark action: the convergence check rides the checkpoint
-    * materialization as an `observe` metric instead of a separate count
-    * job (halves the per-round job count — job overhead, not data volume,
-    * dominated this query's cost). No driver-side graph.
-    * Survivor = min doc_id of the cluster (matches d01/pipeline policy).
-    * Rows-only (pairs come from the custom MinHash kernel). */
-  def d06(t: Tables): DataFrame = {
-    val pairs = candidatePairs(t)
+  /** Min-label propagation over an undirected pair list: each round,
+    * every node takes the minimum component id among itself and its
+    * neighbors; converges in O(diameter) rounds. Each round is ONE Spark
+    * action — the convergence check rides the checkpoint materialization
+    * as an `observe` metric instead of a separate count job — and ONE
+    * edge-list join, so per-round cost is O(edges) shuffled on node id,
+    * independent of the round number (the lineage is truncated by the
+    * checkpoint, never re-executed). No driver-side graph. Returns
+    * (labels, rounds-used); throws rather than silently returning split
+    * components when `maxRounds` is hit — a caller clustering a graph
+    * with a longer diameter raises the cap (DedupFixtureSpec drives a
+    * planted >cap path graph through exactly that: default cap throws,
+    * raised cap converges). */
+  private[graft] def minLabelPropagation(pairs: DataFrame,
+                                         maxRounds: Int = 20): (DataFrame, Int) = {
     // materialize the edge list once — every propagation round joins it
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -210,7 +212,7 @@ object Dedup {
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, edges("doc_b") === labels("id"))
         .groupBy(col("doc_a").as("id"))
@@ -232,8 +234,17 @@ object Dedup {
     // diameter > rounds would still be split across labels here.
     if (changed > 0)
       throw new IllegalStateException(
-        s"d06 min-label propagation did not converge in $rounds rounds " +
+        s"min-label propagation did not converge in $rounds rounds " +
           s"($changed labels still changing); raise the round cap")
+    (labels, rounds)
+  }
+
+  /** d06 — duplicate clusters: connected components over the MinHash
+    * candidate-pair graph (est ≥ threshold), via [[minLabelPropagation]].
+    * Survivor = min doc_id of the cluster (matches d01/pipeline policy).
+    * Rows-only (pairs come from the custom MinHash kernel). */
+  def d06(t: Tables): DataFrame = {
+    val (labels, _) = minLabelPropagation(candidatePairs(t))
     labels
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"),

@@ -63,26 +63,36 @@ object TrainingDataPipeline {
     * (no shingle materialization). Pair generation inside normal-size
     * buckets is the SHARED dedup machinery (Dedup.bucketPairs — one
     * definition of the band-bucket pair join for the whole library).
+    *
     * Oversized buckets are NOT dropped: hot buckets are exactly the
     * correlated-boilerplate case where >MaxBucket near-identical docs
     * exceed the cap in EVERY band, so dropping would retain the hottest
-    * duplicate clusters. Each oversized bucket instead elects a
-    * representative (min doc_id) and every other member loses to it
-    * after a signature check — O(bucket) work, never O(bucket²).
+    * duplicate clusters. They are resolved ITERATIVELY, `hotRounds`
+    * representative elections deep:
+    *   round — every bucket at or under the cap exits to the normal
+    *   O(bucket²) pair path; each oversized bucket elects a
+    *   representative (min doc_id), members estimated-similar to the rep
+    *   are dropped as losers, and the remaining members (minus the rep,
+    *   whose pairs were all just checked) RE-ENTER the next round.
+    * Each election is O(bucket) work and removes the rep's entire
+    * similarity cluster, so a hot bucket made of c mutually-near-dup
+    * cliques resolves in ≤ c elections: members near-dup of EACH OTHER
+    * but not of the first representative — the recall hole of a
+    * single-shot rep shortcut — are caught by a later election or, once
+    * the bucket shrinks under the cap, by the exact pair path
+    * (PipelineSpec plants exactly that fixture).
     *
-    * RECALL BOUND of the representative shortcut: within an oversized
-    * bucket, only members estimated-similar TO THE REPRESENTATIVE are
-    * removed. Two members that are near-dups of each other but both
-    * < minEst vs the rep stay — if they also share no normal-size bucket
-    * in any other band, that pair is missed. This is the deliberate
-    * trade: for the boilerplate clusters that create hot buckets, the
-    * cluster is dense around its medoid and the miss probability decays
-    * with the other Bands-1 bands; an exhaustive in-bucket pass would be
-    * O(bucket²) on exactly the buckets where that blows up. Callers
-    * needing full recall inside hot buckets should re-run the pipeline
-    * (survivors of a hot bucket are < MaxBucket on the next pass, so the
-    * residual pairs take the normal pair path). */
-  def nearDupRemoval(docs: DataFrame, minEst: Double = 0.8): DataFrame = {
+    * RESIDUAL BOUND: only a bucket still over the cap after `hotRounds`
+    * elections leaves pairs unchecked — which requires > hotRounds
+    * mutually-dissimilar clusters of docs co-hashing in ONE band while
+    * sharing no normal-size bucket in any other band; the miss
+    * probability decays with the other Bands-1 bands, and those pairs
+    * are < minEst-similar to every elected rep, i.e. the bucket is
+    * mostly non-dup mass by construction. Raise `hotRounds` (cost is
+    * one size-count + one broadcast-size join per round on the shrinking
+    * hot remnant, never O(bucket²)) for full in-bucket recall. */
+  def nearDupRemoval(docs: DataFrame, minEst: Double = 0.8,
+                     hotRounds: Int = 3): DataFrame = {
     val MaxBucket = 64
     val sigs = docs
       .withColumn("toks", expr(exprs.wsTokensSql))
@@ -91,22 +101,43 @@ object TrainingDataPipeline {
       posexplode(array((0 until Bands).map(b =>
         slice(col("sig"), b * (K / Bands) + 1, K / Bands)): _*))
         .as(Seq("band_id", "band_sig")))
-    val pairLosers = graft.dedup.Dedup.bucketPairs(banded)
+
+    var pending = banded
+    var normalParts = Vector.empty[DataFrame]
+    var hotLoserParts = Vector.empty[DataFrame]
+    for (_ <- 0 until hotRounds) {
+      // oversized-bucket keys of the CURRENT remnant (first round: all
+      // buckets). The key set shrinks every round; AQE broadcasts it.
+      val hotKeys = pending
+        .groupBy("band_id", "band_sig")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > MaxBucket)
+        .select("band_id", "band_sig")
+      normalParts :+= pending.join(hotKeys, Seq("band_id", "band_sig"), "left_anti")
+      val reps = pending
+        .join(hotKeys, Seq("band_id", "band_sig"), "left_semi")
+        .groupBy("band_id", "band_sig")
+        .agg(min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("rep"))
+        .select(col("band_id"), col("band_sig"),
+          col("rep.doc_id").as("rep_id"), col("rep.payload").as("rep_sig"))
+      val members = pending
+        .join(reps, Seq("band_id", "band_sig"))
+        .filter(col("doc_id") =!= col("rep_id"))
+        .withColumn("rep_sim",
+          exprs.jaccard_est(col("payload"), col("rep_sig")) >= minEst)
+      hotLoserParts :+= members.filter(col("rep_sim")).select("doc_id")
+      pending = members.filter(!col("rep_sim"))
+        .select("doc_id", "payload", "band_id", "band_sig")
+    }
+    // Rounds exhausted: route what shrank under the cap to the pair path;
+    // a bucket STILL oversized is the documented residual (bucketPairs'
+    // internal gate drops it rather than going O(bucket²)).
+    normalParts :+= pending
+    val pairLosers = graft.dedup.Dedup
+      .bucketPairs(normalParts.reduce(_.unionByName(_)))
       .filter(exprs.jaccard_est(col("p_a"), col("p_b")) >= minEst)
       .select(col("doc_b").as("doc_id"))
-    val hotReps = banded
-      .groupBy("band_id", "band_sig")
-      .agg(count(lit(1)).as("bsz"),
-        min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("rep"))
-      .filter(col("bsz") > MaxBucket)
-      .select(col("band_id"), col("band_sig"),
-        col("rep.doc_id").as("rep_id"), col("rep.payload").as("rep_sig"))
-    val hotLosers = banded
-      .join(hotReps, Seq("band_id", "band_sig"))
-      .filter(col("doc_id") =!= col("rep_id") &&
-        exprs.jaccard_est(col("payload"), col("rep_sig")) >= minEst)
-      .select("doc_id")
-    val losers = pairLosers.union(hotLosers).distinct()
+    val losers = pairLosers.union(hotLoserParts.reduce(_.union(_))).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -158,4 +158,37 @@ class DedupFixtureSpec extends AnyFunSuite {
     assert(expected.exists { case (root, n, members) =>
       root == 1L && members.split(",").length >= 3 && n >= 3 })
   }
+
+  test("min-label propagation: diameter > cap throws; raised cap converges on a path graph") {
+    val spark = t.spark
+    import spark.implicits._
+    // planted path 0-1-2-…-29: diameter 29 exceeds the default 20-round
+    // cap. The contract is throw-don't-lie: an unconverged graph must
+    // never come back as silently split components.
+    val path = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException](Dedup.minLabelPropagation(path))
+    assert(ex.getMessage.contains("raise the round cap"))
+    // raising the cap is the documented remedy and must converge cleanly:
+    // min label 0 walks one hop per round → 29 propagation rounds + 1
+    // no-change round, well under the raised cap.
+    val (labels, rounds) = Dedup.minLabelPropagation(path, maxRounds = 40)
+    assert(rounds == 30, s"path diameter sets the round count (got $rounds)")
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 30 && comps.values.forall(_ == 0L),
+      "every path node must join the min-id component")
+  }
+
+  test("min-label propagation: a large star cluster converges in O(1) rounds, not O(nodes)") {
+    val spark = t.spark
+    import spark.implicits._
+    // star with 500 leaves: rounds must track the DIAMETER (2), not the
+    // member count — the hot-cluster shape at web scale. Per-round cost
+    // is one O(edges) join; a round count independent of n pins the
+    // total at O(edges · diameter).
+    val star = (1L to 500L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.minLabelPropagation(star)
+    assert(rounds <= 2, s"star must converge in ≤2 rounds (got $rounds)")
+    val comps = labels.collect().map(r => r.getLong(1)).distinct
+    assert(comps.toSeq == Seq(0L), "all star members take the center's label")
+  }
 }

@@ -104,6 +104,59 @@ class PipelineSpec extends AnyFunSuite {
       "unique docs must be untouched")
   }
 
+  test("hot-bucket recall: clique dissimilar to every bucket's min-id rep still collapses") {
+    import spark.implicits._
+    import graft.functions.HashImpls
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // The recall hole of a SINGLE-SHOT representative pass: members of an
+    // oversized bucket that are near-dups of EACH OTHER but not of the
+    // min-doc_id representative are never paired. Fixture: a 70-doc
+    // identical clique (ids 10..79 — over MaxBucket=64 in every band) plus,
+    // for each of the 8 bands, an outsider with a SMALLER id whose text is
+    // the clique text diluted with filler — est-Jaccard vs the clique well
+    // under the 0.8 threshold, yet (searched deterministically under the
+    // fixed MinHash seed) keeping the clique's signature in exactly that
+    // band. So the min-id rep of EVERY hot bucket is a dissimilar
+    // outsider: one rep election drops nobody, and only the iterative
+    // re-entry (outsider rep retired → clique re-elects doc 10) collapses
+    // the clique.
+    def sig(s: String): Seq[Long] =
+      HashImpls.minhashNgrams(
+        new GenericArrayData(s.trim.split("\\s+").map(UTF8String.fromString)),
+        3, 32, 42L).toSeq
+    def bands(s: Seq[Long]): Seq[Seq[Long]] = s.grouped(4).toSeq
+    val cliqueText = (1 to 40).map(i => s"cw$i").mkString(" ")
+    val cliqueBands = bands(sig(cliqueText))
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y } / 32.0
+    // deterministic search: fixed RNG, fixed seed, same winners every run
+    val rng = new scala.util.Random(7L)
+    val outsiderByBand = scala.collection.mutable.Map.empty[Int, String]
+    var tries = 0
+    while (outsiderByBand.size < 8 && tries < 3000) {
+      tries += 1
+      val text = cliqueText + " " +
+        (1 to 40).map(_ => s"xw${rng.nextInt(1000000)}").mkString(" ")
+      val s = sig(text)
+      val hits = cliqueBands.indices.filter(b => bands(s)(b) == cliqueBands(b))
+      if (hits.size == 1 && est(s, sig(cliqueText)) < 0.7 &&
+        !outsiderByBand.contains(hits.head))
+        outsiderByBand(hits.head) = text
+    }
+    assert(outsiderByBand.size == 8,
+      s"fixture search must cover all 8 bands (found ${outsiderByBand.keySet})")
+    val outsiders = (0 until 8).map(b => (b.toLong, outsiderByBand(b)))
+    val clique = (10L until 80L).map(i => (i, cliqueText))
+    val uniq = (100L until 103L).map(i =>
+      (i, s"distinct doc $i " + (1 to 12).map(j => s"u${i}x$j").mkString(" ")))
+    val docs = (outsiders ++ clique ++ uniq).toDF("doc_id", "text")
+    val kept = TrainingDataPipeline.nearDupRemoval(docs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == ((0L until 8L) ++ Seq(10L) ++ (100L until 103L)),
+      s"clique must collapse to doc 10 despite dissimilar reps (kept: $kept)")
+  }
+
   test("observe metrics accumulate data-quality counters during the job") {
     val df = TrainingDataPipeline.curatedWithMetrics(t)
     // the metrics belong to the QueryExecution that ran the action, so
