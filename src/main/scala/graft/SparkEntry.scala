@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Extended, Grouped, Reference, Relational}
+import graft.operators.{Analytics, CatalogOps, Extended, Grouped, Reference, Relational}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     lift(Reference.queries) ++ lift(Relational.queries) ++
       lift(Extended.queries) ++ lift(Grouped.queries) ++
-      lift(Analytics.queries) ++
+      lift(Analytics.queries) ++ lift(CatalogOps.queries) ++
       lift(TextOps.queries) ++ lift(Dedup.queries) ++
       lift(Similarity.queries) ++
       Map(
@@ -36,6 +36,6 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Extended.oracles ++
-      Grouped.oracles ++ Analytics.oracles ++
+      Grouped.oracles ++ Analytics.oracles ++ CatalogOps.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

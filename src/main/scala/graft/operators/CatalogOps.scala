@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** The reference's metastore workflow end-to-end: its whole analysis runs
+  * through catalog DDL — external CSV tables, then a CLUSTERED BY
+  * (tip_amount) SORTED INTO 5 BUCKETS ORC table the queries read (ref
+  * Surabhi_Srinath_NYC_Taxi_Assignment_FInal.txt lines 32–55, 251–283).
+  * PartitionedWriter.writeBucketedTable proves the DDL write; this
+  * operator closes the loop by QUERYING through the catalog: the fact
+  * tables are registered as bucketed+sorted `saveAsTable` tables
+  * (co-bucketed on the join key) and the join runs via `spark.sql`
+  * against the catalog names.
+  *
+  * Scale shape — the point of the bucketed layout: both sides of
+  * orders⨝lineitem are bucketed INTO the same bucket count ON the join
+  * key, so the sort-merge join consumes the bucket layout directly with
+  * ZERO Exchange (and zero per-query sort: files are sorted within
+  * buckets). At 100 TB this converts the most expensive repeated shuffle
+  * of a star-schema workload into a one-time layout cost at write time —
+  * PlanAuditSpec pins the exchange-free plan.
+  */
+object CatalogOps {
+
+  private val NBuckets = 8
+
+  /** Catalog table names per (app, dir, content) — the bucketed layout is
+    * written ONCE per corpus snapshot and reused by every query against
+    * it (the same index-artifact pattern as the IVF/PQ codebooks). The
+    * fingerprint key makes a regenerated data dir rebuild the tables
+    * rather than serve stale buckets; the app id scopes names to this
+    * session's (in-memory) catalog. */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[graft] def bucketedTables(t: Tables): (String, String) = {
+    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:" +
+      s"${t.tableFingerprint("orders")}:${t.tableFingerprint("lineitem")}"
+    tableCache.getOrElseUpdate(key, {
+      // name by content hash so two sf dirs in one session coexist
+      val suffix = (key.hashCode.toLong & 0xffffffffL).toHexString
+      val ordersTable = s"graft_cat_orders_$suffix"
+      val lineitemTable = s"graft_cat_lineitem_$suffix"
+      t.orders.write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordersTable)
+      t.lineitem.write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy")
+        .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lineitemTable)
+      (ordersTable, lineitemTable)
+    })
+  }
+
+  /** q81 — order-status revenue through the catalog path: SQL over the
+    * co-bucketed tables; the join inputs read bucket-locally (no
+    * Exchange below the join). Oracle runs the same logical query on the
+    * raw parquet — identical results prove the bucketed layout is a pure
+    * physical optimization. */
+  def q81(t: Tables): DataFrame = {
+    val (ordersTable, lineitemTable) = bucketedTables(t)
+    t.spark.sql(
+      s"""SELECT o_orderstatus AS status,
+         |  count(*) AS n_items,
+         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         |FROM $lineitemTable JOIN $ordersTable ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus
+         |ORDER BY status""".stripMargin)
+  }
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "q81_catalog_bucketed_join" -> q81)
+
+  val oracles: Map[String, String] = Map(
+    "q81_catalog_bucketed_join" ->
+      """SELECT o_orderstatus AS status,
+        | count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin)
+}

@@ -179,6 +179,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("co-bucketed catalog tables sort-merge join with zero Exchange") {
+    val t = TestSpark.tables
+    val (ordersTable, lineitemTable) = operators.CatalogOps.bucketedTables(t)
+    val plan = withoutAutoBroadcast {
+      spark.sql(
+        s"""SELECT l_orderkey, o_orderstatus, l_quantity
+           |FROM $lineitemTable JOIN $ordersTable ON l_orderkey = o_orderkey"""
+          .stripMargin)
+        .queryExecution.executedPlan.toString
+    }
+    // both sides are bucketed INTO the same count ON the join key: the
+    // sort-merge join must consume the bucket layout directly — at 100 TB
+    // this is the reference's CLUSTERED BY promise (one layout write
+    // replaces the per-query fact shuffle)
+    assert(plan.contains("SortMergeJoin"),
+      s"bucketed fact join should sort-merge:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed join must plan ZERO shuffles:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scans must report the bucketed layout:\n$plan")
+  }
+
   test("salted join result equals the plain join") {
     val t = TestSpark.tables
     import org.apache.spark.sql.functions._
