@@ -246,7 +246,49 @@ object Analytics {
         |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
   }
 
+  /** q82 — MERGE INTO semantics (the CDC upsert: WHEN MATCHED UPDATE /
+    * WHEN MATCHED AND del DELETE / WHEN NOT MATCHED INSERT) as the
+    * Spark-first composition open-table formats run under the hood: a
+    * single full-outer join of target and changeset on the key, row fate
+    * decided by CASE. The changeset is derived deterministically from
+    * the target itself (keys %7 update, %11 delete — delete wins on
+    * overlap — plus 5 synthetic inserts above max key) so the oracle is
+    * pure SQL.
+    *
+    * Scale shape: ONE shuffle of each side on the merge key (broadcast
+    * when the changeset is small — the common CDC case; AQE decides).
+    * At 100 TB the missing piece vs Delta/Iceberg MERGE is file-level
+    * pruning of untouched partitions, which is a storage-layout
+    * concern — the join itself IS the merge kernel those formats
+    * execute. The max-key scalar rides a broadcast, not a collect. */
+  def q82(t: Tables): DataFrame = {
+    val c = t.customer
+    val mx = c.agg(max(col("c_custkey")).as("mxk"))
+    val updates = c
+      .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey").as("k"), (col("c_acctbal") + 100).as("new_bal"),
+        lit("update").as("op"), lit(null).cast("string").as("new_seg"))
+    val deletes = c.filter(col("c_custkey") % 11 === 0)
+      .select(col("c_custkey").as("k"), lit(null).cast("double").as("new_bal"),
+        lit("delete").as("op"), lit(null).cast("string").as("new_seg"))
+    val inserts = t.spark.range(1, 6).toDF("i")
+      .crossJoin(broadcast(mx))
+      .select((col("mxk") + col("i")).as("k"), lit(500.0).as("new_bal"),
+        lit("insert").as("op"), lit("NEW").as("new_seg"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    c.join(changes, col("c_custkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(
+        when(col("op").isin("update", "insert"), col("new_bal"))
+          .otherwise(col("c_acctbal")).as("bal"),
+        coalesce(col("c_mktsegment"), col("new_seg")).as("seg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("bal")), 2).as("sum_bal"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q82_merge_upsert" -> q82,
     "q80_group_by_all" -> q80,
     "q79_try_arithmetic" -> q79,
     "q78_setops_all" -> q78,
@@ -261,6 +303,27 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q82_merge_upsert" ->
+      """WITH mx AS (SELECT max(c_custkey) AS mxk FROM customer),
+        |changes AS (
+        |  SELECT c_custkey AS k, c_acctbal + 100 AS new_bal, 'update' AS op,
+        |         CAST(NULL AS VARCHAR) AS new_seg
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, 'delete', NULL
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT mxk + i, 500.0, 'insert', 'NEW'
+        |  FROM mx, UNNEST(range(1, 6)) AS t(i)),
+        |merged AS (
+        |  SELECT CASE WHEN ch.op IN ('update','insert') THEN ch.new_bal
+        |              ELSE c.c_acctbal END AS bal,
+        |    coalesce(c.c_mktsegment, ch.new_seg) AS seg
+        |  FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
+        |  WHERE ch.op IS NULL OR ch.op <> 'delete')
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(sum(bal), 2) AS sum_bal
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
     "q80_group_by_all" ->
       """SELECT l_returnflag AS grp, l_linestatus AS status,
         | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty

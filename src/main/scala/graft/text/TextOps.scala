@@ -430,7 +430,42 @@ object TextOps {
       .orderBy("source", "pack_id")
   }
 
+  /** t17 — corpus bigram-LM scoring: every document scored by the summed
+    * log-probability of its token bigrams under the MLE bigram model
+    * trained on the corpus itself — the classic cheap fluency /
+    * "pseudo-perplexity" quality signal (a doc of improbable word
+    * transitions scores low; boilerplate scores high). Log-probs are
+    * quantized per ROW to 1e-4 units and integer-summed, so the result
+    * is hash-stable across engines and summation orders (never sum raw
+    * doubles across an aggregation — the q59/q62 lesson).
+    *
+    * Scale shape: two count aggregations (bigram + unigram vocab, one
+    * shuffle each, map-side partials), then hash joins back on the
+    * token keys. The count tables are aggregated BEFORE the join (one
+    * row per n-gram), so the Zipf head skews only the probe side —
+    * rows already co-located by key; AQE's skew-join split handles a
+    * pathological head partition. Nothing is collected; vocabulary
+    * scales as corpus n-grams do. */
+  def t17(t: Tables): DataFrame = {
+    val bg = t.documents
+      .withColumn("toks", expr(tokensExpr))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> " +
+          "struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bg.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        expr("cast(round(ln(c12 / c1) * 10000) as bigint)").as("logp_q4"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_q4")).as("sum_logp_q4"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t17_bigram_lm" -> t17,
     "t16_seq_packing" -> t16,
     "t15_lang_entropy" -> t15,
     "t14_pii_scrub" -> t14,
@@ -460,6 +495,19 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t17_bigram_lm" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |       FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+         |       WHERE len(tk) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CAST(round(ln(c12 * 1.0 / c1) * 10000) AS BIGINT))
+         |    AS BIGINT) AS sum_logp_q4
+         |FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t09_normalize" ->
       """SELECT doc_id, md5(norm) AS norm_fp,
         | CAST(length(norm) AS BIGINT) AS n_norm_chars,
