@@ -49,26 +49,24 @@ object Dedup {
       |    struct(m[i].doc_id AS doc_a, m[i].payload AS p_a,
       |           m[j].doc_id AS doc_b, m[j].payload AS p_b))))""".stripMargin
 
-  /** (band_id, band_sig, doc_id, payload) → per-bucket candidate pairs.
-    * Bucket sizes are counted FIRST and out-of-range buckets dropped with
-    * a semi-join BEFORE collect_list materializes members — a pathological
-    * hot bucket (boilerplate text at web scale) never occupies executor
-    * memory. The count agg, the semi-join, and the collect agg all share
-    * the (band_id, band_sig) hash partitioning, so data still shuffles
-    * once; AQE broadcasts the (tiny) size table when it can. */
-  private[graft] def bucketPairs(banded: DataFrame): DataFrame = {
-    val keep = banded
-      .groupBy("band_id", "band_sig")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") >= 2 && col("bsz") <= MaxBucket)
-      .select("band_id", "band_sig")
+  /** (band_id, band_sig, doc_id, payload) → per-bucket candidate pairs,
+    * in ONE aggregation pass: the custom `bounded_collect` aggregate
+    * (functions.BoundedCollect) returns each bucket's TRUE row count
+    * plus at most MaxBucket+1 members, so a pathological hot bucket
+    * (boilerplate text at web scale) costs O(MaxBucket) executor memory
+    * and is dropped by its count WITHOUT its members ever having been
+    * fully buffered. One shuffle on (band_id, band_sig), and — unlike
+    * the former count-then-semi-join-then-collect shape — the banding
+    * scan and the signature kernels upstream run ONCE, not twice. */
+  private[graft] def bucketPairs(banded: DataFrame): DataFrame =
     banded
-      .join(keep, Seq("band_id", "band_sig"), "left_semi")
       .groupBy("band_id", "band_sig")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("payload")))).as("m"))
+      .agg(graft.functions.exprs.bounded_collect(
+        struct(col("doc_id"), col("payload")), MaxBucket + 1).as("bc"))
+      .filter(col("bc.n") >= 2 && col("bc.n") <= MaxBucket)
+      .select(sort_array(col("bc.members")).as("m"))
       .select(explode(expr(pairGenSql)).as("p"))
       .select("p.*")
-  }
 
   /** doc_id + MinHash sig exploded into LSH band keys. Signatures stream
     * the 3-gram bytes through the hash (minhash_ngrams) — no shingle

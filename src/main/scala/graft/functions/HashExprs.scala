@@ -449,6 +449,8 @@ object exprs {
     column(RollingHashes(expression(text), windowSize))
   def winnow_fps(text: Column, hashWin: Int = 16, winnowWin: Int = 8): Column =
     column(WinnowFps(expression(text), hashWin, winnowWin))
+  def bounded_collect(item: Column, cap: Int): Column =
+    column(BoundedCollect(expression(item), cap).toAggregateExpression())
 }
 
 /** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial

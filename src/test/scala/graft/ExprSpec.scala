@@ -129,4 +129,41 @@ class ExprSpec extends AnyFunSuite {
           org.apache.spark.unsafe.types.UTF8String.fromString)))
     assert(viaExpr == direct)
   }
+
+  test("bounded_collect: exact counts, capped members, equal to collect_list under the cap") {
+    // groups: a=3 rows (complete), b=1 row, hot=70 rows (over cap 65)
+    val rows = (1L to 3L).map(i => ("a", i, i * 10)) ++
+      Seq(("b", 9L, 90L)) ++
+      (100L until 170L).map(i => ("hot", i, i))
+    val df = rows.toDF("k", "doc_id", "payload")
+    val got = df.groupBy("k")
+      .agg(exprs.bounded_collect(struct($"doc_id", $"payload"), 65).as("bc"))
+      .select($"k", $"bc.n".as("n"), size($"bc.members").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got("a") == ((3L, 3)), "complete group keeps every member")
+    assert(got("b") == ((1L, 1)))
+    assert(got("hot") == ((70L, 65)),
+      "hot group reports its TRUE count but buffers only cap members")
+    // members of a complete group match collect_list exactly (sorted)
+    val viaBounded = df.filter($"k" === "a")
+      .groupBy("k")
+      .agg(exprs.bounded_collect(struct($"doc_id", $"payload"), 65).as("bc"))
+      .select(sort_array($"bc.members").as("m")).head().getSeq[Any](0)
+    val viaCollect = df.filter($"k" === "a")
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct($"doc_id", $"payload"))).as("m"))
+      .select($"m").head().getSeq[Any](0)
+    assert(viaBounded == viaCollect)
+  }
+
+  test("bounded_collect survives partial/merge across many partitions") {
+    // force multi-partition partial aggregation: every row its own task-ish
+    val df = spark.range(0, 200, 1, 16)
+      .select(lit("g").as("k"), col("id").as("doc_id"), (col("id") * 2).as("payload"))
+    val r = df.groupBy("k")
+      .agg(exprs.bounded_collect(struct($"doc_id", $"payload"), 50).as("bc"))
+      .select($"bc.n", size($"bc.members")).head()
+    assert(r.getLong(0) == 200L && r.getInt(1) == 50,
+      "count sums across partials; members top up to the cap during merge")
+  }
 }
