@@ -451,6 +451,8 @@ object exprs {
     column(WinnowFps(expression(text), hashWin, winnowWin))
   def bounded_collect(item: Column, cap: Int): Column =
     column(BoundedCollect(expression(item), cap).toAggregateExpression())
+  def pii_scan(text: Column): Column = column(PiiScan(expression(text)))
+  def scrub_pii(text: Column): Column = column(ScrubPii(expression(text)))
 }
 
 /** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial

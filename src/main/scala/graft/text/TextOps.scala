@@ -349,37 +349,40 @@ object TextOps {
   }
 
   /** PII patterns, scrubbed in this order (emails first — they contain
-    * dots and digits the later patterns would mangle). Both engines run
-    * the same regexes; Java regex and RE2 agree on these constructs
-    * (classes, bounded/greedy quantifiers, \b, \d). */
-  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val PiiIp = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-  private[graft] val PiiId = "\\d{6,}"
+    * dots and digits the later patterns would mangle). One definition in
+    * functions.TextScrub; both engines run the same regexes — Java regex
+    * and RE2 agree on these constructs (classes, bounded/greedy
+    * quantifiers, \b, \d). */
+  private[graft] val PiiEmail = graft.functions.TextScrub.EmailRe
+  private[graft] val PiiIp = graft.functions.TextScrub.IpRe
+  private[graft] val PiiId = graft.functions.TextScrub.IdRe
 
   /** t14 — PII scrubbing: redact emails / IPv4 addresses / long digit
     * runs (id numbers) and count hits per document — the privacy pass a
-    * released training corpus must run. Map-only (regex replace + count
-    * per row, no shuffle except the output sort); the md5 of the
+    * released training corpus must run. Map-only; the md5 of the
     * redacted text makes the oracle verify the full transformation, not
-    * just the counts. The synthetic corpus is PII-free, so the driver
-    * oracle pins zero-hit identity; the planted-PII redaction path is
-    * value-gated in TextFixtureSpec. */
+    * just the counts. Counts and redaction come from the ONE-PASS
+    * pii_scan kernel (functions.TextScrub) — the built-in spelling costs
+    * six regex scans per row (3 extract_all + 3 chained replaces), each
+    * with its own string conversion; the kernel converts once, counts
+    * without materializing match arrays, and runs the identical
+    * java.util.regex replaceAll chain, so results are bit-identical.
+    * The synthetic corpus is PII-free, so the driver oracle pins
+    * zero-hit identity; the planted-PII redaction path is value-gated
+    * in TextFixtureSpec. */
   /** The redaction transform alone (reused by the curation pipeline's
-    * scrub stage): same order, same patterns as t14. */
+    * scrub stage): same order, same patterns as t14, single pass. */
   private[graft] def scrubText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(regexp_replace(regexp_replace(c,
-      PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiId, "<ID>")
+    graft.functions.exprs.scrub_pii(c)
 
   private[graft] def piiScrub(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), graft.functions.exprs.pii_scan(col("text")).as("p"))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(PiiIp), lit(0)))
-          .cast("long").as("n_ips"),
-        size(regexp_extract_all(col("text"), lit(PiiId), lit(0)))
-          .cast("long").as("n_ids"),
-        md5(scrubText(col("text"))).as("redacted_md5"))
+        col("p.n_emails").as("n_emails"),
+        col("p.n_ips").as("n_ips"),
+        col("p.n_ids").as("n_ids"),
+        md5(col("p.scrubbed")).as("redacted_md5"))
       .orderBy("doc_id")
 
   def t14(t: Tables): DataFrame = piiScrub(t.documents)
