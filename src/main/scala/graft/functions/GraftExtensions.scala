@@ -88,7 +88,21 @@ object GraftExtensions {
       info("rolling_hashes", "rolling_hashes(text[, windowSize]) - Rabin-Karp window hashes"),
       (args: Seq[Expression]) => RollingHashes(
         args.head,
-        if (args.length > 1) intArg(args(1), "windowSize") else 16)))
+        if (args.length > 1) intArg(args(1), "windowSize") else 16)),
+    ("pii_scan",
+      info("pii_scan", "pii_scan(text) - struct(n_emails, n_ips, n_ids, scrubbed)"),
+      (args: Seq[Expression]) => PiiScan(args.head)),
+    ("scrub_pii",
+      info("scrub_pii", "scrub_pii(text) - text with emails/IPs/id numbers redacted"),
+      (args: Seq[Expression]) => ScrubPii(args.head)),
+    ("norm_scan",
+      info("norm_scan", "norm_scan(text) - struct(norm, n_num_runs) canonical text"),
+      (args: Seq[Expression]) => NormScan(args.head)),
+    ("bounded_collect",
+      info("bounded_collect",
+        "bounded_collect(item, cap) - struct(n, members) with members capped"),
+      (args: Seq[Expression]) => BoundedCollect(
+        args.head, intArg(args(1), "cap")).toAggregateExpression()))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -453,6 +453,7 @@ object exprs {
     column(BoundedCollect(expression(item), cap).toAggregateExpression())
   def pii_scan(text: Column): Column = column(PiiScan(expression(text)))
   def scrub_pii(text: Column): Column = column(ScrubPii(expression(text)))
+  def norm_scan(text: Column): Column = column(NormScan(expression(text)))
 }
 
 /** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial

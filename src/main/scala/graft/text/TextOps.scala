@@ -221,21 +221,19 @@ object TextOps {
     * stripped → whitespace collapsed+trimmed. Emits the normalized
     * fingerprint (md5) plus change counters; chained codegen'd
     * regexp_replace, map-only. */
-  def t09(t: Tables): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(
-        regexp_replace(lower(col("text")), "[0-9]+", "0"),
-        "[^a-z0-9 ]", ""),
-      " +", " "))
+  def t09(t: Tables): DataFrame =
+    // the ONE-PASS norm_scan kernel (functions.TextNorm) replaces four
+    // regex scans + a regexp_extract_all per row; ExprSpec proves
+    // byte-identity against the regex-chain spelling on adversarial
+    // inputs, and the DuckDB oracle still runs the regex chain.
     t.documents
+      .select(col("doc_id"), graft.functions.exprs.norm_scan(col("text")).as("p"))
       .select(
         col("doc_id"),
-        md5(norm).as("norm_fp"),
-        length(norm).cast("long").as("n_norm_chars"),
-        expr("cast(size(regexp_extract_all(text, '[0-9]+', 0)) as bigint)")
-          .as("n_num_runs"))
+        md5(col("p.norm")).as("norm_fp"),
+        length(col("p.norm")).cast("long").as("n_norm_chars"),
+        col("p.n_num_runs").as("n_num_runs"))
       .orderBy("doc_id")
-  }
 
   /** t10 — benchmark decontamination: flag corpus documents sharing any
     * word 8-gram with an eval/benchmark set — the n-gram overlap check

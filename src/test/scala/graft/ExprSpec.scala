@@ -19,6 +19,15 @@ class ExprSpec extends AnyFunSuite {
         | size(ngram_hashes(array('a','b','c'), 3)) AS nh""".stripMargin).head()
     assert(r.getDouble(3) == 6.0)
     assert(r.getInt(5) == 1)
+    val p = s.sql(
+      """SELECT pii_scan('mail a@b.co from 1.2.3.4 ref 1234567').scrubbed AS sc,
+        | scrub_pii('mail a@b.co') AS sp""".stripMargin).head()
+    assert(p.getString(0) == "mail <EMAIL> from <IP> ref <ID>")
+    assert(p.getString(1) == "mail <EMAIL>")
+    val bc = s.sql(
+      """SELECT bounded_collect(struct(id AS doc_id, id AS payload), 5) AS bc
+        |FROM range(10)""".stripMargin).head().getStruct(0)
+    assert(bc.getLong(0) == 10L && bc.getSeq[Any](1).size == 5)
   }
 
   test("simhash64: identical token arrays hash equal; near-identical differ in few bits") {
@@ -128,6 +137,33 @@ class ExprSpec extends AnyFunSuite {
         Seq("a", "b", "c", "d", "e").map(
           org.apache.spark.unsafe.types.UTF8String.fromString)))
     assert(viaExpr == direct)
+  }
+
+  test("norm_scan equals the regex-chain normalization on adversarial inputs") {
+    val fixtures = Seq(
+      "  Hello,  WORLD!!  123 then 4.5.6 end  ",
+      "tabs\tand\nnewlines are stripped not spaced",
+      "unicode éàü ÉÀÜ mixed aé1é2b",
+      "1a2b3c 111 222  333",
+      "...", "", "   ", "0", "a", "eé€😀x9",
+      "digits123mixed456with789words", "UPPER lower 42MiXeD")
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val regexNorm = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower($"text"), "[0-9]+", "0"),
+        "[^a-z0-9 ]", ""),
+      " +", " "))
+    val rows = df.select(
+      exprs.norm_scan($"text").getField("norm").as("kernel"),
+      regexNorm.as("regex"),
+      exprs.norm_scan($"text").getField("n_num_runs").as("kruns"),
+      size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long").as("rruns"))
+      .collect()
+    rows.zip(fixtures).foreach { case (r, fx) =>
+      assert(r.getString(0) == r.getString(1), s"norm mismatch on: '$fx'")
+      assert(r.getLong(2) == r.getLong(3), s"run-count mismatch on: '$fx'")
+    }
   }
 
   test("bounded_collect: exact counts, capped members, equal to collect_list under the cap") {
