@@ -440,13 +440,21 @@ object TextOps {
     * is hash-stable across engines and summation orders (never sum raw
     * doubles across an aggregation — the q59/q62 lesson).
     *
-    * Scale shape: two count aggregations (bigram + unigram vocab, one
-    * shuffle each, map-side partials), then hash joins back on the
-    * token keys. The count tables are aggregated BEFORE the join (one
-    * row per n-gram), so the Zipf head skews only the probe side —
-    * rows already co-located by key; AQE's skew-join split handles a
-    * pathological head partition. Nothing is collected; vocabulary
-    * scales as corpus n-grams do. */
+    * Scale shape: the unigram table is sum(c12) over the bigram count
+    * table (count of w1-as-first-word — identical to counting the raw
+    * stream), so only the bigram agg reads the corpus; both count
+    * tables then fold into ONE quantized log-prob table BEFORE touching
+    * the probe stream, which pays a single hash lookup per bigram
+    * instead of two. That probe join is hinted SHUFFLE_HASH: both sides
+    * hash-partition on (w1, w2) — no broadcast of a vocabulary that
+    * grows with the corpus (Heaps' law: the bigram LM of a 100 TB crawl
+    * is tens of GB, far past any broadcast threshold), and no sort of
+    * the O(corpus-bigrams) stream as SMJ would do. The build side per
+    * partition is vocab/numPartitions aggregated rows — orders of
+    * magnitude under the stream it serves. The Zipf head skews only
+    * probe partitions, already co-located by key; AQE's skew-join
+    * handling covers ShuffledHashJoin since Spark 3.2. Nothing is
+    * collected; vocabulary scales as corpus n-grams do. */
   def t17(t: Tables): DataFrame = {
     val bg = t.documents
       .withColumn("toks", expr(tokensExpr))
@@ -455,11 +463,16 @@ object TextOps {
         "transform(sequence(0, size(toks) - 2), i -> " +
           "struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val uni = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    bg.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
-      .select(col("doc_id"),
+    val uni = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    // fold both count tables into ONE quantized log-prob table BEFORE
+    // touching the probe stream: the small aggregated sides join each
+    // other, and the O(corpus-bigrams) stream pays a single hash lookup
+    // per row instead of two.
+    val lm = bi.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"),
         expr("cast(round(ln(c12 / c1) * 10000) as bigint)").as("logp_q4"))
+    bg.join(lm.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_q4")).as("sum_logp_q4"))
       .orderBy("doc_id")
