@@ -98,6 +98,9 @@ object GraftExtensions {
     ("norm_scan",
       info("norm_scan", "norm_scan(text) - struct(norm, n_num_runs) canonical text"),
       (args: Seq[Expression]) => NormScan(args.head)),
+    ("quality_scan",
+      info("quality_scan", "quality_scan(text) - struct(n_tokens, n_punct, n_stop)"),
+      (args: Seq[Expression]) => QualityScanExpr(args.head)),
     ("bounded_collect",
       info("bounded_collect",
         "bounded_collect(item, cap) - struct(n, members) with members capped"),

@@ -454,6 +454,8 @@ object exprs {
   def pii_scan(text: Column): Column = column(PiiScan(expression(text)))
   def scrub_pii(text: Column): Column = column(ScrubPii(expression(text)))
   def norm_scan(text: Column): Column = column(NormScan(expression(text)))
+  def quality_scan(text: Column): Column =
+    column(QualityScanExpr(expression(text)))
 }
 
 /** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial

@@ -104,6 +104,104 @@ object TextNorm {
   }
 }
 
+/** One-pass quality-signal scan (the t02 chain without regex). The
+  * built-in spelling pays three scans per row — `size(split(trim(text),
+  * '\s+'))`, a `regexp_replace` keeping only punctuation, and an
+  * interpreted HOF `filter(toks, x -> x IN stopwords)` that first
+  * materializes the token array. One byte pass reproduces all three
+  * counts exactly: Java-regex `\s` is the six ASCII bytes
+  * [ \t\n\x0B\f\r] and the punctuation class is ASCII, so byte-level is
+  * character-exact on UTF-8 (continuation bytes are ≥ 0x80). Token
+  * count replicates `split`'s edges bit-for-bit: Spark's `trim` strips
+  * only 0x20; split is Pattern.split(limit = -1), so a leading
+  * non-space whitespace char yields a leading empty token, a trailing
+  * one yields a trailing empty token (kept — unlike Java String.split),
+  * and an empty/all-space trim yields [""]. Stopword membership is tested
+  * in place on the token's byte range — no array, no per-token regex. */
+object QualityScan {
+  /** Canonical stopword list (TextOps re-exports; the oracle SQL and
+    * this kernel must agree). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+  private val stopBytes: Array[Array[Byte]] =
+    Stopwords.map(_.getBytes("UTF-8")).toArray
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  private def isStop(b: Array[Byte], start: Int, len: Int): Boolean = {
+    var s = 0
+    while (s < stopBytes.length) {
+      val w = stopBytes(s)
+      if (w.length == len) {
+        var i = 0
+        while (i < len && b(start + i) == w(i)) i += 1
+        if (i == len) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  def qualityScan(text: UTF8String): InternalRow = {
+    val b = text.getBytes
+    var punct = 0L
+    var i = 0
+    while (i < b.length) {
+      val c = b(i).toInt & 0xff
+      if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':')
+        punct += 1
+      i += 1
+    }
+    // trim(text) strips only 0x20; split('\s+') then tokenizes
+    var lo = 0
+    var hi = b.length - 1
+    while (lo < b.length && b(lo) == ' ') lo += 1
+    while (hi >= lo && b(hi) == ' ') hi -= 1
+    var nTok = 0L
+    var nStop = 0L
+    if (lo > hi) nTok = 1L // "".split -> [""]
+    else {
+      // Spark's split uses Pattern.split(limit = -1): a leading \s+
+      // match emits a leading "" token AND a trailing match emits a
+      // trailing "" token (unlike Java String.split, which strips
+      // trailing empties).
+      if (isWs(b(lo).toInt & 0xff)) nTok += 1
+      if (isWs(b(hi).toInt & 0xff)) nTok += 1
+      i = lo
+      while (i <= hi) {
+        if (isWs(b(i).toInt & 0xff)) i += 1
+        else {
+          val start = i
+          while (i <= hi && !isWs(b(i).toInt & 0xff)) i += 1
+          nTok += 1
+          if (isStop(b, start, i - start)) nStop += 1
+        }
+      }
+    }
+    InternalRow(nTok, punct, nStop)
+  }
+}
+
+/** quality_scan(text) → struct<n_tokens, n_punct, n_stop: bigint>. */
+case class QualityScanExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    QualityScan.qualityScan(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QualityScan.qualityScan($c)")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): QualityScanExpr =
+    copy(child = c)
+  override def prettyName: String = "quality_scan"
+}
+
 /** norm_scan(text) → struct<norm: string, n_num_runs: bigint>. */
 case class NormScan(child: org.apache.spark.sql.catalyst.expressions.Expression)
     extends UnaryExpression {

@@ -41,13 +41,12 @@ object TrainingDataPipeline {
   /** Quality gate, matching TextOps.t02's `quality_ok` semantics
     * (token-count band AND punctuation ratio < 0.2 — a long document
     * that is mostly punctuation is spam, not prose). */
-  def qualityFilter(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", expr(exprs.wsTokensSql))
-      .withColumn("n_tokens", size(col("toks")))
-      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
-        length(regexp_replace(col("text"), "[^.,!?;:]", "")) * 1.0
-          / length(col("text")) < 0.2)
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val qs = exprs.quality_scan(col("text"))
+    docs.filter(
+      qs.getField("n_tokens").between(10, 1000) &&
+        qs.getField("n_punct") * 1.0 / length(col("text")) < 0.2)
+  }
 
   /** Exact dedup: canonical-text md5, survivor = min doc_id. */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -186,7 +185,7 @@ object TrainingDataPipeline {
     * one (a planted contaminated doc can be injected). */
   def run(corpus: DataFrame, bench: DataFrame, outPath: String,
           inputCount: Long = -1L): Stats = {
-    val q = qualityFilter(scrub(corpus)).drop("toks", "n_tokens")
+    val q = qualityFilter(scrub(corpus))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = exactDedup(q).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nearDupRemoval(e).persist(StorageLevel.MEMORY_AND_DISK)
@@ -206,7 +205,7 @@ object TrainingDataPipeline {
     * QueryExecutionListener in production. */
   def curatedWithMetrics(t: Tables): DataFrame =
     nearDupRemoval(exactDedup(
-      qualityFilter(t.documents).drop("toks", "n_tokens")))
+      qualityFilter(t.documents)))
       .observe("curation_dq",
         count(lit(1)).as("rows_out"),
         sum(length(col("text"))).as("total_chars"),

@@ -139,6 +139,38 @@ class ExprSpec extends AnyFunSuite {
     assert(viaExpr == direct)
   }
 
+  test("quality_scan equals the split/regex/HOF spelling on adversarial inputs") {
+    val stop = graft.functions.QualityScan.Stopwords
+    val fixtures = Seq(
+      "the quick brown fox and a dog, with zeal!",
+      "  leading spaces then the end  ",
+      "\ttab-led line\nwith newlines\r\nand CRLF the of in",
+      "", "   ", "\t", " \t ", "single",
+      "punct.only.,!?;:chain", "no-stop-words-here at-all",
+      "THE A OF case Sensitive the THE the",
+      "unicode éàü tokens the 中文 words and",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "trailing whitespace the\t\n  ")
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val sqlStop = stop.map(s => s"'$s'").mkString(", ")
+    val rows = df
+      .withColumn("toks", expr(exprs.wsTokensSql))
+      .select(
+        exprs.quality_scan($"text").getField("n_tokens").as("k_tok"),
+        size($"toks").cast("long").as("r_tok"),
+        exprs.quality_scan($"text").getField("n_punct").as("k_punct"),
+        length(regexp_replace($"text", "[^.,!?;:]", "")).cast("long").as("r_punct"),
+        exprs.quality_scan($"text").getField("n_stop").as("k_stop"),
+        expr(s"cast(size(filter(toks, x -> x IN ($sqlStop))) as bigint)").as("r_stop"))
+      .collect()
+    rows.zip(fixtures).foreach { case (r, fx) =>
+      assert(r.getLong(0) == r.getLong(1), s"token-count mismatch on: '$fx'")
+      assert(r.getLong(2) == r.getLong(3), s"punct-count mismatch on: '$fx'")
+      assert(r.getLong(4) == r.getLong(5), s"stopword-count mismatch on: '$fx'")
+    }
+  }
+
   test("norm_scan equals the regex-chain normalization on adversarial inputs") {
     val fixtures = Seq(
       "  Hello,  WORLD!!  123 then 4.5.6 end  ",
