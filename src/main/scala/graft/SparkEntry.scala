@@ -26,6 +26,7 @@ object SparkEntry {
       lift(Analytics.queries) ++ lift(CatalogOps.queries) ++
       lift(TextOps.queries) ++ lift(Dedup.queries) ++
       lift(Similarity.queries) ++
+      graft.streaming.StreamQueries.queries ++
       Map(
         "m01_media_features" -> ((s: SparkSession, _: String) =>
           graft.multimodal.BinaryPipeline.m01(s)),
@@ -37,5 +38,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Extended.oracles ++
       Grouped.oracles ++ Analytics.oracles ++ CatalogOps.oracles ++
-      TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles
+      TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Map(
+        // the streaming queries must reproduce their batch twins exactly,
+        // so they share the twins' oracle SQL verbatim
+        "st01_stream_window_agg" -> Relational.oracles("q30_time_bucket_agg"),
+        "st02_stream_sessionize" -> Relational.oracles("q31_sessionize"))
 }

@@ -65,6 +65,7 @@ object EventsStream {
       sum_value: Double)
 
   val SessionGap = "30 minutes"
+  val SessionGapSec = 1800L
   private val SessionGapMs = 30L * 60 * 1000
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark (late data

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Relational
+import graft.streaming.StreamQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** st01/st02 end-to-end: the full streaming engine path (FileStreamSource
+  * → AvailableNow micro-batches → state store → sink) must reproduce the
+  * batch twins' results EXACTLY on the driver testdata — same guarantee
+  * the driver's DuckDB gate checks, proven here at sf0.001 row-for-row.
+  */
+class StreamQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("st01 streaming window agg equals batch q30 exactly") {
+    val streamed = StreamQueries.st01(spark, TestSpark.sfDir)
+    val batch = Relational.q30(TestSpark.tables)
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+  }
+
+  test("st02 streaming sessionization equals batch q31 exactly") {
+    val streamed = StreamQueries.st02(spark, TestSpark.sfDir)
+    val batch = Relational.q31(TestSpark.tables)
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+  }
+
+  test("st01 reruns get fresh sinks (bench reruns each query)") {
+    val a = canon(StreamQueries.st01(spark, TestSpark.sfDir))
+    val b = canon(StreamQueries.st01(spark, TestSpark.sfDir))
+    assert(a == b)
+  }
+}
