@@ -455,7 +455,13 @@ object TextOps {
     * probe partitions, already co-located by key; AQE's skew-join
     * handling covers ShuffledHashJoin since Spark 3.2. Nothing is
     * collected; vocabulary scales as corpus n-grams do. */
-  def t17(t: Tables): DataFrame = {
+  def t17(t: Tables): DataFrame =
+    lmScored(t).orderBy("doc_id")
+
+  /** Per-doc LM score shared by t17 (raw scores) and t18 (filter):
+    * (doc_id, n_bigrams, sum_logp_q4). Docs under 2 tokens have no
+    * bigrams and are absent. */
+  private def lmScored(t: Tables): DataFrame = {
     val bg = t.documents
       .withColumn("toks", expr(tokensExpr))
       .filter(size(col("toks")) >= 2)
@@ -475,10 +481,38 @@ object TextOps {
     bg.join(lm.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_q4")).as("sum_logp_q4"))
-      .orderBy("doc_id")
+  }
+
+  /** Average quantized log-prob threshold for t18 (1e-4 ln units):
+    * avg ln p ≥ −3.38 per bigram ⇔ pseudo-perplexity ≤ e^3.38 ≈ 29 —
+    * sits at the corpus median, so the gate genuinely splits. */
+  val LmKeepThresholdQ4 = -33800L
+
+  /** t18 — LM-perplexity quality gate, the filtering stage the t17
+    * signal exists for (CCNet/Gopher-style: drop documents whose word
+    * transitions are improbable under a corpus LM). Per source: total
+    * docs, scored docs (≥2 tokens), and docs kept by the threshold. The
+    * keep test is pure integer arithmetic — sum_logp_q4 ≥ T·n_bigrams
+    * exactly, never a float average — so engines can't diverge on
+    * rounding. Scale shape: inherits t17's (one corpus-reading agg,
+    * shuffle-hash probe join); the extra per-source rollup aggregates
+    * the already-tiny per-doc table. */
+  def t18(t: Tables): DataFrame = {
+    val scored = lmScored(t)
+    t.documents.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("n_bigrams")).as("n_scored"),
+        sum(when(col("sum_logp_q4") >=
+          lit(LmKeepThresholdQ4) * col("n_bigrams"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy("source")
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t18_perplexity_filter" -> t18,
     "t17_bigram_lm" -> t17,
     "t16_seq_packing" -> t16,
     "t15_lang_entropy" -> t15,
@@ -509,6 +543,24 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t18_perplexity_filter" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |       FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+         |       WHERE len(tk) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |scored AS (SELECT doc_id, count(*) AS nb,
+         |    sum(CAST(round(ln(c12 * 1.0 / c1) * 10000) AS BIGINT)) AS slp
+         |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         |  GROUP BY doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(nb) AS BIGINT) AS n_scored,
+         |  CAST(sum(CASE WHEN slp >= ${LmKeepThresholdQ4} * nb
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents LEFT JOIN scored USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t17_bigram_lm" ->
       raw"""WITH toks AS (SELECT doc_id,
          |        string_split_regex(trim(text), '\s+') AS tk FROM documents),

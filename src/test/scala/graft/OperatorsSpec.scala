@@ -22,7 +22,8 @@ class OperatorsSpec extends AnyFunSuite {
         operators.Extended.queries.size + operators.Grouped.queries.size +
         operators.Analytics.queries.size + operators.CatalogOps.queries.size +
         text.TextOps.queries.size +
-        dedup.Dedup.queries.size + similarity.Similarity.queries.size + 2
+        dedup.Dedup.queries.size + similarity.Similarity.queries.size +
+        streaming.StreamQueries.queries.size + 2
     assert(qs.size == moduleSizes,
       s"key collision between module query maps: ${qs.size} != $moduleSizes")
   }
