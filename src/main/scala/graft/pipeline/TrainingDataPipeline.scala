@@ -12,7 +12,8 @@ import org.apache.spark.storage.StorageLevel
   * corpus build runs, wired from the individual SURVEY §2 operators:
   *
   *   PII scrub → quality filter → exact dedup → MinHash near-dup removal →
-  *   benchmark decontamination → partitioned write (by lang)
+  *   LM-perplexity gate → benchmark decontamination → partitioned write
+  *   (by lang)
   *
   * Scale shape: map-only passes for scrub + quality + signatures, one
   * shuffle for exact dedup (fingerprint), one banding shuffle for
@@ -27,7 +28,7 @@ import org.apache.spark.storage.StorageLevel
 object TrainingDataPipeline {
 
   case class Stats(input: Long, afterQuality: Long, afterExact: Long,
-                   afterNearDup: Long, afterDecontam: Long)
+                   afterNearDup: Long, afterLm: Long, afterDecontam: Long)
 
   private val K = 32
   private val Bands = 8
@@ -140,6 +141,26 @@ object TrainingDataPipeline {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** LM-perplexity gate (the t18 operator as a pipeline stage, CCNet-
+    * style): trains the MLE bigram model on the surviving corpus itself
+    * and keeps documents whose average transition log-prob clears the
+    * threshold — word-salad and mojibake score far below prose. Runs
+    * AFTER dedup so boilerplate multiplicity can't inflate its own
+    * bigram counts into fluency. The keep test is integer-exact
+    * (sum_logp_q4 ≥ T·n_bigrams); docs with <2 tokens have no score and
+    * are dropped (the quality gate's 10-token floor removes them
+    * earlier anyway). Pass Long.MinValue to disable. */
+  def perplexityFilter(docs: DataFrame,
+      thresholdQ4: Long = graft.text.TextOps.LmKeepThresholdQ4): DataFrame = {
+    if (thresholdQ4 == Long.MinValue) docs
+    else {
+      val keep = graft.text.TextOps.lmScoredDocs(docs)
+        .filter(col("sum_logp_q4") >= lit(thresholdQ4) * col("n_bigrams"))
+        .select("doc_id")
+      docs.join(keep, Seq("doc_id"), "left_semi")
+    }
+  }
+
   /** Benchmark decontamination (the t10 operator as a pipeline stage):
     * drop every corpus document sharing more than `maxShared` distinct
     * word n-grams with the benchmark/eval set. The benchmark gram hashes
@@ -184,17 +205,20 @@ object TrainingDataPipeline {
     * entry point (the eval set is an external table) and the testable
     * one (a planted contaminated doc can be injected). */
   def run(corpus: DataFrame, bench: DataFrame, outPath: String,
-          inputCount: Long = -1L): Stats = {
+          inputCount: Long = -1L,
+          lmThresholdQ4: Long = graft.text.TextOps.LmKeepThresholdQ4): Stats = {
     val q = qualityFilter(scrub(corpus))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = exactDedup(q).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nearDupRemoval(e).persist(StorageLevel.MEMORY_AND_DISK)
-    val d = decontaminate(n, bench).persist(StorageLevel.MEMORY_AND_DISK)
+    val p = perplexityFilter(n, lmThresholdQ4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = decontaminate(p, bench).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       PartitionedWriter.writePartitioned(d, outPath, Seq("lang"))
       val in = if (inputCount >= 0) inputCount else corpus.count()
-      Stats(in, q.count(), e.count(), n.count(), d.count())
-    } finally Seq(q, e, n, d).foreach(_.unpersist(false))
+      Stats(in, q.count(), e.count(), n.count(), p.count(), d.count())
+    } finally Seq(q, e, n, p, d).foreach(_.unpersist(false))
   }
 
   /** The curated corpus with `observe` data-quality counters attached:

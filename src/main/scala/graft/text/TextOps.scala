@@ -458,11 +458,15 @@ object TextOps {
   def t17(t: Tables): DataFrame =
     lmScored(t).orderBy("doc_id")
 
-  /** Per-doc LM score shared by t17 (raw scores) and t18 (filter):
-    * (doc_id, n_bigrams, sum_logp_q4). Docs under 2 tokens have no
-    * bigrams and are absent. */
-  private def lmScored(t: Tables): DataFrame = {
-    val bg = t.documents
+  /** Per-doc LM score shared by t17 (raw scores), t18 (filter), and the
+    * pipeline's perplexity gate: (doc_id, n_bigrams, sum_logp_q4). Docs
+    * under 2 tokens have no bigrams and are absent. */
+  private def lmScored(t: Tables): DataFrame = lmScoredDocs(t.documents)
+
+  /** Same, over any (doc_id, text) corpus — the model is trained on the
+    * corpus it scores (MLE bigram counts). */
+  def lmScoredDocs(documents: DataFrame): DataFrame = {
+    val bg = documents
       .withColumn("toks", expr(tokensExpr))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(

@@ -16,7 +16,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats.afterQuality <= stats.input && stats.afterQuality > 0)
     assert(stats.afterExact <= stats.afterQuality)
     assert(stats.afterNearDup <= stats.afterExact)
-    assert(stats.afterDecontam <= stats.afterNearDup)
+    assert(stats.afterLm <= stats.afterNearDup && stats.afterLm > 0)
+    assert(stats.afterDecontam <= stats.afterLm)
     // near-dup stage removes the planted near-duplicates found by d02
     val planted = dedup.Dedup.d02(t).count()
     if (planted > 0) assert(stats.afterNearDup < stats.afterExact)
@@ -56,11 +57,42 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang")
     val bench = Seq((100L, evalDoc, "en")).toDF("doc_id", "text", "lang")
     val stats = TrainingDataPipeline.run(corpus, bench, out)
-    assert(stats.afterDecontam == stats.afterNearDup - 1,
+    assert(stats.afterLm == stats.afterNearDup,
+      "tiny unique-word fixture docs all score ~0 and pass the LM gate")
+    assert(stats.afterDecontam == stats.afterLm - 1,
       "exactly the planted contaminated doc must drop at the decontam stage")
     val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     assert(!ids.contains(2L), "contaminated doc must not reach the output")
     assert(ids.contains(1L) && ids.contains(3L))
+  }
+
+  test("perplexity gate drops a planted word-salad doc, keeps patterned prose") {
+    import spark.implicits._
+    // 10 docs with identical word transitions (logp ≈ 0 per bigram) and
+    // one doc of the SAME vocabulary in scrambled order — every one of
+    // its transitions is rare under the corpus LM, so its avg log-prob
+    // sits far below the patterned docs'. The threshold is derived from
+    // the actual scores (midpoint), so the test pins the ORDERING, not a
+    // magic constant.
+    val pattern = Array.fill(4)("alpha beta gamma delta epsilon zeta").mkString(" ")
+    val salad = "zeta epsilon delta gamma beta alpha " +
+      "epsilon alpha zeta gamma alpha delta"
+    val docs = ((1L to 10L).map(i => (i, pattern)) :+ (99L, salad))
+      .toDF("doc_id", "text")
+    val scores = graft.text.TextOps.lmScoredDocs(docs)
+      .collect().map(r => r.getLong(0) ->
+        r.getLong(2).toDouble / r.getLong(1) / 10000.0).toMap
+    val saladAvg = scores(99L)
+    val patternMin = (1L to 10L).map(scores).min
+    assert(saladAvg < patternMin,
+      s"salad doc must score below every patterned doc ($saladAvg vs $patternMin)")
+    val midQ4 = ((saladAvg + patternMin) / 2 * 10000).toLong
+    val kept = TrainingDataPipeline.perplexityFilter(docs, midQ4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == (1L to 10L), "gate keeps exactly the patterned docs")
+    // disabled gate is the identity
+    assert(TrainingDataPipeline.perplexityFilter(docs, Long.MinValue)
+      .count() == 11)
   }
 
   test("scrub stage redacts planted PII before the written output") {
