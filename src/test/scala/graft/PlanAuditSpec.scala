@@ -94,6 +94,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(text.TextOps.t07(t).collect().toSeq == expected.collect().toSeq)
   }
 
+  test("t17/t18 probe the bigram LM via shuffled hash join, never broadcast") {
+    // the LM table grows with corpus vocabulary (Heaps' law) — a plan
+    // that broadcasts it, or sorts the O(corpus-bigrams) probe stream
+    // (SMJ), dies at scale. The shuffle_hash hint must survive planning.
+    for ((name, df) <- Seq(
+        "t17" -> text.TextOps.t17(TestSpark.tables),
+        "t18" -> text.TextOps.t18(TestSpark.tables))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name must hash-probe the LM table:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name must not sort the bigram probe stream:\n$plan")
+    }
+  }
+
   test("t10 decontamination broadcasts the benchmark gram set") {
     val plan = withoutAutoBroadcast {
       text.TextOps.t10(TestSpark.tables).queryExecution.executedPlan.toString
