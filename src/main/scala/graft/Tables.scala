@@ -52,11 +52,17 @@ final case class Tables(spark: SparkSession, dir: String) {
     * task no matter how many cores exist. Compute-heavy per-row kernels
     * (MinHash/SimHash signatures, cosine math) fan out through a cheap
     * round-robin repartition first — O(file size) shuffle, full-core map
-    * stage. At production scale the source has many row groups/splits and
-    * the plain readers are used instead.
-    */
-  private def wide(df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+    * stage. The repartition is CONDITIONAL on the planned scan
+    * parallelism: once the source has enough splits to occupy the cores
+    * (a production table always does; locally, lower
+    * spark.sql.files.maxPartitionBytes achieves it), the shuffle is pure
+    * overhead — the full text payload written and re-read — and is
+    * skipped automatically. `df.rdd` only plans (computes FileScan
+    * splits); it runs no job. */
+  private def wide(df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
   def documentsWide: DataFrame  = wide(documents)
   def embeddingsWide: DataFrame = wide(embeddings)
 

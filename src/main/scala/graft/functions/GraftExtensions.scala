@@ -101,6 +101,16 @@ object GraftExtensions {
     ("quality_scan",
       info("quality_scan", "quality_scan(text) - struct(n_tokens, n_punct, n_stop)"),
       (args: Seq[Expression]) => QualityScanExpr(args.head)),
+    ("canon_fp",
+      info("canon_fp", "canon_fp(text) - canonical-form md5 dedup fingerprint"),
+      (args: Seq[Expression]) => CanonFpExpr(args.head)),
+    ("winnow_stats",
+      info("winnow_stats",
+        "winnow_stats(text[, hashWin[, winnowWin]]) - struct(n_hashes, n_fingerprints)"),
+      (args: Seq[Expression]) => WinnowStats(
+        args.head,
+        if (args.length > 1) intArg(args(1), "hashWin") else 16,
+        if (args.length > 2) intArg(args(2), "winnowWin") else 8)),
     ("bounded_collect",
       info("bounded_collect",
         "bounded_collect(item, cap) - struct(n, members) with members capped"),

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -280,6 +281,49 @@ object HashImpls {
     res
   }
 
+  /** t06's per-doc stats WITHOUT materialization: one rolling-hash pass
+    * feeds the winnowing deque and distinct window-minima are counted in
+    * a primitive open-addressing set. The two-kernel spelling
+    * (size(rolling_hashes(..)) + size(winnow_fps(..))) hashes the text
+    * TWICE and allocates an output array + boxed TreeSet per row only to
+    * be size()'d — at 5M docs that is allocation-rate-bound, not
+    * compute-bound. Returns exactly
+    * (rollingHashes(text, hashWin).length, winnowFps(text, ..).length)
+    * — HashPropertySpec pins the equality on random inputs. */
+  def winnowStats(text: UTF8String, hashWin: Int, winnowWin: Int): InternalRow = {
+    val h = rollingHashes(text, hashWin)
+    if (h.length < winnowWin) return InternalRow(h.length.toLong, 1L)
+    // distinct-minima set: open addressing, zero-sentinel + flag, capacity
+    // 2·next-pow2(n) keeps load factor ≤ 0.5 (minima count ≤ n)
+    var cap = 4
+    while (cap < h.length * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var cnt = 0L
+    val deque = new Array[Int](h.length)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < h.length) {
+      while (tail > head && h(deque(tail - 1)) >= h(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - winnowWin) head += 1
+      if (i >= winnowWin - 1) {
+        val v = h(deque(head))
+        if (v == 0L) {
+          if (!hasZero) { hasZero = true; cnt += 1 }
+        } else {
+          var idx = (v ^ (v >>> 32)).toInt & mask
+          while (table(idx) != 0L && table(idx) != v) idx = (idx + 1) & mask
+          if (table(idx) == 0L) { table(idx) = v; cnt += 1 }
+        }
+      }
+      i += 1
+    }
+    InternalRow(h.length.toLong, cnt)
+  }
+
   def jaccardEst(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var eq = 0
@@ -405,6 +449,25 @@ case class WinnowFps(child: Expression, hashWin: Int, winnowWin: Int)
   override def prettyName: String = "winnow_fps"
 }
 
+/** winnow_stats(text, hashWin, winnowWin) →
+  * struct<n_hashes: bigint, n_fingerprints: bigint>: t06's counts in one
+  * fused pass (see HashImpls.winnowStats). */
+case class WinnowStats(child: Expression, hashWin: Int, winnowWin: Int)
+    extends UnaryExpression {
+  require(hashWin > 0 && winnowWin > 0, "windows must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hashes", LongType, nullable = false),
+    StructField("n_fingerprints", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    HashImpls.winnowStats(v.asInstanceOf[UTF8String], hashWin, winnowWin)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashImpls.winnowStats($c, $hashWin, $winnowWin)")
+  override protected def withNewChildInternal(c: Expression): WinnowStats =
+    copy(child = c)
+  override def prettyName: String = "winnow_stats"
+}
+
 /** dot_d(a, b) → double: fused dot product over two array<double>. */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -449,6 +512,8 @@ object exprs {
     column(RollingHashes(expression(text), windowSize))
   def winnow_fps(text: Column, hashWin: Int = 16, winnowWin: Int = 8): Column =
     column(WinnowFps(expression(text), hashWin, winnowWin))
+  def winnow_stats(text: Column, hashWin: Int = 16, winnowWin: Int = 8): Column =
+    column(WinnowStats(expression(text), hashWin, winnowWin))
   def bounded_collect(item: Column, cap: Int): Column =
     column(BoundedCollect(expression(item), cap).toAggregateExpression())
   def pii_scan(text: Column): Column = column(PiiScan(expression(text)))
@@ -456,6 +521,8 @@ object exprs {
   def norm_scan(text: Column): Column = column(NormScan(expression(text)))
   def quality_scan(text: Column): Column =
     column(QualityScanExpr(expression(text)))
+  def canon_fp(text: Column): Column =
+    column(CanonFpExpr(expression(text)))
 }
 
 /** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial

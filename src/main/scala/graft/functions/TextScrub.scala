@@ -56,6 +56,54 @@ object TextScrub {
         .replaceAll("<ID>"))
 }
 
+/** Canonical-form fingerprint in one pass: the exact-dedup key
+  * md5(lower(trim(regexp_replace(text, '\s+', ' ')))) shared by t04, d01,
+  * d08, and the pipeline's exact-dedup stage — without the regex pass or
+  * the three intermediate strings. Exactness: lowercasing commutes with
+  * whitespace collapse (Java `\s` is the ASCII set [ \t\n\x0B\f\r] and no
+  * Unicode case mapping produces or consumes ASCII whitespace), so the
+  * kernel lowercases once via UTF8String.toLowerCase (Spark's own Lower
+  * kernel), then collapses \s runs to single spaces byte-wise — non-ASCII
+  * UTF-8 bytes are ≥ 0x80 and pass through untouched — dropping leading/
+  * trailing runs (= trim after collapse). MD5 of the canonical bytes,
+  * lowercase hex, exactly like Spark's md5(). ExprSpec pins equality
+  * against the built-in chain on adversarial fixtures. */
+object CanonFp {
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  private val hex = "0123456789abcdef".getBytes
+
+  def canonFp(text: UTF8String): UTF8String = {
+    val b = text.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c >= 0 && isWs(c)) {
+        if (n > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { out(n) = ' '; n += 1; pendingSpace = false }
+        out(n) = c; n += 1
+      }
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(out, 0, n)
+    val digest = md.digest()
+    val hexOut = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hexOut(2 * j) = hex((digest(j) >> 4) & 0xf)
+      hexOut(2 * j + 1) = hex(digest(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromBytes(hexOut)
+  }
+}
+
 /** One-pass text normalization (the t09 chain without regex). The
   * built-in spelling is four regex scans per row (lower → `[0-9]+`→"0"
   * → drop `[^a-z0-9 ]` → collapse `" +"` → trim) plus a fifth
@@ -252,4 +300,19 @@ case class ScrubPii(child: org.apache.spark.sql.catalyst.expressions.Expression)
       c: org.apache.spark.sql.catalyst.expressions.Expression): ScrubPii =
     copy(child = c)
   override def prettyName: String = "scrub_pii"
+}
+
+/** canon_fp(text) → string: one-pass canonical-form md5 fingerprint
+  * (see [[CanonFp]]). */
+case class CanonFpExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    CanonFp.canonFp(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CanonFp.canonFp($c)")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): CanonFpExpr =
+    copy(child = c)
+  override def prettyName: String = "canon_fp"
 }

@@ -51,7 +51,7 @@ object TrainingDataPipeline {
 
   /** Exact dedup: canonical-text md5, survivor = min doc_id. */
   def exactDedup(docs: DataFrame): DataFrame = {
-    val fp = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val fp = graft.functions.exprs.canon_fp(col("text"))
     val survivors = docs.select(col("doc_id"), fp.as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")

@@ -31,12 +31,17 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "dans"),
     "zh" -> Seq("de0", "le0", "shi0"))
 
-  /** t01 — token + char counts per document (map-only). */
+  /** t01 — token + char counts per document (map-only). Token count rides
+    * the quality_scan kernel, whose n_tokens replicates
+    * `size(split(trim(text), '\s+'))` bit-for-bit (ExprSpec pins the
+    * empty-token edges) without materializing the token array — the split
+    * spelling allocates every token string per row just to count them. */
   def t01(t: Tables): DataFrame =
     t.documents
       .select(
         col("doc_id"),
-        expr(s"cast(size($tokensExpr) as bigint)").as("n_tokens"),
+        graft.functions.exprs.quality_scan(col("text"))
+          .getField("n_tokens").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_obs"))
       .orderBy("doc_id")
 
@@ -124,9 +129,10 @@ object TextOps {
   }
 
   /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
-    * text. Identical bytes on both engines (UTF-8). */
-  private def fingerprint = md5(
-    lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    * text. Identical bytes on both engines (UTF-8). One fused pass
+    * (functions.CanonFp) instead of regex + three intermediate strings;
+    * ExprSpec pins equality with the built-in chain. */
+  private def fingerprint = graft.functions.exprs.canon_fp(col("text"))
 
   /** t04 — per-document fingerprint (the dedup key). */
   def t04(t: Tables): DataFrame =
@@ -168,15 +174,19 @@ object TextOps {
     * standard plagiarism/near-dup fingerprint (Schleimer et al.). Output
     * is per-doc fingerprint-set stats; the fingerprint sets themselves
     * feed an LSH bucket join at scale. Rows-only (custom kernel). */
-  def t06(t: Tables): DataFrame =
+  def t06(t: Tables): DataFrame = {
+    // fused winnow_stats kernel: one text pass, no per-row array/TreeSet
+    // materialization (the size(rolling_hashes)+size(winnow_fps) spelling
+    // was allocation-rate-bound at sf10). No global sort: the result is
+    // O(corpus) rows and the driver check is order-insensitive — sorting
+    // 5M+ rows for cosmetics is exactly what dies first at scale.
+    val ws = graft.functions.exprs.winnow_stats(col("text"), 16, 8)
     t.documents
-      .select(
-        col("doc_id"),
-        size(graft.functions.exprs.rolling_hashes(col("text"), 16)).cast("long")
-          .as("n_hashes"),
-        size(graft.functions.exprs.winnow_fps(col("text"), 16, 8)).cast("long")
-          .as("n_fingerprints"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        col("ws.n_hashes").as("n_hashes"),
+        col("ws.n_fingerprints").as("n_fingerprints"))
+  }
 
   /** t07 — TF-IDF: top-5 highest-scoring terms per document.
     * tf per (doc, term) and df per term are two hash aggregations; N is a
@@ -335,7 +345,7 @@ object TextOps {
     * md5 fingerprint (corpus-size-proportional, same shape as d01). */
   def d08(t: Tables): DataFrame = {
     val base = t.documents.select(col("source"), col("doc_id"),
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      graft.functions.exprs.canon_fp(col("text")).as("fp"))
     val spread = base.groupBy("fp")
       .agg(countDistinct(col("source")).as("n_sources"))
     base.join(spread, Seq("fp"))

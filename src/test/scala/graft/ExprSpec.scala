@@ -198,6 +198,26 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("canon_fp equals the md5/lower/trim/regex chain on adversarial inputs") {
+    val fixtures = Seq(
+      "The  Quick\tBrown\nFox ", "  leading and trailing  ",
+      "", "   ", "\t\n\r\f", "single",
+      "CaSe FoLd The SAME text", "case fold the same text",
+      "unicode ÉÀÜ éàü 中文  spaced", "a b nbsp is NOT ascii ws",
+      "x\r\ny CRLF z", "emoji 😀 mix 1  2   3")
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val chain = md5(lower(trim(regexp_replace($"text", "\\s+", " "))))
+    val rows = df.select(
+      exprs.canon_fp($"text").as("kernel"), chain.as("regex")).collect()
+    rows.zip(fixtures).foreach { case (r, s) =>
+      assert(r.getString(0) == r.getString(1), s"canon_fp mismatch on '$s'")
+    }
+    // the two lowercase-equivalent fixtures must collide (dedup semantics)
+    val fps = df.select(exprs.canon_fp($"text")).collect().map(_.getString(0))
+    assert(fps(6) == fps(7))
+  }
+
   test("bounded_collect: exact counts, capped members, equal to collect_list under the cap") {
     // groups: a=3 rows (complete), b=1 row, hot=70 rows (over cap 65)
     val rows = (1L to 3L).map(i => ("a", i, i * 10)) ++

@@ -62,6 +62,25 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowStats equals (rollingHashes.length, winnowFps.length) on random text") {
+    // includes the degenerate shapes: empty, shorter than the hash window,
+    // shorter than the winnow window, and long repetitive strings (many
+    // duplicate window minima exercising the distinct set)
+    val cases = Seq("", "a", "winnow", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "ab" * 50) ++ (1 to 300).map { _ =>
+      val len = rnd.nextInt(120)
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    for (s <- cases; (hw, ww) <- Seq((16, 8), (4, 3), (2, 5))) {
+      val u = UTF8String.fromString(s)
+      val st = HashImpls.winnowStats(u, hw, ww)
+      assert(st.getLong(0) == HashImpls.rollingHashes(u, hw).length.toLong,
+        s"n_hashes mismatch on '$s' ($hw,$ww)")
+      assert(st.getLong(1) == HashImpls.winnowFps(u, hw, ww).length.toLong,
+        s"n_fingerprints mismatch on '$s' ($hw,$ww)")
+    }
+  }
+
   test("ngramHashes jaccard equals string-shingle jaccard") {
     (1 to 200).foreach { _ =>
       val a = randTokens()
