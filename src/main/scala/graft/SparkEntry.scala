@@ -43,5 +43,10 @@ object SparkEntry {
         // the streaming queries must reproduce their batch twins exactly,
         // so they share the twins' oracle SQL verbatim
         "st01_stream_window_agg" -> Relational.oracles("q30_time_bucket_agg"),
-        "st02_stream_sessionize" -> Relational.oracles("q31_sessionize"))
+        "st02_stream_sessionize" -> Relational.oracles("q31_sessionize"),
+        // streaming dedup+count must equal the batch DISTINCT exactly
+        "st03_stream_dedup" ->
+          """SELECT event_type,
+            | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -287,7 +287,30 @@ object Analytics {
       .orderBy("seg")
   }
 
+  /** q83 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the join
+    * spelling dimension lookups need when the key itself can be NULL
+    * ("unknown" bucket) and NULL must match NULL instead of dropping.
+    * Keys are derived deterministically (orderkey%10, bucket 7 nulled)
+    * so the oracle is pure SQL. Scale shape: EqualNullSafe is a legal
+    * hash-join key in Spark (null keys hash like any value — no
+    * null-skew broadcast-nested-loop fallback), the distinct dim side is
+    * tiny → broadcast; one shuffle for the final group-by. */
+  def q83(t: Tables): DataFrame = {
+    val facts = t.orders.select(
+      expr("nullif(o_orderkey % 10, 7)").as("k"), col("o_totalprice"))
+    val dim = facts.select(col("k").as("dk")).distinct()
+      .select(col("dk"),
+        concat(lit("bucket_"), coalesce(col("dk"), lit(-1)).cast("string"))
+          .as("label"))
+    facts.join(broadcast(dim), col("k") <=> col("dk"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q83_null_safe_join" -> q83,
     "q82_merge_upsert" -> q82,
     "q80_group_by_all" -> q80,
     "q79_try_arithmetic" -> q79,
@@ -303,6 +326,16 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q83_null_safe_join" ->
+      """WITH facts AS (
+        |  SELECT nullif(o_orderkey % 10, 7) AS k, o_totalprice FROM orders),
+        |dim AS (
+        |  SELECT dk, 'bucket_' || CAST(coalesce(dk, -1) AS VARCHAR) AS label
+        |  FROM (SELECT DISTINCT k AS dk FROM facts))
+        |SELECT label, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM facts JOIN dim ON facts.k IS NOT DISTINCT FROM dim.dk
+        |GROUP BY label ORDER BY label""".stripMargin,
     "q82_merge_upsert" ->
       """WITH mx AS (SELECT max(c_custkey) AS mxk FROM customer),
         |changes AS (

@@ -342,7 +342,35 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Cosine threshold for s07 radius search: random 64-dim float vectors
+    * concentrate near 0, so 0.3 keeps the genuinely-close tail
+    * (~40 pairs at sf0.01, ~150 at sf0.1). */
+  private val Radius = 0.3
+
+  /** s07 — radius (range) similarity search: every corpus vector within
+    * cosine ≥ τ of each query, the all-neighbors complement of s01's
+    * top-k. Self-pairs excluded. Scale shape is strictly BETTER than
+    * top-k: broadcast the query set, one map-only pass computes sims and
+    * filters — no window, no rank shuffle; the only exchange is the
+    * deterministic output sort of the (tiny) surviving pairs. The same
+    * rounding-then-compare happens on both engines so the τ boundary
+    * cannot diverge (ref: reference quality scans filter on derived
+    * thresholds the same way, lines 95–131). */
+  def s07(t: Tables): DataFrame = {
+    val corpus = prepped(t)
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4).as("sim"))
+      .filter(col("sim") >= Radius)
+      .orderBy("q_id", "vec_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s07_range_search" -> s07,
     "s06_pq_ann" -> s06,
     "s01_cosine_topk" -> s01,
     "s02_lsh_ann" -> s02,
@@ -366,6 +394,18 @@ object Similarity {
          |      (SELECT * FROM embeddings WHERE vec_id < $NQueries
          |         AND len(list_filter(embedding, x -> x <> 0)) > 0) q)
          |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+    "s07_range_search" ->
+      s"""SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |  round(list_cosine_similarity(v.embedding::DOUBLE[],
+         |                               q.embedding::DOUBLE[]), 4) AS sim
+         |FROM (SELECT * FROM embeddings
+         |      WHERE len(list_filter(embedding, x -> x <> 0)) > 0) v,
+         |     (SELECT * FROM embeddings WHERE vec_id < $NQueries
+         |        AND len(list_filter(embedding, x -> x <> 0)) > 0) q
+         |WHERE v.vec_id <> q.vec_id
+         |  AND round(list_cosine_similarity(v.embedding::DOUBLE[],
+         |                                   q.embedding::DOUBLE[]), 4) >= $Radius
+         |ORDER BY q_id, vec_id""".stripMargin,
     "s05_dim_stats" ->
       """SELECT CAST(i - 1 AS BIGINT) AS dim,
         | round(avg(x), 4) AS mean_x, round(stddev(x), 4) AS sd_x,

@@ -107,7 +107,30 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** st03 — streaming exact deduplication through the dedup state store:
+    * `dropDuplicates(user_id, event_type)` keeps first-arrival rows
+    * (state = one entry per distinct key), chained into a streaming
+    * aggregation — two stateful operators in one query, the
+    * continuous-ingest twin of q27's count-distinct. Oracle:
+    * `count(DISTINCT user_id)` per type, which the dedup+count
+    * composition must reproduce exactly over finite input regardless of
+    * micro-batch boundaries. At scale the dedup state is bounded by key
+    * cardinality (users × types), and the production path for unbounded
+    * time ranges is `dropDuplicatesWithinWatermark` (EventsStream,
+    * spec-covered) — finite historical exactness needs the unbounded
+    * variant. */
+  def st03(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    runComplete(spark, deduped, "st03_dedup")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window_agg" -> ((s, dir) => st01(s, dir)),
-    "st02_stream_sessionize" -> ((s, dir) => st02(s, dir)))
+    "st02_stream_sessionize" -> ((s, dir) => st02(s, dir)),
+    "st03_stream_dedup" -> ((s, dir) => st03(s, dir)))
 }

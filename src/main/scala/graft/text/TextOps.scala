@@ -525,7 +525,56 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t19 — Gopher-style quality-rule battery with per-source pass rates:
+    * the corpus-curation reporting view (which sources fail which rule,
+    * what survives the gate). Four rules adapted to this corpus:
+    * word count ∈ [20, 100k]; mean word length ∈ [3, 10] (computed in
+    * exact fixed-point: non-whitespace chars over words, half-up at 4dp,
+    * so engines cannot diverge on float division); ≥2 DISTINCT stopword
+    * kinds (Gopher's "stop word" rule — distinct kinds, not t02's total
+    * count); ≥80% of words contain a letter (tested as 5·n_alpha ≥
+    * 4·n_words — pure integers, no ratio rounding at the boundary).
+    * Scale shape: map-only per-doc metrics, one low-cardinality
+    * per-source aggregation; the rule arithmetic never leaves codegen.
+    * Complements t02 (per-doc scores) and t18 (LM gate) as the
+    * rule-based corpus filter (ref: quality-rule scans, lines 95–131,
+    * applied per-document instead of per-trip). */
+  def t19(t: Tables): DataFrame = {
+    val metrics = t.documentsWide.select(
+      col("doc_id"), col("source"),
+      split(trim(col("text")), "\\s+").as("tk"),
+      length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nz"))
+      .select(col("source"), col("nz"),
+        size(col("tk")).cast("long").as("n_words"),
+        size(array_distinct(filter(col("tk"),
+          x => x.isin(Stopwords: _*)))).cast("long").as("n_stop_kinds"),
+        size(filter(col("tk"), _.rlike("[a-z]"))).cast("long").as("n_alpha"))
+    val rules = metrics.select(col("source"),
+      col("n_words").between(20L, 100000L).as("r_nwords"),
+      expr("(20000 * nz + n_words) div (2 * n_words)")
+        .between(30000L, 100000L).as("r_wordlen"),
+      (col("n_stop_kinds") >= 2L).as("r_stop"),
+      (col("n_alpha") * 5L >= col("n_words") * 4L).as("r_alpha"))
+    def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L)).as(s"fail_${c.stripPrefix("r_")}")
+    rules
+      .withColumn("pass",
+        col("r_nwords") && col("r_wordlen") && col("r_stop") && col("r_alpha"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        fails("r_nwords"), fails("r_wordlen"), fails("r_stop"),
+        fails("r_alpha"))
+      .withColumn("pass_rate",
+        // `10000.0` in Spark SQL is a DECIMAL(5,1) literal → DECIMAL
+        // result, which the driver's typed hash can't match (see t11)
+        expr("((20000 * n_pass + n_docs) div (2 * n_docs))" +
+          " / cast(10000 as double)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t19_gopher_rules" -> t19,
     "t18_perplexity_filter" -> t18,
     "t17_bigram_lm" -> t17,
     "t16_seq_packing" -> t16,
@@ -557,6 +606,42 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t19_gopher_rules" ->
+      raw"""WITH m AS (
+         |  SELECT source, $dTokens AS tk,
+         |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS nz
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, nz,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(len(list_distinct(list_filter(tk,
+         |      x -> x IN (${sqlList(Stopwords)})))) AS BIGINT) AS n_stop_kinds,
+         |    CAST(len(list_filter(tk,
+         |      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha
+         |  FROM m),
+         |f AS (
+         |  SELECT source,
+         |    (n_words BETWEEN 20 AND 100000) AS r_nwords,
+         |    ((20000 * nz + n_words) // (2 * n_words)
+         |       BETWEEN 30000 AND 100000) AS r_wordlen,
+         |    (n_stop_kinds >= 2) AS r_stop,
+         |    (n_alpha * 5 >= n_words * 4) AS r_alpha
+         |  FROM r)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN r_nwords AND r_wordlen AND r_stop
+         |    AND r_alpha THEN 1 END), 0) AS BIGINT) AS n_pass,
+         |  CAST(coalesce(sum(CASE WHEN NOT r_nwords THEN 1 END), 0) AS BIGINT)
+         |    AS fail_nwords,
+         |  CAST(coalesce(sum(CASE WHEN NOT r_wordlen THEN 1 END), 0) AS BIGINT)
+         |    AS fail_wordlen,
+         |  CAST(coalesce(sum(CASE WHEN NOT r_stop THEN 1 END), 0) AS BIGINT)
+         |    AS fail_stop,
+         |  CAST(coalesce(sum(CASE WHEN NOT r_alpha THEN 1 END), 0) AS BIGINT)
+         |    AS fail_alpha,
+         |  ((20000 * CAST(coalesce(sum(CASE WHEN r_nwords AND r_wordlen
+         |      AND r_stop AND r_alpha THEN 1 END), 0) AS BIGINT)
+         |    + count(*)) // (2 * count(*))) / 10000.0 AS pass_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "t18_perplexity_filter" ->
       raw"""WITH toks AS (SELECT doc_id,
          |        string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -43,6 +43,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pcts.sum - 100.0) < 0.1)
   }
 
+  test("q83 null-safe join keeps the NULL bucket and partitions orders") {
+    val rows = operators.Analytics.q83(t).collect()
+    assert(rows.exists(_.getString(0) == "bucket_-1"),
+      "NULL keys must match via <=> instead of dropping")
+    assert(rows.map(_.getLong(1)).sum == t.orders.count())
+  }
+
+  test("t19 per-source doc counts partition the corpus; rule accounting " +
+    "is internally consistent") {
+    val rows = text.TextOps.t19(t).collect()
+    assert(rows.map(_.getLong(1)).sum == t.documents.count())
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) <= n)                     // n_pass
+      (3 to 6).foreach(i => assert(r.getLong(i) <= n)) // per-rule fails
+      // a doc passes iff it fails zero rules, so n - n_pass is bounded
+      // by the sum of per-rule failures
+      assert(n - r.getLong(2) <= (3 to 6).map(r.getLong).sum)
+      val rate = r.getDouble(7)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q21 star join covers every region present in customer data") {
     val regions = operators.Relational.q21(t)
       .select("region").distinct().count()

@@ -120,6 +120,19 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ+re-rank recall@5 $recall below 0.5")
   }
 
+  test("s07 radius search equals the kernel-computed threshold set") {
+    val live = vids.filter(norm(_) > 0)
+    val expected = (for {
+      q <- live.filter(_ < 10)
+      c <- live if c != q
+      s = sim(c, q) if s >= 0.3
+    } yield (q, c, s)).sorted
+    assert(expected.nonEmpty, "fixture must exercise the τ boundary")
+    val got = Similarity.s07(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got == expected)
+  }
+
   test("s03 trained codebook (Lloyd) has recall@5 >= sampled codebook") {
     // ground truth: kernel-side brute-force top-5 over the whole corpus
     val truth: Map[Long, Set[Long]] = qids.map { q =>

@@ -31,6 +31,18 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s == b)
   }
 
+  test("st03 streaming dedup+count equals batch count-distinct exactly") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamQueries.st03(spark, TestSpark.sfDir)
+    val batch = TestSpark.tables.events
+      .groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+  }
+
   test("st01 reruns get fresh sinks (bench reruns each query)") {
     val a = canon(StreamQueries.st01(spark, TestSpark.sfDir))
     val b = canon(StreamQueries.st01(spark, TestSpark.sfDir))

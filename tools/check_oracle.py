@@ -65,6 +65,11 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # Optional 3rd arg: comma-separated query names for targeted iteration
+    # (pairs with Verify's SPARK_GRAFT_VERIFY_ONLY filter).
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracles = {k: v for k, v in oracles.items() if k in only}
 
     failures = []
     for name in sorted(oracles):
