@@ -308,7 +308,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Within-cluster near-dup pairs for d10 (SemDeDup's candidate stage):
+    * the trained k-means clusters ARE the buckets — band_sig = cent_id,
+    * one "band" — so candidate generation reuses the bounded bucketPairs
+    * machinery (cap guard included) and pair cost is Σ sᵢ², bounded by
+    * scaling the cluster count with the corpus (C ≈ N/32 here, exactly
+    * how SemDeDup runs 50k clusters over LAION-scale data). Exposed for
+    * the fixture spec's precision/recall pins. */
+  private[graft] def semanticPairs(t: Tables): DataFrame = {
+    val SemTau = 0.4
+    val c = math.max(16L, t.embeddings.count() / 32).toInt
+    val assigned = graft.similarity.Similarity.assignedClusters(t, c)
+      .select(col("vec_id").as("doc_id"),
+        struct(col("vec"), col("norm")).as("payload"),
+        lit(0).as("band_id"), col("cent_id").as("band_sig"))
+    bucketPairs(assigned)
+      .select(col("doc_a"), col("doc_b"),
+        (dot_d(col("p_a.vec"), col("p_b.vec"))
+          / (col("p_a.norm") * col("p_b.norm"))).as("cos"))
+      .filter(col("cos") >= SemTau)
+  }
+
+  /** d10 — SemDeDup-style semantic dedup: cluster the embedding corpus
+    * with the TRAINED coarse quantizer (Similarity's Lloyd codebook,
+    * C ∝ corpus size), search near-dup pairs only WITHIN a cluster, and
+    * drop the higher-id member of each pair; result is the per-cluster
+    * dedup accounting. Complements d05: same cosine threshold, but
+    * candidates come from learned density clusters instead of random
+    * hyperplane buckets — the published-SemDeDup shape for web-scale
+    * semantic pruning. Scale: assignment is map-only against a broadcast
+    * codebook; the pair stage shuffles once on cent_id with the
+    * MaxBucket cap guarding degenerate clusters (the documented recall
+    * bound, same trade as the LSH hot-bucket path); the final rollup
+    * aggregates C rows. */
+  def d10(t: Tables): DataFrame = {
+    val SemC = math.max(16L, t.embeddings.count() / 32).toInt
+    val dropped = semanticPairs(t)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    graft.similarity.Similarity.assignedClusters(t, SemC)
+      .select(col("vec_id").as("doc_id"), col("cent_id"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("cent_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d10_semantic_dedup" -> d10,
     "d09_containment" -> d09,
     "d07_winnow_overlap" -> d07,
     "d06_dup_clusters" -> d06,

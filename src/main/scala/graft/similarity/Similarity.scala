@@ -149,6 +149,21 @@ object Similarity {
 
   private val LloydIters = 3
 
+  /** Trained-cluster assignment of the whole corpus — the shared front
+    * half of IVF (s03) and SemDeDup-style semantic dedup (Dedup.d10):
+    * (vec_id, vec, norm, cent_id) with cent_id from a `c`-centroid
+    * trained codebook. Map-only over the corpus; the codebook rides the
+    * same fingerprint-keyed cache as s03 (namespaced by c so different
+    * cluster counts never collide). */
+  private[graft] def assignedClusters(t: Tables, c: Int): DataFrame = {
+    val corpus = prepped(t)
+    val cents = codebookCache.getOrElseUpdate(
+      s"${codebookKey(t)}:c$c:l$LloydIters",
+      buildCodebook(t, corpus, c, LloydIters))
+    corpus.withColumn("cent_id",
+      bestCentroid(cents, "vec", "norm").getField("cent_id"))
+  }
+
   def s03(t: Tables): DataFrame = s03With(t, LloydIters)
 
   /** lloydIters=0 reproduces the pure sampled codebook — kept reachable so

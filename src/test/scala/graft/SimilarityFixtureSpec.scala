@@ -133,6 +133,28 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("d10 semantic dedup: planted copies dropped; pair precision vs " +
+    "kernel sims; accounting partitions the corpus") {
+    import graft.dedup.Dedup
+    val pairs = Dedup.semanticPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision: every emitted pair is genuinely ≥ τ under the
+    // kernel-side cosine (wrong clustering could only LOSE pairs, never
+    // invent one below threshold)
+    pairs.foreach { case (a, b, _) =>
+      assert(a < b)
+      assert(sim(a, b) >= 0.4, s"pair ($a,$b) below τ")
+    }
+    // planted recall: 11 is an exact copy of 10 (cos 1 → same argmax
+    // centroid → same cluster), 12 a near-copy — both must pair with 10
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet((10L, 11L)), "exact copy must be caught")
+    assert(pairSet((10L, 12L)), "near copy must be caught")
+    val agg = Dedup.d10(t).collect()
+    assert(agg.map(_.getLong(1)).sum == vids.size)
+    assert(agg.map(_.getLong(2)).sum >= 2L) // at least the planted drops
+  }
+
   test("s03 trained codebook (Lloyd) has recall@5 >= sampled codebook") {
     // ground truth: kernel-side brute-force top-5 over the whole corpus
     val truth: Map[Long, Set[Long]] = qids.map { q =>
