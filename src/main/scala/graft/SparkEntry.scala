@@ -48,5 +48,13 @@ object SparkEntry {
         "st03_stream_dedup" ->
           """SELECT event_type,
             | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        // the streaming interval join must equal the batch self-join
+        "st04_stream_join" ->
+          """SELECT c.user_id AS user_id, count(*) AS n_pairs
+            |FROM events c JOIN events p
+            |  ON c.user_id = p.user_id
+            | AND c.event_type = 'click' AND p.event_type = 'purchase'
+            | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+            |GROUP BY c.user_id ORDER BY user_id""".stripMargin)
 }

@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import graft.functions.exprs._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` — the LLM-pipeline dedup
@@ -315,17 +315,103 @@ object Dedup {
     * scaling the cluster count with the corpus (C ≈ N/32 here, exactly
     * how SemDeDup runs 50k clusters over LAION-scale data). Exposed for
     * the fixture spec's precision/recall pins. */
+  /** d10 cluster-count / sub-banding knobs for corpus size n. The
+    * codebook is INLINED into the argmax assignment expression, so C is
+    * capped at 512 (an uncapped C ∝ N inlines megabytes of centroid
+    * literals — plan/codegen blowup, found the hard way at 200k
+    * vectors). Growth past C·32 vectors is absorbed by LSH sub-banding
+    * WITHIN each cluster: planes = ⌈log₂(n / (C·32))⌉ splits a cluster
+    * into 2^planes hyperplane buckets of ~32 expected members, so
+    * in-bucket pair cost stays bounded at ANY corpus size — the coarse
+    * semantic cluster provides the candidate locality, the hyperplane
+    * refinement provides the memory bound (recall knob: multi-probe the
+    * sub-buckets, s04-style). planes = 0 below that scale — pure
+    * SemDeDup within clusters. */
+  private[graft] def semClusterKnobs(n: Long): (Int, Int) = {
+    val c = math.max(16L, math.min(512L, n / 32)).toInt
+    // sub-banding exists only because C is capped: below the cap the
+    // cluster count itself tracks N (expected size ~32), so planes
+    // engage — doubling sub-buckets per factor-2 growth — only once the
+    // corpus outgrows cap·32 vectors
+    val planes = if (c < 512) 0
+      else math.max(0, math.ceil(
+        math.log(n / (512.0 * 32)) / math.log(2.0)).toInt)
+    (c, planes)
+  }
+
+  /** Iterative oversized-bucket resolution — ONE definition shared by
+    * the curation pipeline (MinHash payloads, Jaccard test) and d10
+    * (vector payloads, cosine test). Hot buckets are the correlated-
+    * boilerplate case where >cap near-identical rows co-hash in every
+    * band; dropping them would retain exactly the hottest duplicate
+    * clusters. Each round: buckets at/under the cap exit to the normal
+    * pair path; each oversized bucket elects its min-doc_id
+    * representative, members passing `simTest` against the rep leave as
+    * (rep, member) duplicate pairs — O(bucket) work, never O(bucket²) —
+    * and the remnant re-enters. A bucket still oversized after `rounds`
+    * elections is the documented residual (bucketPairs' internal gate
+    * drops it). Returns (normal-banded rows, hot duplicate pairs with
+    * payloads). */
+  private[graft] def resolveHotBuckets(banded: DataFrame,
+      simTest: (Column, Column) => Column, rounds: Int,
+      cap: Int = MaxBucket): (DataFrame, DataFrame) = {
+    var pending = banded
+    var normalParts = Vector.empty[DataFrame]
+    var hotPairParts = Vector.empty[DataFrame]
+    for (_ <- 0 until rounds) {
+      // oversized-bucket keys of the CURRENT remnant; shrinks every
+      // round, AQE broadcasts it
+      val hotKeys = pending
+        .groupBy("band_id", "band_sig")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > cap)
+        .select("band_id", "band_sig")
+      normalParts :+= pending.join(hotKeys, Seq("band_id", "band_sig"), "left_anti")
+      val reps = pending
+        .join(hotKeys, Seq("band_id", "band_sig"), "left_semi")
+        .groupBy("band_id", "band_sig")
+        .agg(min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("rep"))
+        .select(col("band_id"), col("band_sig"),
+          col("rep.doc_id").as("rep_id"), col("rep.payload").as("rep_payload"))
+      val members = pending
+        .join(reps, Seq("band_id", "band_sig"))
+        .filter(col("doc_id") =!= col("rep_id"))
+        .withColumn("rep_sim", simTest(col("payload"), col("rep_payload")))
+      hotPairParts :+= members.filter(col("rep_sim"))
+        .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+          col("rep_payload").as("p_a"), col("payload").as("p_b"))
+      pending = members.filter(!col("rep_sim"))
+        .select("doc_id", "payload", "band_id", "band_sig")
+    }
+    normalParts :+= pending
+    (normalParts.reduce(_.unionByName(_)),
+      hotPairParts.reduce(_.unionByName(_)))
+  }
+
   private[graft] def semanticPairs(t: Tables): DataFrame = {
     val SemTau = 0.4
-    val c = math.max(16L, t.embeddings.count() / 32).toInt
-    val assigned = graft.similarity.Similarity.assignedClusters(t, c)
+    val (c, planes) = semClusterKnobs(t.embeddings.count())
+    val banded = graft.similarity.Similarity.assignedClusters(t, c)
       .select(col("vec_id").as("doc_id"),
         struct(col("vec"), col("norm")).as("payload"),
-        lit(0).as("band_id"), col("cent_id").as("band_sig"))
-    bucketPairs(assigned)
+        lit(0).as("band_id"),
+        (if (planes == 0) col("cent_id").cast("long")
+         else shiftleft(col("cent_id").cast("long"), 16) +
+           graft.functions.exprs.rh_bucket(col("vec"), planes, seed = 77L))
+          .as("band_sig"))
+    def cos(a: Column, b: Column): Column =
+      dot_d(a.getField("vec"), b.getField("vec")) /
+        (a.getField("norm") * b.getField("norm"))
+    // Exact copies at web scale overflow ANY fixed bucket bound (every
+    // copy shares every band key), so hot buckets resolve by iterative
+    // rep election instead of being dropped — 0-recall-on-boilerplate
+    // found the hard way on the 100x-replicated sf10 audit.
+    val (normal, hotPairs) =
+      resolveHotBuckets(banded, cos(_, _) >= SemTau, rounds = 3)
+    bucketPairs(normal)
+      .unionByName(hotPairs)
       .select(col("doc_a"), col("doc_b"),
-        (dot_d(col("p_a.vec"), col("p_b.vec"))
-          / (col("p_a.norm") * col("p_b.norm"))).as("cos"))
+        cos(col("p_a"), col("p_b")).as("cos"))
       .filter(col("cos") >= SemTau)
   }
 
@@ -337,16 +423,18 @@ object Dedup {
     * candidates come from learned density clusters instead of random
     * hyperplane buckets — the published-SemDeDup shape for web-scale
     * semantic pruning. Scale: assignment is map-only against a broadcast
-    * codebook; the pair stage shuffles once on cent_id with the
-    * MaxBucket cap guarding degenerate clusters (the documented recall
-    * bound, same trade as the LSH hot-bucket path); the final rollup
-    * aggregates C rows. */
+    * codebook (C capped — see semClusterKnobs — with LSH sub-banding
+    * inside clusters absorbing corpus growth at bounded bucket size);
+    * the pair stage shuffles once on the (cluster, sub-bucket) key with
+    * the MaxBucket cap guarding degenerate buckets (the documented
+    * recall bound, same trade as the LSH hot-bucket path); the final
+    * rollup aggregates C rows. */
   def d10(t: Tables): DataFrame = {
-    val SemC = math.max(16L, t.embeddings.count() / 32).toInt
+    val (semC, _) = semClusterKnobs(t.embeddings.count())
     val dropped = semanticPairs(t)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    graft.similarity.Similarity.assignedClusters(t, SemC)
+    graft.similarity.Similarity.assignedClusters(t, semC)
       .select(col("vec_id").as("doc_id"), col("cent_id"))
       .join(dropped, Seq("doc_id"), "left")
       .groupBy("cent_id")

@@ -309,7 +309,29 @@ object Analytics {
       .orderBy("label")
   }
 
+  /** q84 — SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`,
+    * the metastore-UDF workflow the reference's Hive dialect exposes):
+    * the function body is inlined into the plan at resolution, so the
+    * query codegens exactly like the hand-written expression — a SQL UDF
+    * is an abstraction with zero per-row cost, unlike a JVM/Python UDF.
+    * The UDF returns integer cents: round-to-0-decimals on a double is
+    * engine-stable (the .5 ties are dyadic, exactly representable, so
+    * both engines see the same tie and round it up — unlike 2-decimal
+    * rounding, see q31's note), and the BIGINT sum is exact. */
+  def q84(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE)
+        |RETURNS BIGINT RETURN CAST(round(p * (1 - d) * 100) AS BIGINT)"""
+        .stripMargin)
+    t.spark.sql(
+      """SELECT l_returnflag AS grp, count(*) AS n,
+        | sum(disc_cents(l_extendedprice, l_discount)) AS revenue_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q84_sql_udf" -> q84,
     "q83_null_safe_join" -> q83,
     "q82_merge_upsert" -> q82,
     "q80_group_by_all" -> q80,
@@ -326,6 +348,11 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q84_sql_udf" ->
+      """SELECT l_returnflag AS grp, count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin,
     "q83_null_safe_join" ->
       """WITH facts AS (
         |  SELECT nullif(o_orderkey % 10, 7) AS k, o_totalprice FROM orders),

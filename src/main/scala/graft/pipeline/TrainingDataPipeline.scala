@@ -102,42 +102,19 @@ object TrainingDataPipeline {
         slice(col("sig"), b * (K / Bands) + 1, K / Bands)): _*))
         .as(Seq("band_id", "band_sig")))
 
-    var pending = banded
-    var normalParts = Vector.empty[DataFrame]
-    var hotLoserParts = Vector.empty[DataFrame]
-    for (_ <- 0 until hotRounds) {
-      // oversized-bucket keys of the CURRENT remnant (first round: all
-      // buckets). The key set shrinks every round; AQE broadcasts it.
-      val hotKeys = pending
-        .groupBy("band_id", "band_sig")
-        .agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz") > MaxBucket)
-        .select("band_id", "band_sig")
-      normalParts :+= pending.join(hotKeys, Seq("band_id", "band_sig"), "left_anti")
-      val reps = pending
-        .join(hotKeys, Seq("band_id", "band_sig"), "left_semi")
-        .groupBy("band_id", "band_sig")
-        .agg(min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("rep"))
-        .select(col("band_id"), col("band_sig"),
-          col("rep.doc_id").as("rep_id"), col("rep.payload").as("rep_sig"))
-      val members = pending
-        .join(reps, Seq("band_id", "band_sig"))
-        .filter(col("doc_id") =!= col("rep_id"))
-        .withColumn("rep_sim",
-          exprs.jaccard_est(col("payload"), col("rep_sig")) >= minEst)
-      hotLoserParts :+= members.filter(col("rep_sim")).select("doc_id")
-      pending = members.filter(!col("rep_sim"))
-        .select("doc_id", "payload", "band_id", "band_sig")
-    }
-    // Rounds exhausted: route what shrank under the cap to the pair path;
-    // a bucket STILL oversized is the documented residual (bucketPairs'
+    // Iterative rep-election is the SHARED hot-bucket machinery
+    // (Dedup.resolveHotBuckets — d10's cosine path rides the same code);
+    // what shrank under the cap exits to the pair path, a bucket STILL
+    // oversized after the rounds is the documented residual (bucketPairs'
     // internal gate drops it rather than going O(bucket²)).
-    normalParts :+= pending
+    val (normal, hotPairs) = graft.dedup.Dedup.resolveHotBuckets(
+      banded, exprs.jaccard_est(_, _) >= minEst, hotRounds)
     val pairLosers = graft.dedup.Dedup
-      .bucketPairs(normalParts.reduce(_.unionByName(_)))
+      .bucketPairs(normal)
       .filter(exprs.jaccard_est(col("p_a"), col("p_b")) >= minEst)
       .select(col("doc_b").as("doc_id"))
-    val losers = pairLosers.union(hotLoserParts.reduce(_.union(_))).distinct()
+    val losers = pairLosers
+      .union(hotPairs.select(col("doc_b").as("doc_id"))).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -129,8 +129,49 @@ object StreamQueries {
       .orderBy("event_type")
   }
 
+  /** st04 — stream-stream interval join through the join state store:
+    * click events joined to purchase events of the same user within 10
+    * minutes, both sides watermarked (the condition Spark needs to ever
+    * evict join state). INNER join matches emit eagerly on arrival, so
+    * over finite input the append-mode result is exact regardless of
+    * micro-batch boundaries or final-watermark position — which is why
+    * the oracle can be the plain batch self-join. The per-user rollup
+    * runs as a batch aggregation over the sink (chaining a streaming agg
+    * after a stream-stream join is legal but the join is what this
+    * query gates). Scale: join state is partitioned by user_id and
+    * bounded by the watermark horizon; the batch twin is q49's
+    * hour-bucket expansion — at 100 TB/day the streaming spelling is
+    * strictly cheaper because state holds only the 10-minute horizon. */
+  def st04(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    val name = s"st04_join_${sinkId.incrementAndGet()}"
+    val q = joined.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window_agg" -> ((s, dir) => st01(s, dir)),
     "st02_stream_sessionize" -> ((s, dir) => st02(s, dir)),
-    "st03_stream_dedup" -> ((s, dir) => st03(s, dir)))
+    "st03_stream_dedup" -> ((s, dir) => st03(s, dir)),
+    "st04_stream_join" -> ((s, dir) => st04(s, dir)))
 }

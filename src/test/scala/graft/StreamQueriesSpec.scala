@@ -43,6 +43,26 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s == b)
   }
 
+  test("st04 streaming interval join equals the batch self-join exactly") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamQueries.st04(spark, TestSpark.sfDir)
+    val ev = TestSpark.tables.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+  }
+
   test("st01 reruns get fresh sinks (bench reruns each query)") {
     val a = canon(StreamQueries.st01(spark, TestSpark.sfDir))
     val b = canon(StreamQueries.st01(spark, TestSpark.sfDir))
