@@ -18,6 +18,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("q84's SQL UDF inlines into the plan: no UDF invocation node") {
+    val plan = operators.Analytics.q84(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // a JVM UDF would appear as ScalaUDF / Invoke and break codegen; the
+    // SQL UDF must resolve to the bare arithmetic inside HashAggregate
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Invoke"),
+      s"q84 should contain no UDF call node:\n$plan")
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("single-table aggregates prune the fact scan to referenced columns") {
     val plan = operators.Reference.q01(TestSpark.tables)
       .queryExecution.executedPlan.toString
