@@ -305,7 +305,10 @@ object Analytics {
     facts.join(broadcast(dim), col("k") <=> col("dk"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        // exact integer cents: round(sum(double), 2) drifts past a cent
+        // once group totals reach ~1e12 (seen at sf10)
+        sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("sum_price_cents"))
       .orderBy("label")
   }
 
@@ -360,7 +363,8 @@ object Analytics {
         |  SELECT dk, 'bucket_' || CAST(coalesce(dk, -1) AS VARCHAR) AS label
         |  FROM (SELECT DISTINCT k AS dk FROM facts))
         |SELECT label, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents
         |FROM facts JOIN dim ON facts.k IS NOT DISTINCT FROM dim.dk
         |GROUP BY label ORDER BY label""".stripMargin,
     "q82_merge_upsert" ->

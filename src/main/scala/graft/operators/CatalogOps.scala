@@ -58,13 +58,18 @@ object CatalogOps {
     * co-bucketed tables; the join inputs read bucket-locally (no
     * Exchange below the join). Oracle runs the same logical query on the
     * raw parquet — identical results prove the bucketed layout is a pure
-    * physical optimization. */
+    * physical optimization. Revenue sums in exact 1e-4 units (the
+    * price×(1−disc) product is 4dp-exact, so the per-row scaled round
+    * hits an integer and the BIGINT sum is engine-stable at ANY scale —
+    * `round(sum(double), 2)` drifted past a cent at sf10's 1e12
+    * totals). */
   def q81(t: Tables): DataFrame = {
     val (ordersTable, lineitemTable) = bucketedTables(t)
     t.spark.sql(
       s"""SELECT o_orderstatus AS status,
          |  count(*) AS n_items,
-         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+         |      AS BIGINT)) AS revenue_e4
          |FROM $lineitemTable JOIN $ordersTable ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus
          |ORDER BY status""".stripMargin)
@@ -77,7 +82,8 @@ object CatalogOps {
     "q81_catalog_bucketed_join" ->
       """SELECT o_orderstatus AS status,
         | count(*) AS n_items,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY status""".stripMargin)
