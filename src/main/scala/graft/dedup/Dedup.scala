@@ -355,65 +355,96 @@ object Dedup {
   private[graft] def resolveHotBuckets(banded: DataFrame,
       simTest: (Column, Column) => Column, rounds: Int,
       cap: Int = MaxBucket): (DataFrame, DataFrame) = {
-    var pending = banded
+    // The banded input is materialized ONCE (its lineage usually carries
+    // the signature/assignment kernels): every round and every union
+    // branch below re-reads the checkpoint instead of re-deriving the
+    // upstream scan per branch. Each surviving remnant is checkpointed
+    // the same way, so round r's plan never re-executes rounds 0..r-1.
+    var pending = banded.localCheckpoint()
     var normalParts = Vector.empty[DataFrame]
     var hotPairParts = Vector.empty[DataFrame]
-    for (_ <- 0 until rounds) {
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
       // oversized-bucket keys of the CURRENT remnant; shrinks every
-      // round, AQE broadcasts it
+      // round, AQE broadcasts it. Materializing the tiny key set also
+      // answers "any hot buckets left?" — the common no-hot-bucket case
+      // exits after ONE cheap aggregation instead of `rounds` of them.
       val hotKeys = pending
         .groupBy("band_id", "band_sig")
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > cap)
         .select("band_id", "band_sig")
-      normalParts :+= pending.join(hotKeys, Seq("band_id", "band_sig"), "left_anti")
-      val reps = pending
-        .join(hotKeys, Seq("band_id", "band_sig"), "left_semi")
-        .groupBy("band_id", "band_sig")
-        .agg(min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("rep"))
-        .select(col("band_id"), col("band_sig"),
-          col("rep.doc_id").as("rep_id"), col("rep.payload").as("rep_payload"))
-      val members = pending
-        .join(reps, Seq("band_id", "band_sig"))
-        .filter(col("doc_id") =!= col("rep_id"))
-        .withColumn("rep_sim", simTest(col("payload"), col("rep_payload")))
-      hotPairParts :+= members.filter(col("rep_sim"))
-        .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
-          col("rep_payload").as("p_a"), col("payload").as("p_b"))
-      pending = members.filter(!col("rep_sim"))
-        .select("doc_id", "payload", "band_id", "band_sig")
+        .localCheckpoint()
+      if (hotKeys.isEmpty) {
+        normalParts :+= pending
+        exhausted = true
+      } else {
+        normalParts :+= pending.join(hotKeys, Seq("band_id", "band_sig"), "left_anti")
+        val reps = pending
+          .join(hotKeys, Seq("band_id", "band_sig"), "left_semi")
+          .groupBy("band_id", "band_sig")
+          .agg(min_by(struct(col("doc_id"), col("payload")), col("doc_id")).as("rep"))
+          .select(col("band_id"), col("band_sig"),
+            col("rep.doc_id").as("rep_id"), col("rep.payload").as("rep_payload"))
+        val members = pending
+          .join(reps, Seq("band_id", "band_sig"))
+          .filter(col("doc_id") =!= col("rep_id"))
+          .withColumn("rep_sim", simTest(col("payload"), col("rep_payload")))
+        hotPairParts :+= members.filter(col("rep_sim"))
+          .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+            col("rep_payload").as("p_a"), col("payload").as("p_b"))
+        pending = members.filter(!col("rep_sim"))
+          .select("doc_id", "payload", "band_id", "band_sig")
+          .localCheckpoint()
+      }
+      round += 1
     }
-    normalParts :+= pending
+    if (!exhausted) normalParts :+= pending
+    val emptyPairs = banded.filter(lit(false)).select(
+      col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+      col("payload").as("p_a"), col("payload").as("p_b"))
     (normalParts.reduce(_.unionByName(_)),
-      hotPairParts.reduce(_.unionByName(_)))
+      hotPairParts.foldLeft(emptyPairs)(_.unionByName(_)))
   }
 
-  private[graft] def semanticPairs(t: Tables): DataFrame = {
-    val SemTau = 0.4
+  private val SemTau = 0.4
+
+  private def semCos(a: Column, b: Column): Column =
+    dot_d(a.getField("vec"), b.getField("vec")) /
+      (a.getField("norm") * b.getField("norm"))
+
+  /** The banded (cluster × sub-bucket) frame d10 and semanticPairs share:
+    * cent_id rides the upper bits of band_sig so the accounting rollup
+    * can recover it without re-running the assignment scan. */
+  private def semanticBanded(t: Tables): DataFrame = {
     val (c, planes) = semClusterKnobs(t.embeddings.count())
-    val banded = graft.similarity.Similarity.assignedClusters(t, c)
+    graft.similarity.Similarity.assignedClusters(t, c)
       .select(col("vec_id").as("doc_id"),
         struct(col("vec"), col("norm")).as("payload"),
         lit(0).as("band_id"),
-        (if (planes == 0) col("cent_id").cast("long")
+        (if (planes == 0) shiftleft(col("cent_id").cast("long"), 16)
          else shiftleft(col("cent_id").cast("long"), 16) +
            graft.functions.exprs.rh_bucket(col("vec"), planes, seed = 77L))
           .as("band_sig"))
-    def cos(a: Column, b: Column): Column =
-      dot_d(a.getField("vec"), b.getField("vec")) /
-        (a.getField("norm") * b.getField("norm"))
+  }
+
+  private[graft] def semanticPairsFrom(banded: DataFrame): DataFrame = {
     // Exact copies at web scale overflow ANY fixed bucket bound (every
     // copy shares every band key), so hot buckets resolve by iterative
     // rep election instead of being dropped — 0-recall-on-boilerplate
     // found the hard way on the 100x-replicated sf10 audit.
     val (normal, hotPairs) =
-      resolveHotBuckets(banded, cos(_, _) >= SemTau, rounds = 3)
+      resolveHotBuckets(banded, semCos(_, _) >= SemTau, rounds = 3)
     bucketPairs(normal)
       .unionByName(hotPairs)
       .select(col("doc_a"), col("doc_b"),
-        cos(col("p_a"), col("p_b")).as("cos"))
+        semCos(col("p_a"), col("p_b")).as("cos"))
       .filter(col("cos") >= SemTau)
   }
+
+  private[graft] def semanticPairs(t: Tables): DataFrame =
+    semanticPairsFrom(semanticBanded(t))
 
   /** d10 — SemDeDup-style semantic dedup: cluster the embedding corpus
     * with the TRAINED coarse quantizer (Similarity's Lloyd codebook,
@@ -430,12 +461,16 @@ object Dedup {
     * recall bound, same trade as the LSH hot-bucket path); the final
     * rollup aggregates C rows. */
   def d10(t: Tables): DataFrame = {
-    val (semC, _) = semClusterKnobs(t.embeddings.count())
-    val dropped = semanticPairs(t)
+    // one materialization of the assignment scan; the pair path and the
+    // accounting rollup both read the checkpoint (cent_id recovered from
+    // band_sig's upper bits instead of a second assignment pass)
+    val banded = semanticBanded(t).localCheckpoint()
+    val dropped = semanticPairsFrom(banded)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    graft.similarity.Similarity.assignedClusters(t, semC)
-      .select(col("vec_id").as("doc_id"), col("cent_id"))
+    banded
+      .select(col("doc_id"),
+        shiftright(col("band_sig"), 16).cast("int").as("cent_id"))
       .join(dropped, Seq("doc_id"), "left")
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"),

@@ -248,6 +248,33 @@ object HashImpls {
     s
   }
 
+  /** Argmax-cosine centroid id over a codebook held as plain arrays.
+    * Arithmetic order matches the former per-centroid expression
+    * spelling exactly (sequential dot, then one division by
+    * norm·cnorm), and ties break to the LARGER centroid id — the
+    * lexicographic-max semantics of `array_max(array(struct(ccos,
+    * cent_id)...))` it replaces. */
+  def nearestCentroid(v: ArrayData, norm: Double, ids: Array[Int],
+      cents: Array[Array[Double]], cnorms: Array[Double]): Int = {
+    var best = Double.NegativeInfinity
+    var bestId = -1
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getDouble(i) * cv(i)
+        i += 1
+      }
+      val cos = s / (norm * cnorms(c))
+      if (cos >= best) { best = cos; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): the distinct sorted
     * minima of every `winnowWin`-sized window over the rolling hashes —
     * computed with a monotonic deque in O(n) total, vs the O(n·W)
@@ -468,6 +495,34 @@ case class WinnowStats(child: Expression, hashWin: Int, winnowWin: Int)
   override def prettyName: String = "winnow_stats"
 }
 
+/** nearest_centroid(vec, norm) → int: argmax-cosine centroid id against
+  * a codebook carried as a REFERENCED object the generated code loops
+  * over. The alternative — an unrolled `array_max(array(struct(dot, id)
+  * ...))` with one sub-tree per centroid — exceeds the 64 KB generated-
+  * method limit somewhere past ~100 centroids and silently drops the
+  * whole stage to interpreted eval (d10's C=512 assignment ran ~30x
+  * slow at the sf10 audit before this expression existed). Bytecode
+  * size here is constant in C; the loop is the same shape any IVF index
+  * runs. */
+case class NearestCentroid(left: Expression, right: Expression,
+    ids: Array[Int], cents: Array[Array[Double]], cnorms: Array[Double])
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any, n: Any): Any =
+    HashImpls.nearestCentroid(v.asInstanceOf[ArrayData],
+      n.asInstanceOf[Double], ids, cents, cnorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "int[]")
+    val centsRef = ctx.addReferenceObj("centVecs", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev, (v, n) =>
+      s"graft.functions.HashImpls.nearestCentroid($v, $n, $idsRef, $centsRef, $normsRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_centroid"
+}
+
 /** dot_d(a, b) → double: fused dot product over two array<double>. */
 case class DotDouble(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -508,6 +563,10 @@ object exprs {
     column(JaccardEst(expression(a), expression(b)))
   def dot_d(a: Column, b: Column): Column =
     column(DotDouble(expression(a), expression(b)))
+  def nearest_centroid(vec: Column, norm: Column,
+      codebook: Array[(Int, Array[Double], Double)]): Column =
+    column(NearestCentroid(expression(vec), expression(norm),
+      codebook.map(_._1), codebook.map(_._2), codebook.map(_._3)))
   def rolling_hashes(text: Column, windowSize: Int = 16): Column =
     column(RollingHashes(expression(text), windowSize))
   def winnow_fps(text: Column, hashWin: Int = 16, winnowWin: Int = 8): Column =

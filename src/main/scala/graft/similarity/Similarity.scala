@@ -101,18 +101,18 @@ object Similarity {
   private def codebookKey(t: Tables): String =
     s"${t.dir}:${t.tableFingerprint("embeddings")}"
 
-  /** Argmax-centroid assignment expression: a MAP-ONLY lexicographic max
-    * over C fused dot products per row against the inlined codebook — no
-    * shuffle of the corpus, no groupBy (a crossJoin+max_by formulation
-    * would shuffle every (vec, norm) just to pick the nearest centroid). */
+  /** Argmax-centroid assignment: a MAP-ONLY pass per row against the
+    * codebook — no shuffle of the corpus, no groupBy (a crossJoin+max_by
+    * formulation would shuffle every (vec, norm) just to pick the
+    * nearest centroid). The codebook rides the `nearest_centroid`
+    * expression as a referenced object the generated code LOOPS over; an
+    * unrolled per-centroid expression tree breaks the 64 KB codegen
+    * method limit past ~100 centroids and drops to interpreted eval
+    * (same arithmetic and tie-break semantics, pinned by the fixture
+    * specs). */
   private def bestCentroid(cb: Array[(Int, Array[Double], Double)],
-                           vecCol: String, normCol: String) = array_max(array(
-    cb.map { case (id, cvec, cnorm) =>
-      struct(
-        (dot_d(col(vecCol), typedlit(cvec)) / (col(normCol) * lit(cnorm)))
-          .as("ccos"),
-        lit(id).as("cent_id"))
-    }: _*))
+                           vecCol: String, normCol: String) =
+    graft.functions.exprs.nearest_centroid(col(vecCol), col(normCol), cb)
 
   /** Builds the C-centroid coarse quantizer: a deterministic sample seeds
     * the codebook, then `lloydIters` rounds of spherical k-means refine it
@@ -134,7 +134,7 @@ object Similarity {
     val dim = cb(0)._2.length
     for (_ <- 1 to lloydIters) {
       val means = corpus
-        .withColumn("cent_id", bestCentroid(cb, "vec", "norm").getField("cent_id"))
+        .withColumn("cent_id", bestCentroid(cb, "vec", "norm"))
         .groupBy("cent_id")
         .agg(avg(col("vec")(0)).as("m0"),
           (1 until dim).map(i => avg(col("vec")(i)).as(s"m$i")): _*)
@@ -161,7 +161,7 @@ object Similarity {
       s"${codebookKey(t)}:c$c:l$LloydIters",
       buildCodebook(t, corpus, c, LloydIters))
     corpus.withColumn("cent_id",
-      bestCentroid(cents, "vec", "norm").getField("cent_id"))
+      bestCentroid(cents, "vec", "norm"))
   }
 
   def s03(t: Tables): DataFrame = s03With(t, LloydIters)
@@ -182,7 +182,7 @@ object Similarity {
     def bestCent(vecCol: String, normCol: String) =
       bestCentroid(cents, vecCol, normCol)
     val assigned = corpus
-      .withColumn("cent_id", bestCent("vec", "norm").getField("cent_id"))
+      .withColumn("cent_id", bestCent("vec", "norm"))
     // query probes: NProbe nearest centroids per query, ranked from the
     // same inlined codebook (queries are tiny; explode + rank is fine)
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cent_id"))
