@@ -38,22 +38,37 @@ object TextScrub {
 
   def piiScan(text: UTF8String): InternalRow = {
     val s = text.toString
-    val scrubbed = idP.matcher(
-      ipP.matcher(
-        emailP.matcher(s).replaceAll("<EMAIL>"))
-        .replaceAll("<IP>"))
-      .replaceAll("<ID>")
-    InternalRow(count(emailP, s), count(ipP, s), count(idP, s),
-      UTF8String.fromString(scrubbed))
+    val e = count(emailP, s)
+    val i = count(ipP, s)
+    val d = count(idP, s)
+    // clean-document fast path: the counts already prove the replace
+    // chain is an identity, so skip its three scans and the re-encode —
+    // exact by construction (replaceAll with zero matches returns the
+    // input), and clean docs are the overwhelming majority of any real
+    // corpus
+    val scrubbed =
+      if (e == 0 && i == 0 && d == 0) text
+      else UTF8String.fromString(
+        idP.matcher(
+          ipP.matcher(
+            emailP.matcher(s).replaceAll("<EMAIL>"))
+            .replaceAll("<IP>"))
+          .replaceAll("<ID>"))
+    InternalRow(e, i, d, scrubbed)
   }
 
-  def scrub(text: UTF8String): UTF8String =
-    UTF8String.fromString(
+  def scrub(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // same clean fast path via early-exit find()s (no counting needed)
+    if (!emailP.matcher(s).find() && !ipP.matcher(s).find() &&
+        !idP.matcher(s).find()) text
+    else UTF8String.fromString(
       idP.matcher(
         ipP.matcher(
-          emailP.matcher(text.toString).replaceAll("<EMAIL>"))
+          emailP.matcher(s).replaceAll("<EMAIL>"))
           .replaceAll("<IP>"))
         .replaceAll("<ID>"))
+  }
 }
 
 /** Canonical-form fingerprint in one pass: the exact-dedup key
