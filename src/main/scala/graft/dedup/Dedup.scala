@@ -333,9 +333,11 @@ object Dedup {
     // cluster count itself tracks N (expected size ~32), so planes
     // engage — doubling sub-buckets per factor-2 growth — only once the
     // corpus outgrows cap·32 vectors
+    // planes caps at 30 (rh_bucket's limit; 2^30 sub-buckets ≈ corpus of
+    // 2^44 — far past any single-index deployment)
     val planes = if (c < 512) 0
-      else math.max(0, math.ceil(
-        math.log(n / (512.0 * 32)) / math.log(2.0)).toInt)
+      else math.min(30, math.max(0, math.ceil(
+        math.log(n / (512.0 * 32)) / math.log(2.0)).toInt))
     (c, planes)
   }
 
@@ -354,13 +356,17 @@ object Dedup {
     * payloads). */
   private[graft] def resolveHotBuckets(banded: DataFrame,
       simTest: (Column, Column) => Column, rounds: Int,
-      cap: Int = MaxBucket): (DataFrame, DataFrame) = {
+      cap: Int = MaxBucket,
+      alreadyMaterialized: Boolean = false): (DataFrame, DataFrame) = {
     // The banded input is materialized ONCE (its lineage usually carries
     // the signature/assignment kernels): every round and every union
     // branch below re-reads the checkpoint instead of re-deriving the
     // upstream scan per branch. Each surviving remnant is checkpointed
     // the same way, so round r's plan never re-executes rounds 0..r-1.
-    var pending = banded.localCheckpoint()
+    // A caller that checkpointed `banded` itself (d10 shares it with its
+    // accounting rollup) passes alreadyMaterialized to skip a second
+    // full copy.
+    var pending = if (alreadyMaterialized) banded else banded.localCheckpoint()
     var normalParts = Vector.empty[DataFrame]
     var hotPairParts = Vector.empty[DataFrame]
     var round = 0
@@ -423,19 +429,23 @@ object Dedup {
       .select(col("vec_id").as("doc_id"),
         struct(col("vec"), col("norm")).as("payload"),
         lit(0).as("band_id"),
-        (if (planes == 0) shiftleft(col("cent_id").cast("long"), 16)
-         else shiftleft(col("cent_id").cast("long"), 16) +
+        // cent_id rides bits 32+; rh_bucket (< 2^30 by its planes cap)
+        // can never carry into it, at any corpus size
+        (if (planes == 0) shiftleft(col("cent_id").cast("long"), 32)
+         else shiftleft(col("cent_id").cast("long"), 32) +
            graft.functions.exprs.rh_bucket(col("vec"), planes, seed = 77L))
           .as("band_sig"))
   }
 
-  private[graft] def semanticPairsFrom(banded: DataFrame): DataFrame = {
+  private[graft] def semanticPairsFrom(banded: DataFrame,
+      materialized: Boolean = false): DataFrame = {
     // Exact copies at web scale overflow ANY fixed bucket bound (every
     // copy shares every band key), so hot buckets resolve by iterative
     // rep election instead of being dropped — 0-recall-on-boilerplate
     // found the hard way on the 100x-replicated sf10 audit.
     val (normal, hotPairs) =
-      resolveHotBuckets(banded, semCos(_, _) >= SemTau, rounds = 3)
+      resolveHotBuckets(banded, semCos(_, _) >= SemTau, rounds = 3,
+        alreadyMaterialized = materialized)
     bucketPairs(normal)
       .unionByName(hotPairs)
       .select(col("doc_a"), col("doc_b"),
@@ -465,12 +475,12 @@ object Dedup {
     // accounting rollup both read the checkpoint (cent_id recovered from
     // band_sig's upper bits instead of a second assignment pass)
     val banded = semanticBanded(t).localCheckpoint()
-    val dropped = semanticPairsFrom(banded)
+    val dropped = semanticPairsFrom(banded, materialized = true)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
     banded
       .select(col("doc_id"),
-        shiftright(col("band_sig"), 16).cast("int").as("cent_id"))
+        shiftright(col("band_sig"), 32).cast("int").as("cent_id"))
       .join(dropped, Seq("doc_id"), "left")
       .groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"),

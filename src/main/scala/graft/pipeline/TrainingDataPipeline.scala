@@ -93,7 +93,8 @@ object TrainingDataPipeline {
     * hot remnant, never O(bucket²)) for full in-bucket recall. */
   def nearDupRemoval(docs: DataFrame, minEst: Double = 0.8,
                      hotRounds: Int = 3): DataFrame = {
-    val MaxBucket = 64
+    // the hot-bucket cap is Dedup.MaxBucket (resolveHotBuckets' default)
+    // — ONE definition, necessarily identical to bucketPairs' gate
     val sigs = docs
       .withColumn("toks", expr(exprs.wsTokensSql))
       .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("sig"))

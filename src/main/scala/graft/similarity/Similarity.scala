@@ -177,7 +177,9 @@ object Similarity {
     // to the driver and inlined as literals (how every IVF index holds
     // its codebook).
     val cents: Array[(Int, Array[Double], Double)] =
-      codebookCache.getOrElseUpdate(s"${codebookKey(t)}:$lloydIters",
+      // SAME key format as assignedClusters, so s03 and d10 share the
+      // C=16 codebook on a small corpus instead of training it twice
+      codebookCache.getOrElseUpdate(s"${codebookKey(t)}:c$C:l$lloydIters",
         buildCodebook(t, corpus, C, lloydIters))
     def bestCent(vecCol: String, normCol: String) =
       bestCentroid(cents, vecCol, normCol)

@@ -132,10 +132,10 @@ object StreamQueries {
   /** st04 — stream-stream interval join through the join state store:
     * click events joined to purchase events of the same user within 10
     * minutes, both sides watermarked (the condition Spark needs to ever
-    * evict join state). INNER join matches emit eagerly on arrival, so
-    * over finite input the append-mode result is exact regardless of
-    * micro-batch boundaries or final-watermark position — which is why
-    * the oracle can be the plain batch self-join. The per-user rollup
+    * evict join state). INNER join matches emit eagerly on arrival —
+    * no buffering on the final watermark — so over this finite input
+    * the append-mode result equals the plain batch self-join (see the
+    * in-body caveat on multi-batch late arrivals). The per-user rollup
     * runs as a batch aggregation over the sink (chaining a streaming agg
     * after a stream-stream join is legal but the join is what this
     * query gates). Scale: join state is partitioned by user_id and
@@ -155,6 +155,13 @@ object StreamQueries {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    // EXACTNESS CAVEAT (unlike the state-retaining st01–st03): inner
+    // matches emit eagerly, but an input row arriving in a LATER
+    // micro-batch more than the 1 h watermark behind the stream's max
+    // event time is dropped as late before joining. The gate is exact
+    // here because the single-file source yields one AvailableNow batch
+    // (no rate limits configured); a multi-batch replay of out-of-order
+    // history needs the watermark sized to the reordering horizon.
     val name = s"st04_join_${sinkId.incrementAndGet()}"
     val q = joined.writeStream
       .queryName(name)

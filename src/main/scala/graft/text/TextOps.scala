@@ -542,7 +542,7 @@ object TextOps {
   def t19(t: Tables): DataFrame = {
     val metrics = t.documentsWide.select(
       col("doc_id"), col("source"),
-      split(trim(col("text")), "\\s+").as("tk"),
+      expr(tokensExpr).as("tk"),
       length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nz"))
       .select(col("source"), col("nz"),
         size(col("tk")).cast("long").as("n_words"),

@@ -66,9 +66,13 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     # Optional 3rd arg: comma-separated query names for targeted iteration
-    # (pairs with Verify's SPARK_GRAFT_VERIFY_ONLY filter).
+    # (pairs with Verify's SPARK_GRAFT_VERIFY_ONLY filter). Unknown names
+    # are an error — a typo'd filter must not produce a vacuous all-pass.
     if len(sys.argv) > 3:
-        only = set(sys.argv[3].split(","))
+        only = {n.strip() for n in sys.argv[3].split(",") if n.strip()}
+        unknown = only - set(oracles)
+        if unknown:
+            sys.exit(f"unknown query name(s) in filter: {sorted(unknown)}")
         oracles = {k: v for k, v in oracles.items() if k in only}
 
     failures = []
