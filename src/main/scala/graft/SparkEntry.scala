@@ -49,6 +49,12 @@ object SparkEntry {
           """SELECT event_type,
             | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        // stream-static enrich must equal the batch join+rollup
+        "st05_stream_enrich" ->
+          """SELECT n_name, count(*) AS n_events,
+            | round(sum(value), 1) AS sum_value
+            |FROM events JOIN nation ON user_id % 25 = n_nationkey
+            |GROUP BY n_name ORDER BY n_name""".stripMargin,
         // the streaming interval join must equal the batch self-join
         "st04_stream_join" ->
           """SELECT c.user_id AS user_id, count(*) AS n_pairs

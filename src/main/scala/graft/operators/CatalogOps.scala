@@ -50,6 +50,14 @@ object CatalogOps {
         .option("compression", "snappy")
         .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(lineitemTable)
+      // the Hive workflow's ANALYZE TABLE step: persist row/size stats
+      // (plus column NDV/min/max for the join keys) into the catalog so
+      // the cost-based optimizer has real cardinalities to plan from —
+      // part of the layout cost paid once at write time
+      t.spark.sql(s"ANALYZE TABLE $ordersTable COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderkey, o_orderstatus")
+      t.spark.sql(s"ANALYZE TABLE $lineitemTable COMPUTE STATISTICS " +
+        "FOR COLUMNS l_orderkey")
       (ordersTable, lineitemTable)
     })
   }

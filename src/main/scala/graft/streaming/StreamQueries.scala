@@ -176,7 +176,32 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** st05 — stream-static enrichment: the unbounded stream joins a
+    * static dimension (nation, re-read per micro-batch, broadcast by
+    * size) before a streaming aggregation — the standard "enrich then
+    * count" continuous-ETL shape. Static-side rows are planned as a
+    * BATCH relation inside the streaming plan, so no join state store
+    * is involved; the only state is the aggregation's. Oracle: the
+    * identical batch join+rollup. Sums round at 1dp AFTER the sink —
+    * state holds raw doubles, and 1dp at these magnitudes sits ~250x
+    * above cross-engine summation drift (see the q81/q83 sf10
+    * analysis). */
+  def st05(spark: SparkSession, dir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = eventsStream(spark, dir)
+      .select((col("user_id") % 25).as("nk"), col("value"))
+      .join(broadcast(nation), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+    runComplete(spark, enriched, "st05_enrich")
+      .select(col("n_name"), col("n_events"),
+        round(col("sv"), 1).as("sum_value"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st05_stream_enrich" -> ((s, dir) => st05(s, dir)),
     "st01_stream_window_agg" -> ((s, dir) => st01(s, dir)),
     "st02_stream_sessionize" -> ((s, dir) => st02(s, dir)),
     "st03_stream_dedup" -> ((s, dir) => st03(s, dir)),

@@ -204,6 +204,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog tables carry ANALYZE statistics (row counts + column NDV)") {
+    val t = TestSpark.tables
+    val (ordersTable, _) = operators.CatalogOps.bucketedTables(t)
+    val stats = spark.sql(s"DESCRIBE EXTENDED $ordersTable o_orderkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // persisted column NDV/min/max prove the ANALYZE ... FOR COLUMNS
+    // step ran at layout-write time (what the CBO plans from)
+    for (k <- Seq("distinct_count", "min", "max"))
+      assert(stats.get(k).exists(_ != "NULL"),
+        s"ANALYZE should persist column $k, got $stats")
+  }
+
   test("co-bucketed catalog tables sort-merge join with zero Exchange") {
     val t = TestSpark.tables
     val (ordersTable, lineitemTable) = operators.CatalogOps.bucketedTables(t)
