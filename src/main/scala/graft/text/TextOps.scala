@@ -2,6 +2,7 @@ package graft.text
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -573,7 +574,32 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t20 — CCNet-style perplexity bucketing: every scored doc lands in
+    * a per-source head/middle/tail tercile by LM fluency (bucket 1 =
+    * most fluent), the split CCNet uses to choose which slice of a
+    * crawl to train on. The sort key is `(sum_logp_q4 · 1000) div
+    * n_bigrams` — an exact integer, ties broken by doc_id — because a
+    * float average would let the two engines order near-equal docs
+    * differently at the tercile boundary (both engines truncate
+    * negative integer division identically). Scale shape: inherits
+    * t17's one corpus aggregation + shuffle-hash probe; the ntile
+    * window partitions by source (natural hash partitioning, no global
+    * sort) over the tiny per-doc score table. */
+  def t20(t: Tables): DataFrame = {
+    val keyed = t.documents.select(col("doc_id"), col("source"))
+      .join(lmScored(t), Seq("doc_id"))
+      .withColumn("score_q", expr("(sum_logp_q4 * 1000) div n_bigrams"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    keyed
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_q")).as("sum_score_q"))
+      .orderBy("source", "bucket")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t20_perplexity_buckets" -> t20,
     "t19_gopher_rules" -> t19,
     "t18_perplexity_filter" -> t18,
     "t17_bigram_lm" -> t17,
@@ -606,6 +632,27 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t20_perplexity_buckets" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |       FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+         |       WHERE len(tk) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |scored AS (SELECT doc_id, count(*) AS nb,
+         |  CAST(sum(CAST(round(ln(c12 * 1.0 / c1) * 10000) AS BIGINT))
+         |    AS BIGINT) AS slp
+         |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         |  GROUP BY doc_id),
+         |keyed AS (SELECT d.source, d.doc_id, (slp * 1000) // nb AS score_q
+         |  FROM documents d JOIN scored USING (doc_id)),
+         |b AS (SELECT source, score_q, ntile(3) OVER (
+         |    PARTITION BY source ORDER BY score_q DESC, doc_id) AS bucket
+         |  FROM keyed)
+         |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+         |  count(*) AS n_docs, CAST(sum(score_q) AS BIGINT) AS sum_score_q
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
     "t19_gopher_rules" ->
       raw"""WITH m AS (
          |  SELECT source, $dTokens AS tk,
