@@ -66,6 +66,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t20 terciles partition each source into near-equal buckets") {
+    val rows = text.TextOps.t20(t).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sizes = rs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1,
+        s"$src: ntile buckets must differ by at most one doc, got ${sizes.toSeq}")
+      assert(rs.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 3L)))
+    }
+  }
+
   test("q21 star join covers every region present in customer data") {
     val regions = operators.Relational.q21(t)
       .select("region").distinct().count()
