@@ -204,6 +204,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("DISTRIBUTE BY / SORT BY (Hive dialect) plans hash exchange + " +
+    "partition-local sort, no global sort") {
+    TestSpark.tables.registerViews()
+    val plan = spark.sql(
+      """SELECT l_returnflag, l_shipdate, l_quantity FROM lineitem
+        |DISTRIBUTE BY l_returnflag SORT BY l_shipdate""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(l_returnflag"),
+      s"DISTRIBUTE BY must hash-partition on the key:\n$plan")
+    // SORT BY is per-partition: the Sort node must be non-global (no
+    // rangepartitioning exchange, which a global ORDER BY would add)
+    assert(plan.contains("Sort [l_shipdate") && plan.contains("], false, "),
+      s"SORT BY must sort within partitions only:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort exchange expected:\n$plan")
+  }
+
   test("catalog tables carry ANALYZE statistics (row counts + column NDV)") {
     val t = TestSpark.tables
     val (ordersTable, _) = operators.CatalogOps.bucketedTables(t)
