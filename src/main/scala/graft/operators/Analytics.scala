@@ -333,7 +333,29 @@ object Analytics {
         |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin)
   }
 
+  /** q85 — cumulative-uniques growth curve (daily new vs. cumulative
+    * distinct users), the standard user-growth analytic. A windowed
+    * COUNT(DISTINCT) is not legal in Spark and would be quadratic
+    * anyway; the scalable formulation is first-seen reduction: one
+    * hash-shuffle on user_id (map-side partial MIN), a second tiny
+    * aggregation to calendar days, then a running sum over the
+    * day-granularity result — the global-ordered window runs over at
+    * most one row per day (cf. q25's documented pattern), never raw
+    * events, so the shape is unchanged at 100 TB. */
+  def q85(t: Tables): DataFrame = {
+    val firsts = t.events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    firsts.groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q85_cumulative_uniques" -> q85,
     "q84_sql_udf" -> q84,
     "q83_null_safe_join" -> q83,
     "q82_merge_upsert" -> q82,
@@ -351,6 +373,13 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q85_cumulative_uniques" ->
+      """WITH firsts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id)
+        |SELECT day, count(*) AS new_users,
+        |  CAST(sum(count(*)) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM firsts GROUP BY day ORDER BY day""".stripMargin,
     "q84_sql_udf" ->
       """SELECT l_returnflag AS grp, count(*) AS n,
         | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)

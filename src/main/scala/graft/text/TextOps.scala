@@ -598,7 +598,38 @@ object TextOps {
       .orderBy("source", "bucket")
   }
 
+  /** t21 — vocabulary growth / type-token ratio per source: the corpus
+    * statistic that sizes a tokenizer's vocabulary and flags template
+    * spam (near-constant text has a collapsing TTR). Scale shape: the
+    * only large shuffle is groupBy(source, token) with map-side
+    * partials — the Zipf head collapses in the combiner, so shuffle
+    * bytes ∝ distinct (source, token) pairs, not corpus tokens; a
+    * two-level rollup instead of COUNT(DISTINCT token) also avoids the
+    * Expand-operator plan (which would triple shuffle volume for the
+    * multi-distinct aggregate). Doc counts ride a separate cheap scan
+    * and join at source granularity (auto-broadcast). TTR is reported
+    * in exact basis points (round-to-0 on the double ratio, see q84's
+    * engine-stability note). */
+  def t21(t: Tables): DataFrame = {
+    val toks = t.documentsWide
+      .select(col("source"), explode(expr(tokensExpr)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val perTok = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val vocabAgg = perTok.groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("cnt").as("n_tokens"))
+    val docs = t.documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    docs.join(vocabAgg, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        // cast(10000 as double), not the 10000.0 literal: Spark parses
+        // the latter as DECIMAL(5,1) and the ratio would leave double
+        // arithmetic (see t19's pass_rate note)
+        expr("cast(round(vocab * cast(10000 as double) / n_tokens)" +
+          " as bigint)").as("ttr_x10k"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t21_vocab_growth" -> t21,
     "t20_perplexity_buckets" -> t20,
     "t19_gopher_rules" -> t19,
     "t18_perplexity_filter" -> t18,
@@ -632,6 +663,19 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t21_vocab_growth" ->
+      raw"""WITH toks AS (
+         |  SELECT source, unnest($dTokens) AS tok FROM documents),
+         |tk AS (
+         |  SELECT source, count(*) AS n_tokens,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+         |  FROM toks WHERE length(tok) > 0 GROUP BY source),
+         |dc AS (SELECT source, count(*) AS n_docs
+         |       FROM documents GROUP BY source)
+         |SELECT dc.source AS source, n_docs, n_tokens, vocab,
+         |  CAST(round(vocab * CAST(10000 AS DOUBLE) / n_tokens) AS BIGINT)
+         |    AS ttr_x10k
+         |FROM dc JOIN tk USING (source) ORDER BY source""".stripMargin,
     "t20_perplexity_buckets" ->
       raw"""WITH toks AS (SELECT doc_id,
          |        string_split_regex(trim(text), '\s+') AS tk FROM documents),

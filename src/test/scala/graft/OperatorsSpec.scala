@@ -76,6 +76,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 new-user counts telescope into the cumulative curve and " +
+    "total to the distinct user population") {
+    val rows = operators.Analytics.q85(t).collect()
+    val newUsers = rows.map(_.getLong(1))
+    val cum = rows.map(_.getLong(2))
+    // cum is the running sum of new_users in day order
+    assert(cum.toSeq == newUsers.scanLeft(0L)(_ + _).tail.toSeq)
+    assert(cum.last == t.events.select("user_id").distinct().count())
+    // days arrive sorted and unique
+    val days = rows.map(_.getDate(0).toString)
+    assert(days.toSeq == days.toSeq.sorted && days.distinct.length == days.length)
+  }
+
+  test("t21 doc counts partition the corpus; vocab is bounded by tokens") {
+    val rows = text.TextOps.t21(t).collect()
+    assert(rows.map(_.getLong(1)).sum == t.documents.count())
+    rows.foreach { r =>
+      val (nTok, vocab, ttr) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(vocab >= 1L && vocab <= nTok)
+      // ttr_x10k = round(vocab/n_tokens * 1e4) stays in (0, 10000]
+      assert(ttr >= 1L && ttr <= 10000L)
+    }
+  }
+
   test("q21 star join covers every region present in customer data") {
     val regions = operators.Relational.q21(t)
       .select("region").distinct().count()
