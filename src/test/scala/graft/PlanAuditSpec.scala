@@ -28,6 +28,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("t21 vocab rollup avoids the multi-distinct Expand plan") {
+    val plan = text.TextOps.t21(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // a COUNT(DISTINCT tok), COUNT(DISTINCT doc_id) aggregate would plan
+    // an Expand node (3x shuffle volume); the two-level rollup must not
+    assert(!plan.contains("Expand"),
+      s"t21 must two-level rollup, not Expand:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"t21 aggregates must run map-side partials:\n$plan")
+  }
+
   test("single-table aggregates prune the fact scan to referenced columns") {
     val plan = operators.Reference.q01(TestSpark.tables)
       .queryExecution.executedPlan.toString
