@@ -575,6 +575,11 @@ object exprs {
     column(WinnowStats(expression(text), hashWin, winnowWin))
   def bounded_collect(item: Column, cap: Int): Column =
     column(BoundedCollect(expression(item), cap).toAggregateExpression())
+  def ngram_scan(text: Column, n: Int = 3): Column =
+    column(NgramScan(expression(text), n))
+  def chunk_scan(text: Column, c: Int = 64): Column =
+    column(ChunkScan(expression(text), c))
+  def bpe_scan(text: Column): Column = column(BpeScan(expression(text)))
   def pii_scan(text: Column): Column = column(PiiScan(expression(text)))
   def scrub_pii(text: Column): Column = column(ScrubPii(expression(text)))
   def norm_scan(text: Column): Column = column(NormScan(expression(text)))

@@ -158,16 +158,23 @@ object TextOps {
   /** BPE-ish regex tokenizer: letter runs / digit runs / single
     * punctuation, over lowercased text (the pre-tokenization split every
     * byte-pair encoder applies before merges). */
-  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+  // kept as the reference spelling for t05's bpe_scan kernel (ExprSpec
+  // pins the kernel against regexp_extract_all with this pattern; the
+  // DuckDB oracle runs the same regex)
+  private[graft] val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
 
-  /** t05 — BPE-ish token counts: total and distinct pre-tokens per doc. */
+  /** t05 — BPE-ish token counts: total and distinct pre-tokens per doc.
+    * One-pass `bpe_scan` kernel over the lowercased bytes (no regex, no
+    * token-array materialization — the regex spelling was a 26.5 s sf10
+    * tail); ExprSpec pins equality with the regexp_extract_all spelling,
+    * and the DuckDB oracle still runs the regex. */
   def t05(t: Tables): DataFrame =
     t.documents
-      .withColumn("bts", expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+      .select(col("doc_id"), graft.functions.exprs.bpe_scan(col("text")).as("b"))
       .select(
         col("doc_id"),
-        expr("cast(size(bts) as bigint)").as("n_bpe_tokens"),
-        expr("cast(size(array_distinct(bts)) as bigint)").as("n_distinct_bpe"))
+        col("b.n_bpe_tokens").as("n_bpe_tokens"),
+        col("b.n_distinct_bpe").as("n_distinct_bpe"))
       .orderBy("doc_id")
 
   /** t06 — winnowing document fingerprints: Rabin-Karp rolling hashes
@@ -283,14 +290,17 @@ object TextOps {
     * via exact integer arithmetic — round(x/y) on doubles diverges between
     * engines exactly on representation ties. */
   def t11(t: Tables): DataFrame = {
-    import graft.functions.exprs.ngram_hashes
+    // one-pass ngram_scan kernel: tokenize + gram-hash + distinct-count
+    // in a single byte scan (the split + ngram_hashes spelling
+    // materialized the token array per row — a 17.9 s sf10 tail);
+    // ExprSpec pins count equality with the two-kernel spelling
     t.documents
-      .withColumn("toks", expr(tokensExpr))
+      .select(col("doc_id"),
+        graft.functions.exprs.ngram_scan(col("text"), 3).as("g"))
       .select(
         col("doc_id"),
-        when(expr("size(toks)") >= 3, expr("size(toks) - 2"))
-          .otherwise(lit(1)).cast("long").as("n_grams"),
-        size(ngram_hashes(col("toks"), 3)).cast("long").as("n_distinct"))
+        col("g.n_grams").as("n_grams"),
+        col("g.n_distinct").as("n_distinct"))
       .withColumn("dup_ratio", expr(
         // `10000.0` in Spark SQL is a DECIMAL(5,1) literal and would turn
         // the division into DECIMAL(28,7); cast to double to match DuckDB
@@ -307,14 +317,18 @@ object TextOps {
     * this is a pass-through transform feeding the tokenizer. */
   def t12(t: Tables): DataFrame = {
     val C = 64
+    // one-pass chunk_scan kernel: tokenize + chunk + stream the md5
+    // straight from the text bytes (the transform/slice HOF spelling ran
+    // interpreted lambdas over a materialized token array, then built
+    // each chunk array AND its concat_ws string just to digest it — the
+    // worst sf10 tail at 35.8 s); ExprSpec pins byte-identity
     t.documents
-      .select(col("doc_id"), expr(tokensExpr).as("tk"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(tk) - 1) div $C), i -> slice(tk, i * $C + 1, $C))"))
-        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.exprs.chunk_scan(col("text"), C))
+          .as(Seq("chunk_id", "ch")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        size(col("chunk")).cast("long").as("n_toks"),
-        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        col("ch.n_toks").as("n_toks"),
+        col("ch.chunk_md5").as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
   }
 

@@ -198,6 +198,84 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  // shared adversarial fixtures for the tokenizing kernels: Java-split
+  // edge semantics (leading/trailing separators → empty tokens; empty
+  // string → [""]), multi-byte UTF-8, separator runs, tabs/CRLF
+  private val tokenizerFixtures = Seq(
+    "plain words separated by single spaces",
+    "  leading spaces  ", "trailing tab then end\t",
+    "\tleading tab", "", " ", "\t", " \t \n ",
+    "runs  of   separators\t\t\nmixed \r\n here",
+    "single", "a b", "unicode éàü 中文 words",
+    "emoji 😀 and €uro composed",
+    "exactly three token grams here now",
+    "dup dup dup dup dup dup",
+    "a a a b a a a b a a a b",
+    "1 2 3 4 5 6 7 8 9 10 " * 20, // multi-chunk (>64 tokens)
+    "xvertical\ftab forms")
+
+  test("ngram_scan equals the split + ngram_hashes spelling on adversarial inputs") {
+    val df = tokenizerFixtures.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val rows = df
+      .withColumn("toks", expr(exprs.wsTokensSql))
+      .select(
+        exprs.ngram_scan($"text", 3).getField("n_grams").as("k_grams"),
+        when(expr("size(toks)") >= 3, expr("size(toks) - 2"))
+          .otherwise(lit(1)).cast("long").as("r_grams"),
+        exprs.ngram_scan($"text", 3).getField("n_distinct").as("k_dist"),
+        size(exprs.ngram_hashes($"toks", 3)).cast("long").as("r_dist"))
+      .collect()
+    rows.zip(tokenizerFixtures).foreach { case (r, fx) =>
+      assert(r.getLong(0) == r.getLong(1), s"gram-count mismatch on: '$fx'")
+      assert(r.getLong(2) == r.getLong(3), s"distinct mismatch on: '$fx'")
+    }
+  }
+
+  test("chunk_scan equals the transform/slice/concat_ws/md5 spelling on adversarial inputs") {
+    val C = 5 // small chunk size exercises multi-chunk splits on fixtures
+    val df = tokenizerFixtures.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val kernel = df
+      .select($"id", posexplode(exprs.chunk_scan($"text", C))
+        .as(Seq("chunk_id", "ch")))
+      .select($"id", $"chunk_id".cast("long"),
+        $"ch.n_toks", $"ch.chunk_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val reference = df
+      .select($"id", expr(exprs.wsTokensSql).as("tk"))
+      .select($"id", posexplode(expr(
+        s"transform(sequence(0, (size(tk) - 1) div $C), i -> slice(tk, i * $C + 1, $C))"))
+        .as(Seq("chunk_id", "chunk")))
+      .select($"id", $"chunk_id".cast("long"),
+        size($"chunk").cast("long"), md5(concat_ws(" ", $"chunk")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(kernel.toSeq.sorted == reference.toSeq.sorted)
+  }
+
+  test("bpe_scan equals the lower + regexp_extract_all spelling on adversarial inputs") {
+    val fixtures = tokenizerFixtures ++ Seq(
+      "MiXeD CaSe LETTERS and digits 123abc456",
+      "punct.chains,!?;:every.char.its.own.token",
+      "digits123glued456to789letters",
+      "ünïcödé ÀÉÎ lowercases tö nön-ascii")
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val pat = graft.text.TextOps.BpePattern
+    val rows = df
+      .withColumn("bts", expr(s"regexp_extract_all(lower(text), '$pat', 0)"))
+      .select(
+        exprs.bpe_scan($"text").getField("n_bpe_tokens").as("k_tot"),
+        expr("cast(size(bts) as bigint)").as("r_tot"),
+        exprs.bpe_scan($"text").getField("n_distinct_bpe").as("k_dist"),
+        expr("cast(size(array_distinct(bts)) as bigint)").as("r_dist"))
+      .collect()
+    rows.zip(fixtures).foreach { case (r, fx) =>
+      assert(r.getLong(0) == r.getLong(1), s"token-count mismatch on: '$fx'")
+      assert(r.getLong(2) == r.getLong(3), s"distinct mismatch on: '$fx'")
+    }
+  }
+
   test("canon_fp equals the md5/lower/trim/regex chain on adversarial inputs") {
     val fixtures = Seq(
       "The  Quick\tBrown\nFox ", "  leading and trailing  ",
