@@ -172,7 +172,7 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("p.u")).as("sum_u"),
-        round(sum(col("p.v")), 2).as("sum_v"))
+        sum(expr("cast(round(p.v * 100) as bigint)")).as("sum_v_cents"))
       .orderBy("event_type")
 
   /** q77 — SCD type-2 build: collapse each user's event stream into
@@ -220,18 +220,24 @@ object Analytics {
   /** q79 — error-tolerant arithmetic (try_divide): division by zero
     * yields NULL instead of an ANSI runtime error, with null accounting —
     * the per-row fault-tolerance semantics a 100 TB job needs (one bad
-    * divisor must not kill a task). The sum is reported in thousands:
-    * a raw ~3e10 double sum's summation-order noise (~0.1) would sit ON
-    * a 2dp rounding boundary; at 1e-3 scale the noise is 5 orders below
-    * the grid. */
+    * divisor must not kill a task). The ratio sum is EXACT rational
+    * arithmetic: price is 2dp (integer cents) and discount is 2dp in
+    * {0.01..0.10}, so ratio × 252000 = cents × (2520 / k) with
+    * k = discount×100 ∈ 1..10 and 2520 = lcm(1..10) — an exact integer
+    * per row, BIGINT-summed. No double sum, no rounding boundary, stable
+    * at any scale (the last survivor of the round(sum(double)) class). */
   def q79(t: Tables): DataFrame =
     t.lineitem
       .select(col("l_returnflag").as("grp"),
-        expr("try_divide(l_extendedprice, l_discount)").as("ratio"))
+        expr("try_divide(l_extendedprice, l_discount)").as("ratio"),
+        expr("""CASE WHEN l_discount <> 0 THEN
+                cast(round(l_extendedprice * 100) as bigint)
+                * (2520 div cast(round(l_discount * 100) as bigint)) END""")
+          .as("ratio_u"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
         count(col("ratio")).as("n_divisible"),
-        round(sum(col("ratio")) / lit(1000), 2).as("sum_ratio_k"))
+        sum(col("ratio_u")).as("sum_ratio_u252k"))
       .orderBy("grp")
 
   /** q80 — GROUP BY ALL / ORDER BY ALL (Spark 4 dialect sugar, matching
@@ -242,7 +248,8 @@ object Analytics {
     t.registerViews()
     t.spark.sql(
       """SELECT l_returnflag AS grp, l_linestatus AS status,
-        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        | count(*) AS cnt,
+        | sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
         |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
   }
 
@@ -283,7 +290,8 @@ object Analytics {
           .otherwise(col("c_acctbal")).as("bal"),
         coalesce(col("c_mktsegment"), col("new_seg")).as("seg"))
       .groupBy("seg")
-      .agg(count(lit(1)).as("n_cust"), round(sum(col("bal")), 2).as("sum_bal"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(expr("cast(round(bal * 100) as bigint)")).as("sum_bal_cents"))
       .orderBy("seg")
   }
 
@@ -415,11 +423,12 @@ object Analytics {
         |  FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.k
         |  WHERE ch.op IS NULL OR ch.op <> 'delete')
         |SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
-        |  round(sum(bal), 2) AS sum_bal
+        |  CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
         |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
     "q80_group_by_all" ->
       """SELECT l_returnflag AS grp, l_linestatus AS status,
-        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        | count(*) AS cnt,
+        | CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
     "q78_setops_all" ->
       """SELECT 'intersect_all' AS op, count(*) AS n FROM (
@@ -434,8 +443,10 @@ object Analytics {
       """SELECT l_returnflag AS grp, count(*) AS n,
         | CAST(count(CASE WHEN l_discount <> 0 THEN 1 END) AS BIGINT)
         |   AS n_divisible,
-        | round(sum(CASE WHEN l_discount <> 0
-        |   THEN l_extendedprice / l_discount END) / 1000, 2) AS sum_ratio_k
+        | CAST(sum(CASE WHEN l_discount <> 0 THEN
+        |   CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (2520 // CAST(round(l_discount * 100) AS BIGINT)) END)
+        |   AS BIGINT) AS sum_ratio_u252k
         |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
     "q77_scd2" ->
       """WITH o AS (SELECT user_id, event_id, ts, event_type,
@@ -457,7 +468,7 @@ object Analytics {
     "q76_xml_ingest" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(user_id) AS BIGINT) AS sum_u,
-        | round(sum(value), 2) AS sum_v
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q75_densify" ->
       """WITH days AS (SELECT CAST(unnest(generate_series(DATE '1996-01-01',

@@ -47,7 +47,7 @@ object Extended {
     t.lineitem
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("sum_qty"),
         grouping_id().cast("long").as("gid"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("grp"),
@@ -117,7 +117,8 @@ object Extended {
     ev.join(expanded, Seq("hr"))
       .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
       .groupBy("interval_id")
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
       .orderBy("interval_id")
   }
 
@@ -142,7 +143,8 @@ object Extended {
     t.spark.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS grp,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | count(*) AS cnt, round(sum(l_tax), 2) AS sum_tax
+        | count(*) AS cnt,
+        | sum(CAST(round(l_tax * 100) AS BIGINT)) AS sum_tax_e2
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY grp, status""".stripMargin)
@@ -181,7 +183,8 @@ object Extended {
     ev.join(cust,
         col("user_id") === col("c_custkey") && col("e_salt") === col("c_salt"))
       .groupBy(col("c_mktsegment").as("seg"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
       .orderBy("seg")
   }
 
@@ -235,12 +238,12 @@ object Extended {
     val agg = t.lineitem
       .groupBy(col("l_returnflag").as("grp"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_tax")), 2).as("sum_tax"),
-        round(sum(col("l_discount")), 2).as("sum_disc"))
+        sum(expr("cast(round(l_quantity) as bigint)")).as("sum_qty"),
+        sum(expr("cast(round(l_tax * 100) as bigint)")).as("sum_tax_e2"),
+        sum(expr("cast(round(l_discount * 100) as bigint)")).as("sum_disc_e2"))
     agg.unpivot(
         Array(col("grp")),
-        Array(col("sum_qty"), col("sum_tax"), col("sum_disc")),
+        Array(col("sum_qty"), col("sum_tax_e2"), col("sum_disc_e2")),
         "metric", "val")
       .orderBy("grp", "metric")
   }
@@ -551,14 +554,14 @@ object Extended {
     "q57_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag AS grp,
-        |    round(sum(l_quantity), 2) AS sum_qty,
-        |    round(sum(l_tax), 2) AS sum_tax,
-        |    round(sum(l_discount), 2) AS sum_disc
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_tax_e2,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_e2
         |  FROM lineitem GROUP BY grp)
         |SELECT grp, metric, val FROM (
         |  SELECT grp, 'sum_qty' AS metric, sum_qty AS val FROM a
-        |  UNION ALL SELECT grp, 'sum_tax', sum_tax FROM a
-        |  UNION ALL SELECT grp, 'sum_disc', sum_disc FROM a)
+        |  UNION ALL SELECT grp, 'sum_tax_e2', sum_tax_e2 FROM a
+        |  UNION ALL SELECT grp, 'sum_disc_e2', sum_disc_e2 FROM a)
         |ORDER BY grp, metric""".stripMargin,
     "q58_lateral" ->
       """SELECT c_custkey, t.o_orderkey AS top_order,
@@ -601,7 +604,8 @@ object Extended {
       """SELECT coalesce(l_returnflag, 'ALL') AS grp,
         | coalesce(l_linestatus, 'ALL') AS status,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        | count(*) AS cnt,
+        | CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, grp, status""".stripMargin,
     "q46_regexp_extract" ->
@@ -631,7 +635,8 @@ object Extended {
         |                           + date_part('day', day) % 7) AS end_ts
         | FROM days)
         |SELECT interval_id, count(*) AS n_events,
-        | round(sum(value), 2) AS sum_value
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
         |FROM iv JOIN events e ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin,
     "q50_array_funcs" ->
@@ -647,7 +652,8 @@ object Extended {
     "q51_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS grp,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | count(*) AS cnt, round(sum(l_tax), 2) AS sum_tax
+        | count(*) AS cnt,
+        | CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_tax_e2
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY grp, status""".stripMargin,
@@ -666,7 +672,8 @@ object Extended {
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q53_salted_join" ->
       """SELECT c_mktsegment AS seg, count(*) AS n_events,
-        | round(sum(value), 2) AS sum_value
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY seg ORDER BY seg""".stripMargin)
 }

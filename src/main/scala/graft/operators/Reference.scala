@@ -264,9 +264,13 @@ object Reference {
     t.events
       .groupBy(pmod(hash(col("event_id")), lit(16)).as("salt"),
         col("event_type"))
-      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+      // partials in exact integer cents: the two-stage sum is then truly
+      // associative — identical to the direct groupBy at any scale (a
+      // double partial-sum would make the salted result order-dependent)
+      .agg(count(lit(1)).as("pc"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("ps"))
       .groupBy(col("event_type"))
-      .agg(sum("pc").as("cnt"), round(sum("ps"), 2).as("sum_value"))
+      .agg(sum("pc").as("cnt"), sum("ps").as("sum_value_cents"))
       .orderBy("event_type")
 
   val queries: Map[String, Tables => DataFrame] = Map(
@@ -304,7 +308,9 @@ object Reference {
 
   val oracles: Map[String, String] = Map(
     "q35_salted_agg" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS cnt,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q01_count_by_group" ->
       "SELECT l_returnflag AS grp, count(*) AS total FROM lineitem GROUP BY grp ORDER BY grp",

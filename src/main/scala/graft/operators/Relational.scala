@@ -40,8 +40,12 @@ object Relational {
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        // exact 1e-4 units (the q81/q83 pattern): price×(1−disc) is
+        // 4dp-exact, so the per-row scaled round hits an integer and the
+        // BIGINT sum is engine-stable at ANY scale — round(sum(double), 2)
+        // drifts past a cent once group totals reach ~1e12 (seen at sf10)
+        sum(expr("cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as bigint)"))
+          .as("revenue_e4"),
         count(lit(1)).as("n_items"))
       .orderBy("region", "nation")
 
@@ -80,12 +84,13 @@ object Relational {
       .groupBy(
         year(col("l_shipdate")).cast("long").as("yr"),
         month(col("l_shipdate")).cast("long").as("mnth"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("rev_cents"))
     val w = Window.orderBy("yr", "mnth")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     monthly
-      .select(col("yr"), col("mnth"), col("rev"),
-        round(sum(col("rev")).over(w), 2).as("running_rev"))
+      .select(col("yr"), col("mnth"), col("rev_cents"),
+        sum(col("rev_cents")).over(w).as("running_rev_cents"))
       .orderBy("yr", "mnth")
   }
 
@@ -94,7 +99,7 @@ object Relational {
     t.lineitem
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        sum(expr("cast(round(l_quantity) as bigint)")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("grp"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -144,7 +149,8 @@ object Relational {
       .groupBy(
         date_trunc("hour", col("ts")).as("hour_ts"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
       .orderBy("hour_ts", "event_type")
 
   /** q31 — gap-based sessionization (30-min inactivity gap) via
@@ -170,7 +176,7 @@ object Relational {
       .agg(min(col("ts")).as("session_start"),
         max(col("ts")).as("session_last"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
   }
 
   def q31(t: Tables): DataFrame = {
@@ -228,7 +234,7 @@ object Relational {
       .groupBy(col("uid").as("user_id"))
       .agg(count(lit(1)).as("n_events"),
         max(col("matched")).as("asof_date"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
       .orderBy("user_id")
   }
 
@@ -418,7 +424,8 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q33_asof_join" ->
       """SELECT user_id, count(*) AS n_events, max(asof_date) AS asof_date,
-        | round(sum(value), 2) AS sum_value
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
         |FROM (
         |  SELECT e.user_id, e.value, o.o_orderdate AS asof_date
         |  FROM events e
@@ -427,7 +434,8 @@ object Relational {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q21_star_join" ->
       """SELECT r_name AS region, n_name AS nation,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |   AS BIGINT)) AS BIGINT) AS revenue_e4,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -451,18 +459,21 @@ object Relational {
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q25_running_sum" ->
-      """SELECT yr, mnth, rev,
-        | round(sum(rev) OVER (ORDER BY yr, mnth
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+      """SELECT yr, mnth, rev_cents,
+        | CAST(sum(rev_cents) OVER (ORDER BY yr, mnth
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS running_rev_cents
         |FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
         |             CAST(month(l_shipdate) AS BIGINT) AS mnth,
-        |             round(sum(l_extendedprice), 2) AS rev
+        |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |               AS BIGINT) AS rev_cents
         |      FROM lineitem GROUP BY yr, mnth)
         |ORDER BY yr, mnth""".stripMargin,
     "q26_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS grp,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        | count(*) AS cnt,
+        | CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY grp, status""".stripMargin,
     "q27_count_distinct" ->
@@ -486,7 +497,9 @@ object Relational {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q30_time_bucket_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
-        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        | count(*) AS cnt,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
         |FROM events GROUP BY hour_ts, event_type
         |ORDER BY hour_ts, event_type""".stripMargin,
     "q31_sessionize" ->

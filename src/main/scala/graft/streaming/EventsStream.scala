@@ -74,10 +74,14 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      // exact integer cents in the state store (value is 2dp): merging
+      // partial state across micro-batches is then exact at any scale —
+      // a rounded double sum drifts once totals reach ~1e12 (sf10 audit)
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
       .select(
         col("window.start").as("hour_ts"),
-        col("event_type"), col("cnt"), col("sum_value"))
+        col("event_type"), col("cnt"), col("sum_value_cents"))
 
   /** Gap sessionization with the native session_window operator —
     * Spark-first twin of the batch q31. */
@@ -85,12 +89,13 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), SessionGap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
 
   /** Sliding 1-hour windows every 15 minutes: each event contributes to 4
     * overlapping windows. Same watermark-bounded state as the tumbling

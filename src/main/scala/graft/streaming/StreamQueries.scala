@@ -181,11 +181,10 @@ object StreamQueries {
     * size) before a streaming aggregation — the standard "enrich then
     * count" continuous-ETL shape. Static-side rows are planned as a
     * BATCH relation inside the streaming plan, so no join state store
-    * is involved; the only state is the aggregation's. Oracle: the
-    * identical batch join+rollup. Sums round at 1dp AFTER the sink —
-    * state holds raw doubles, and 1dp at these magnitudes sits ~250x
-    * above cross-engine summation drift (see the q81/q83 sf10
-    * analysis). */
+    * is involved; the only state is the aggregation's. Sums are exact
+    * integer cents IN the state store (value is 2dp-exact), so the
+    * result is engine-stable at any scale — no post-sink rounding of a
+    * cross-engine double sum (the q81/q83 drift class). */
   def st05(spark: SparkSession, dir: String): DataFrame = {
     val nation = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
@@ -193,10 +192,9 @@ object StreamQueries {
       .select((col("user_id") % 25).as("nk"), col("value"))
       .join(broadcast(nation), col("nk") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
     runComplete(spark, enriched, "st05_enrich")
-      .select(col("n_name"), col("n_events"),
-        round(col("sv"), 1).as("sum_value"))
       .orderBy("n_name")
   }
 

@@ -273,7 +273,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .join(t.customer, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
       .orderBy("seg")
     assert(operators.Extended.q53(t).collect().toSeq == plain.collect().toSeq)
   }

@@ -104,14 +104,15 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("sweq").collect()
       .filter(_.getLong(0) != 99L) // pusher's own session is still open
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
-        r.getLong(3), r.getDouble(4))).toSet
+        r.getLong(3), r.getLong(4))).toSet
     // batch twin: the oracle-checked q31 sessionization core on the same
-    // rows; streaming session_end = session_last + gap
+    // rows; streaming session_end = session_last + gap; sums are exact
+    // integer cents on both sides
     val batch = operators.Relational.sessionized(fixture.toDF())
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(2),
         new Timestamp(r.getTimestamp(3).getTime + 30L * 60000),
-        r.getLong(4), r.getDouble(5))).toSet
+        r.getLong(4), r.getLong(5))).toSet
     assert(streamed == batch,
       s"streaming sessions $streamed != batch sessions $batch")
     assert(streamed.size == 4)
