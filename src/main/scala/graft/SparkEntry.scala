@@ -26,6 +26,7 @@ object SparkEntry {
       lift(Analytics.queries) ++ lift(CatalogOps.queries) ++
       lift(TextOps.queries) ++ lift(Dedup.queries) ++
       lift(Similarity.queries) ++
+      lift(graft.pipeline.PipelineQueries.queries) ++
       graft.streaming.StreamQueries.queries ++
       Map(
         "m01_media_features" -> ((s: SparkSession, _: String) =>
@@ -39,6 +40,7 @@ object SparkEntry {
     Reference.oracles ++ Relational.oracles ++ Extended.oracles ++
       Grouped.oracles ++ Analytics.oracles ++ CatalogOps.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      graft.pipeline.PipelineQueries.oracles ++
       Map(
         // the streaming queries must reproduce their batch twins exactly,
         // so they share the twins' oracle SQL verbatim
@@ -49,10 +51,12 @@ object SparkEntry {
           """SELECT event_type,
             | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-        // stream-static enrich must equal the batch join+rollup
+        // stream-static enrich must equal the batch join+rollup (exact
+        // integer cents — see StreamQueries.st05)
         "st05_stream_enrich" ->
           """SELECT n_name, count(*) AS n_events,
-            | round(sum(value), 1) AS sum_value
+            | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            |   AS sum_value_cents
             |FROM events JOIN nation ON user_id % 25 = n_nationkey
             |GROUP BY n_name ORDER BY n_name""".stripMargin,
         // the streaming interval join must equal the batch self-join

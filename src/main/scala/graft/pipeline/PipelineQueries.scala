@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Driver-graded end-to-end curation query (SURVEY §2 p01): the
+  * TrainingDataPipeline stage graph as a CORRECTNESS entry, not just a
+  * spec. p01 runs the deterministic stage chain — PII scrub → quality
+  * gate → exact dedup → LM-perplexity gate → benchmark decontamination —
+  * through the very same stage functions the pipeline's `run()` composes,
+  * and reports per-source survivor counts at every stage plus the final
+  * kept fraction. The DuckDB oracle recomputes the whole composition from
+  * the already-oracled stage semantics (t14 scrub regexes, t02 quality
+  * rule, d01 canonical fingerprint, t17/t18 quantized bigram LM, t10
+  * 8-gram decontamination — ref analog: the INSERT OVERWRITE ETL
+  * workflow, ref lines 261–269, graded as a query).
+  *
+  * The ONE stage excluded is MinHash near-dup removal: banding signatures
+  * are custom 64-bit kernels no SQL engine reproduces, so its membership
+  * in a SQL-oracled chain is impossible by construction. It stays
+  * value-gated by PipelineSpec's planted-clique fixtures (and d02's), and
+  * `run()` still executes it — p01 grades every stage an oracle CAN see.
+  *
+  * Scale shape: identical to the pipeline's (map-only scrub/quality, one
+  * fingerprint shuffle, the t17 SHUFFLE_HASH LM probe, broadcast bench
+  * grams); the five per-source rollups aggregate tiny per-stage survivor
+  * sets. Stages are persisted so each computes once across the five count
+  * branches (the `run()` rationale; the ContextCleaner reclaims blocks
+  * when the plan is released).
+  */
+object PipelineQueries {
+
+  def p01(t: Tables): DataFrame = {
+    import TrainingDataPipeline._
+    val input = t.documents
+    val corpus = scrub(input.filter(col("doc_id") % 50 =!= 0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bench = input.filter(col("doc_id") % 50 === 0)
+    val q = qualityFilter(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = exactDedup(q).persist(StorageLevel.MEMORY_AND_DISK)
+    val p = perplexityFilter(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val d = decontaminate(p, bench)
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    cnt(corpus, "n_input")
+      .join(cnt(q, "n_quality"), Seq("source"), "left")
+      .join(cnt(e, "n_exact"), Seq("source"), "left")
+      .join(cnt(p, "n_lm"), Seq("source"), "left")
+      .join(cnt(d, "n_final"), Seq("source"), "left")
+      .na.fill(0L, Seq("n_quality", "n_exact", "n_lm", "n_final"))
+      // kept fraction at 4dp via exact integer arithmetic (the t19
+      // pattern): float division rounds differently across engines on
+      // representation ties
+      .withColumn("kept_frac", expr(
+        "((20000 * n_final + n_input) div (2 * n_input)) / cast(10000 as double)"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "p01_curation_pipeline" -> p01)
+
+  // The composed oracle: each CTE is the DuckDB twin of one stage's
+  // already-oracled semantics, chained on the previous stage's survivors.
+  private val EmailRe = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+  private val IpRe = raw"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+  val oracles: Map[String, String] = Map(
+    "p01_curation_pipeline" ->
+      raw"""WITH corpus AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$IpRe', '<IP>', 'g'),
+         |      '\d{6,}', '<ID>', 'g') AS text
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |q AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT *,
+         |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |        AS ntk,
+         |      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS npunct,
+         |      length(text) AS nch
+         |    FROM corpus)
+         |  WHERE ntk BETWEEN 10 AND 1000 AND npunct * 1.0 / nch < 0.2),
+         |e AS (
+         |  SELECT q.* FROM q JOIN (
+         |    SELECT min(doc_id) AS doc_id FROM (
+         |      SELECT doc_id,
+         |        md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS fp
+         |      FROM q)
+         |    GROUP BY fp) s USING (doc_id)),
+         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+         |         FROM e),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |       FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+         |       WHERE len(tk) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |scored AS (SELECT doc_id, count(*) AS nb,
+         |    sum(CAST(round(ln(c12 * 1.0 / c1) * 10000) AS BIGINT)) AS slp
+         |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         |  GROUP BY doc_id),
+         |p AS (SELECT e.* FROM e JOIN scored USING (doc_id)
+         |      WHERE slp >= ${graft.text.TextOps.LmKeepThresholdQ4} * nb),
+         |ptoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+         |          FROM p),
+         |pg AS (SELECT DISTINCT doc_id, g FROM (
+         |   SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+         |   FROM ptoks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |   WHERE len(tk) >= 8
+         |   UNION ALL
+         |   SELECT doc_id, array_to_string(tk, ' ') FROM ptoks
+         |   WHERE len(tk) < 8)),
+         |btoks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+         |          FROM documents WHERE doc_id % 50 = 0),
+         |bgrams AS (SELECT DISTINCT g FROM (
+         |   SELECT array_to_string(tk[i:i+7], ' ') AS g
+         |   FROM btoks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |   WHERE len(tk) >= 8
+         |   UNION ALL
+         |   SELECT array_to_string(tk, ' ') FROM btoks WHERE len(tk) < 8)),
+         |contaminated AS (SELECT DISTINCT doc_id FROM pg
+         |                 JOIN bgrams USING (g)),
+         |d AS (SELECT * FROM p
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         |SELECT i.source AS source, i.n AS n_input,
+         |  CAST(coalesce(qn.n, 0) AS BIGINT) AS n_quality,
+         |  CAST(coalesce(en.n, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(pn.n, 0) AS BIGINT) AS n_lm,
+         |  CAST(coalesce(dn.n, 0) AS BIGINT) AS n_final,
+         |  ((20000 * CAST(coalesce(dn.n, 0) AS BIGINT) + i.n)
+         |    // (2 * i.n)) / 10000.0 AS kept_frac
+         |FROM (SELECT source, count(*) AS n FROM corpus GROUP BY source) i
+         |LEFT JOIN (SELECT source, count(*) AS n FROM q GROUP BY source) qn
+         |  USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM e GROUP BY source) en
+         |  USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM p GROUP BY source) pn
+         |  USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM d GROUP BY source) dn
+         |  USING (source)
+         |ORDER BY source""".stripMargin)
+}
