@@ -21,6 +21,15 @@ object Verify {
     // (unset in driver runs → full dump).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Fail fast on typo'd filter names: a filter matching nothing would
+    // silently leave stale parquet dumps from a prior full run in outDir,
+    // and a later unfiltered check_oracle would grade them as current.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -424,7 +424,10 @@ object Dedup {
     * cent_id rides the upper bits of band_sig so the accounting rollup
     * can recover it without re-running the assignment scan. */
   private def semanticBanded(t: Tables): DataFrame = {
-    val (c, planes) = semClusterKnobs(t.embeddings.count())
+    // knobs sized from the PREPPED corpus (zero-norm vectors are filtered
+    // out before clustering), count cached per table fingerprint — no
+    // extra count job per plan construction
+    val (c, planes) = semClusterKnobs(graft.similarity.Similarity.preppedCount(t))
     graft.similarity.Similarity.assignedClusters(t, c)
       .select(col("vec_id").as("doc_id"),
         struct(col("vec"), col("norm")).as("payload"),

@@ -101,6 +101,14 @@ object Similarity {
   private def codebookKey(t: Tables): String =
     s"${t.dir}:${t.tableFingerprint("embeddings")}"
 
+  /** Cached prepped-corpus row count (same fingerprint keying as the
+    * codebook): cluster/sub-band knob sizing must see the CLUSTERED
+    * population — zero-norm vectors are filtered out of the corpus — and
+    * callers must not pay a fresh count job per plan construction. */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def preppedCount(t: Tables): Long =
+    countCache.getOrElseUpdate(codebookKey(t), prepped(t).count())
+
   /** Argmax-centroid assignment: a MAP-ONLY pass per row against the
     * codebook — no shuffle of the corpus, no groupBy (a crossJoin+max_by
     * formulation would shuffle every (vec, norm) just to pick the
@@ -129,6 +137,10 @@ object Similarity {
       .select(col("vec_id"), col("vec"), col("norm"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray, r.getDouble(2)))
+      // sort by id: nearest_centroid's last-wins tie-break equals
+      // lexicographic (cos, id) max ONLY over an id-ascending codebook,
+      // and a multi-file table's collect() order is not guaranteed
+      .sortBy(_._1)
     require(cb.nonEmpty,
       s"s03: empty IVF codebook — no centroid rows matched in ${t.dir}/embeddings")
     val dim = cb(0)._2.length
