@@ -59,7 +59,11 @@ object StreamQueries {
   /** Run a streaming aggregation to completion over the finite source and
     * return the final result as a batch DataFrame. AvailableNow processes
     * all available input in rate-limited micro-batches, then stops — the
-    * cluster-side replacement for the deprecated Trigger.Once. */
+    * cluster-side replacement for the deprecated Trigger.Once.
+    *
+    * Only for SMALL results (st01's windows × types, st03's types,
+    * st05's nations): the memory sink materializes every result row ON
+    * THE DRIVER, single-threaded, each batch. */
   private def runComplete(spark: SparkSession, agg: DataFrame,
       prefix: String): DataFrame = {
     val name = s"${prefix}_${sinkId.incrementAndGet()}"
@@ -71,6 +75,36 @@ object StreamQueries {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Same contract, DISTRIBUTED sink: complete-mode foreachBatch
+    * overwrites a parquet dir per micro-batch, so the final batch's
+    * overwrite IS the final answer and no result row ever funnels
+    * through a driver-side collect. This is the sink for results that
+    * GROW with the corpus — st02's per-(user, session) rows are
+    * O(users × sessions): at the sf10 audit the memory sink's
+    * driver-side materialization of millions of session rows was nearly
+    * the whole 45 s cost (and a driver-memory hazard no real cluster
+    * job would accept). The production analog is EventsStream
+    * .sinkPartitioned (watermarked append); complete+foreachBatch keeps
+    * the emit-everything-at-end-of-stream semantics the finite-history
+    * exactness gate needs. */
+  private def runCompleteDistributed(spark: SparkSession, agg: DataFrame,
+      prefix: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_$prefix").toString
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // static overwrite: each batch replaces the whole dir (see
+        // sinkPartitioned's note on session-wide dynamic mode)
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "static").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
   }
 
   /** st01 — tumbling-window aggregation through the streaming engine:
@@ -89,7 +123,7 @@ object StreamQueries {
     * arithmetic (see Relational.q31 — float rounding diverges across
     * engines on decimal ties). Oracle: q31's SQL verbatim. */
   def st02(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = runComplete(spark,
+    val sessions = runCompleteDistributed(spark,
       EventsStream.sessionWindows(eventsStream(spark, dir)), "st02_sessions")
     sessions
       .select(col("user_id"), col("n_events"),
