@@ -117,7 +117,10 @@ object Dedup {
     * (LSH recall, exact precision). Gram sets are represented by their
     * distinct 64-bit hashes (ngram_hashes) — set intersect/union runs on
     * primitive longs instead of shingle strings; Jaccard is identical up
-    * to ~2^-64 collision odds. */
+    * to ~2^-64 collision odds. Full SQL oracle: DuckDB recomputes the
+    * EXACT all-pairs answer on string grams, gating recall and the
+    * verification math together (see the oracle's comment for the
+    * deliberate scale boundary of that compare). */
   def d04(t: Tables): DataFrame = {
     val cands = bucketPairs(minhashBanded(t, withPayload = false))
       .select("doc_a", "doc_b").distinct()
@@ -506,6 +509,40 @@ object Dedup {
     * by fixed seeds + sorted output. d09's gram sets ARE SQL-expressible
     * as string 8-grams (t10 precedent), so it carries a full oracle. */
   val oracles: Map[String, String] = Map(
+    // d04's oracle is the EXACT all-pairs computation (string 3-grams,
+    // same short-doc fallback as the hash kernel): it checks the exact-
+    // Jaccard verification math AND the LSH recall claim in one gate —
+    // at the graded SFs every J ≥ 0.3 pair is a high-J near-dup
+    // (banding miss odds ≤ (1−0.9⁴)⁸ ≈ 2e-4/pair), so candidates ∪
+    // verification must reproduce the full answer. Scale boundary,
+    // deliberate: the ORACLE is O(n²) by construction (fine at oracle
+    // SFs; the operator stays sub-quadratic), and under >MaxBucket
+    // byte-identical replication (the sf10 synthetic load) the operator
+    // suppresses hot buckets by contract, so the all-pairs compare
+    // applies where dup-group sizes ≤ MaxBucket — the d02/d03 scaladoc's
+    // documented semantics.
+    "d04_ngram_jaccard" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+         |g AS (SELECT DISTINCT doc_id, g FROM (
+         |   SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+         |   FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)
+         |   WHERE len(tk) >= 3
+         |   UNION ALL
+         |   SELECT doc_id, array_to_string(tk, ' ') FROM toks
+         |   WHERE len(tk) < 3)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS s
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(s * 1.0 / (sa.n + sb.n - s), 4) AS jaccard
+         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+         |              JOIN sizes sb ON sb.doc_id = doc_b)
+         |WHERE jaccard >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d09_containment" ->
       raw"""WITH toks AS (SELECT doc_id,
          |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
