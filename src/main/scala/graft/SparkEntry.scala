@@ -59,6 +59,12 @@ object SparkEntry {
             |   AS sum_value_cents
             |FROM events JOIN nation ON user_id % 25 = n_nationkey
             |GROUP BY n_name ORDER BY n_name""".stripMargin,
+        // transformWithState running totals must equal the batch rollup
+        "st06_stream_running_totals" ->
+          """SELECT user_id, count(*) AS n_events,
+            | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            |   AS sum_value_cents
+            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
         // the streaming interval join must equal the batch self-join
         "st04_stream_join" ->
           """SELECT c.user_id AS user_id, count(*) AS n_pairs

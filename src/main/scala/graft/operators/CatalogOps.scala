@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** The reference's metastore workflow end-to-end: its whole analysis runs
   * through catalog DDL — external CSV tables, then a CLUSTERED BY
@@ -83,10 +84,54 @@ object CatalogOps {
          |ORDER BY status""".stripMargin)
   }
 
+  /** ETL output dirs per (app, dir, content) — same once-per-snapshot
+    * policy as [[bucketedTables]]: the partitioned layout is the
+    * artifact; every query against it reads partition-discovered
+    * parquet. */
+  private val etlCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** w01 — the reference's partitioned ETL sink (INSERT OVERWRITE a
+    * PARTITIONED BY table, ref lines 248–269) as a GRADED round-trip:
+    * write events through PartitionedWriter partitioned by event date
+    * (dynamic overwrite, SNAPPY), read the layout back via partition
+    * discovery, and aggregate per partition. The oracle computes the
+    * same aggregate from the RAW table, so byte-level equality proves
+    * the sink is lossless — values in exact integer cents, timestamps
+    * surviving the write/discover round trip. At 100 TB the layout is
+    * the point: date partitions prune every time-ranged scan, and the
+    * write cost is paid once per snapshot (cached here exactly like the
+    * q81 bucketed tables). */
+  def w01(t: Tables): DataFrame = {
+    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:" +
+      s"${t.tableFingerprint("events")}"
+    val out = etlCache.getOrElseUpdate(key, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_w01_etl").toString
+      graft.sources.PartitionedWriter.writePartitioned(
+        t.events.withColumn("dt", to_date(col("ts"))), dir, Seq("dt"))
+      dir
+    })
+    t.spark.read.parquet(out)
+      .select(col("dt").cast("date").as("dt"), col("user_id"), col("value"))
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
+      .orderBy("dt")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
-    "q81_catalog_bucketed_join" -> q81)
+    "q81_catalog_bucketed_join" -> q81,
+    "w01_etl_partitioned_roundtrip" -> w01)
 
   val oracles: Map[String, String] = Map(
+    "w01_etl_partitioned_roundtrip" ->
+      """SELECT CAST(ts AS DATE) AS dt, count(*) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
+        |FROM events GROUP BY dt ORDER BY dt""".stripMargin,
     "q81_catalog_bucketed_join" ->
       """SELECT o_orderstatus AS status,
         | count(*) AS n_items,

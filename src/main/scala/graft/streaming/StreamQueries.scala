@@ -232,10 +232,57 @@ object StreamQueries {
       .orderBy("n_name")
   }
 
+  /** st06 — transformWithState (Spark 4 arbitrary-state v2,
+    * RocksDB-backed) through the full streaming engine, driver-graded:
+    * per-user running totals whose FINAL values must equal the batch
+    * GROUP BY. Values are scaled to integer cents BEFORE the processor,
+    * so its accumulator only ever holds integer-valued doubles — exact
+    * to 2^53, engine-stable (the q81/q83 discipline applied to streaming
+    * state). Update mode emits each touched user's new totals per
+    * micro-batch; the sink is a DISTRIBUTED changelog (foreachBatch
+    * appends each update batch as parquet) reconciled by per-user MAX on
+    * read — totals are monotone — so no row funnels through the driver
+    * and a multi-batch replay reconciles exactly like a single batch
+    * (the standard CDC-log + compaction shape). */
+  def st06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = eventsStream(spark, dir)
+        .withColumn("value",
+          expr("cast(cast(round(value * 100) as bigint) as double)"))
+        .as[EventsStream.Event]
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_st06_updates").toString
+      val q = EventsStream.runningStats(ev)
+        .toDF("user_id", "n_events", "cents")
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("cents")).cast("long").as("sum_value_cents"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st05_stream_enrich" -> ((s, dir) => st05(s, dir)),
     "st01_stream_window_agg" -> ((s, dir) => st01(s, dir)),
     "st02_stream_sessionize" -> ((s, dir) => st02(s, dir)),
     "st03_stream_dedup" -> ((s, dir) => st03(s, dir)),
-    "st04_stream_join" -> ((s, dir) => st04(s, dir)))
+    "st04_stream_join" -> ((s, dir) => st04(s, dir)),
+    "st06_stream_running_totals" -> ((s, dir) => st06(s, dir)))
 }

@@ -63,6 +63,22 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s == b)
   }
 
+  test("st06 transformWithState totals equal the batch rollup exactly") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamQueries.st06(spark, TestSpark.sfDir)
+    val batch = TestSpark.tables.events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
+      .orderBy("user_id")
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+    // the RocksDB provider override must not leak into the session
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").exists(_.contains("RocksDB")))
+  }
+
   test("st01 reruns get fresh sinks (bench reruns each query)") {
     val a = canon(StreamQueries.st01(spark, TestSpark.sfDir))
     val b = canon(StreamQueries.st01(spark, TestSpark.sfDir))
