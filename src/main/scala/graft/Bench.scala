@@ -105,7 +105,11 @@ object Bench {
       // gate per BASELINE.md protocol: >2x frozen AND >0.3s absolute
       // (sub-0.3s deltas are documented host noise); only meaningful when
       // benching the baseline's own SF.
-      val gated = if (sfDir.endsWith("sf0.1")) {
+      // basename compare (not endsWith): a trailing slash in the env var
+      // must not silently disable the gate, and an unrelated dir whose
+      // name merely ends in "sf0.1" must not wrongly enable it
+      val gated = if (sfDir.split('/').filter(_.nonEmpty).lastOption
+          .contains("sf0.1")) {
         val ratios = results.collect {
           case (n, t) if t >= 0 && base.contains(n) => (n, t / base(n), t - base(n))
         }

@@ -131,9 +131,16 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("g_a"), col("g_b"))) * 1.0 /
-          size(array_union(col("g_a"), col("g_b"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("n_shared"),
+        size(array_union(col("g_a"), col("g_b"))).cast("long").as("n_union"))
+      // exact-rational threshold and reporting: s/u >= 0.3 ⇔ 10s >= 3u, and
+      // jaccard is graded as the half-up-rounded scaled int (10^4·s + u/2)/u
+      // — integer arithmetic both engines compute identically, instead of
+      // round(double, 4) whose HALF_UP-vs-binary rounding can diverge
+      // cross-engine on non-dyadic ratios (e.g. 49/160 = 0.30625)
+      .filter(col("n_shared") * 10 >= col("n_union") * 3)
+      .withColumn("jaccard_x1e4",
+        expr("(20000L * n_shared + n_union) div (2L * n_union)"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -536,12 +543,14 @@ object Dedup {
          |    count(*) AS s
          |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY doc_a, doc_b)
-         |SELECT * FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(s * 1.0 / (sa.n + sb.n - s), 4) AS jaccard
+         |SELECT doc_a, doc_b, n_shared, n_union,
+         |  (20000 * n_shared + n_union) // (2 * n_union) AS jaccard_x1e4
+         |FROM (
+         |  SELECT doc_a, doc_b, s AS n_shared,
+         |    sa.n + sb.n - s AS n_union
          |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a
          |              JOIN sizes sb ON sb.doc_id = doc_b)
-         |WHERE jaccard >= 0.3
+         |WHERE n_shared * 10 >= n_union * 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d09_containment" ->
       raw"""WITH toks AS (SELECT doc_id,

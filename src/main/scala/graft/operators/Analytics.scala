@@ -222,10 +222,11 @@ object Analytics {
     * the per-row fault-tolerance semantics a 100 TB job needs (one bad
     * divisor must not kill a task). The ratio sum is EXACT rational
     * arithmetic: price is 2dp (integer cents) and discount is 2dp in
-    * {0.01..0.10}, so ratio × 252000 = cents × (2520 / k) with
+    * {0.01..0.10}, so ratio × 2520 = cents × (2520 / k) with
     * k = discount×100 ∈ 1..10 and 2520 = lcm(1..10) — an exact integer
-    * per row, BIGINT-summed. No double sum, no rounding boundary, stable
-    * at any scale (the last survivor of the round(sum(double)) class). */
+    * per row, BIGINT-summed (decode: sum / 2520 = sum of ratios). No
+    * double sum, no rounding boundary, stable at any scale (the last
+    * survivor of the round(sum(double)) class). */
   def q79(t: Tables): DataFrame =
     t.lineitem
       .select(col("l_returnflag").as("grp"),
@@ -237,7 +238,7 @@ object Analytics {
       .groupBy("grp")
       .agg(count(lit(1)).as("n"),
         count(col("ratio")).as("n_divisible"),
-        sum(col("ratio_u")).as("sum_ratio_u252k"))
+        sum(col("ratio_u")).as("sum_ratio_u2520"))
       .orderBy("grp")
 
   /** q80 — GROUP BY ALL / ORDER BY ALL (Spark 4 dialect sugar, matching
@@ -446,7 +447,7 @@ object Analytics {
         | CAST(sum(CASE WHEN l_discount <> 0 THEN
         |   CAST(round(l_extendedprice * 100) AS BIGINT)
         |   * (2520 // CAST(round(l_discount * 100) AS BIGINT)) END)
-        |   AS BIGINT) AS sum_ratio_u252k
+        |   AS BIGINT) AS sum_ratio_u2520
         |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin,
     "q77_scd2" ->
       """WITH o AS (SELECT user_id, event_id, ts, event_type,

@@ -106,8 +106,7 @@ object CatalogOps {
     val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:" +
       s"${t.tableFingerprint("events")}"
     val out = etlCache.getOrElseUpdate(key, {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_w01_etl").toString
+      val dir = graft.TempDirs.create("graft_w01_etl")
       graft.sources.PartitionedWriter.writePartitioned(
         t.events.withColumn("dt", to_date(col("ts"))), dir, Seq("dt"))
       dir

@@ -88,7 +88,7 @@ object PipelineQueries {
          |  SELECT q.* FROM q JOIN (
          |    SELECT min(doc_id) AS doc_id FROM (
          |      SELECT doc_id,
-         |        md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS fp
+         |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          |      FROM q)
          |    GROUP BY fp) s USING (doc_id)),
          |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk

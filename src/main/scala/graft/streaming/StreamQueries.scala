@@ -91,8 +91,7 @@ object StreamQueries {
     * exactness gate needs. */
   private def runCompleteDistributed(spark: SparkSession, agg: DataFrame,
       prefix: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory(s"graft_$prefix").toString
+    val out = graft.TempDirs.create(s"graft_$prefix")
     val q = agg.writeStream
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -240,10 +239,13 @@ object StreamQueries {
     * to 2^53, engine-stable (the q81/q83 discipline applied to streaming
     * state). Update mode emits each touched user's new totals per
     * micro-batch; the sink is a DISTRIBUTED changelog (foreachBatch
-    * appends each update batch as parquet) reconciled by per-user MAX on
-    * read — totals are monotone — so no row funnels through the driver
-    * and a multi-batch replay reconciles exactly like a single batch
-    * (the standard CDC-log + compaction shape). */
+    * appends each update batch as parquet, tagged with its batch id)
+    * reconciled on read by taking each user's LATEST update (max_by on
+    * batch id) — correct for any value sign, unlike a per-user MAX which
+    * would silently assume totals are monotone (no negative/refund
+    * values) — so no row funnels through the driver and a multi-batch
+    * replay reconciles exactly like a single batch (the standard
+    * CDC-log + compaction shape). */
   def st06(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -255,22 +257,24 @@ object StreamQueries {
         .withColumn("value",
           expr("cast(cast(round(value * 100) as bigint) as double)"))
         .as[EventsStream.Event]
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_st06_updates").toString
+      val out = graft.TempDirs.create("graft_st06_updates")
       val q = EventsStream.runningStats(ev)
         .toDF("user_id", "n_events", "cents")
         .writeStream
         .outputMode("update")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // update mode emits ≤1 row per (user, batch), so max_by picks the
+      // single row of each user's last touching batch — their final state
       spark.read.parquet(out)
         .groupBy("user_id")
-        .agg(max(col("n_events")).as("n_events"),
-          max(col("cents")).cast("long").as("sum_value_cents"))
+        .agg(expr("max_by(n_events, batch_id)").as("n_events"),
+          expr("max_by(cents, batch_id)").cast("long").as("sum_value_cents"))
         .orderBy("user_id")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)

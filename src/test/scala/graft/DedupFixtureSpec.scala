@@ -73,16 +73,18 @@ class DedupFixtureSpec extends AnyFunSuite {
     }.toMap
     val expected = bandPairs
       .map { case (i, j) =>
-        val jac = grams(i).intersect(grams(j)).size.toDouble /
-          grams(i).union(grams(j)).size
-        (i, j, round4(jac))
+        val s = grams(i).intersect(grams(j)).size.toLong
+        val u = grams(i).union(grams(j)).size.toLong
+        (i, j, s, u, (20000L * s + u) / (2L * u))
       }
-      .filter(_._3 >= 0.3)
+      .filter { case (_, _, s, u, _) => s * 10 >= u * 3 }
       .sortBy(p => (p._1, p._2))
     val got = Dedup.d04(t).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
     assert(got == expected)
-    assert(expected.exists { case (i, j, jac) => (i, j) == (3L, 4L) && jac == 1.0 })
+    assert(expected.exists { case (i, j, _, _, jx) =>
+      (i, j) == (3L, 4L) && jx == 10000L })
   }
 
   test("d05 embedding LSH near-dups equal the kernel-computed expectation") {

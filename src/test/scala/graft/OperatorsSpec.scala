@@ -23,6 +23,7 @@ class OperatorsSpec extends AnyFunSuite {
         operators.Analytics.queries.size + operators.CatalogOps.queries.size +
         text.TextOps.queries.size +
         dedup.Dedup.queries.size + similarity.Similarity.queries.size +
+        pipeline.PipelineQueries.queries.size +
         streaming.StreamQueries.queries.size + 2
     assert(qs.size == moduleSizes,
       s"key collision between module query maps: ${qs.size} != $moduleSizes")
@@ -207,10 +208,11 @@ class OperatorsSpec extends AnyFunSuite {
     val est = dedup.Dedup.d02(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val exact = dedup.Dedup.d04(t).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
     // every high-estimate pair must be a genuinely similar pair
     est.filter(_._2 >= 0.8).keys.foreach { k =>
-      assert(exact.contains(k) && exact(k) >= 0.5, s"pair $k est>=0.8 but exact=${exact.get(k)}")
+      assert(exact.contains(k) && exact(k) >= 5000L,
+        s"pair $k est>=0.8 but exact_x1e4=${exact.get(k)}")
     }
   }
 
