@@ -65,6 +65,16 @@ object SparkEntry {
             | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
             |   AS sum_value_cents
             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        // the streaming left-outer interval join must equal the batch
+        // LEFT JOIN (matched pairs AND null-side abandonment rows)
+        "st07_stream_outer_join" ->
+          """SELECT c.user_id AS user_id, count(*) AS n_rows,
+            | CAST(count(p.ts) AS BIGINT) AS n_matched
+            |FROM events c LEFT JOIN events p
+            |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+            | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+            |WHERE c.event_type = 'click'
+            |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
         // the streaming interval join must equal the batch self-join
         "st04_stream_join" ->
           """SELECT c.user_id AS user_id, count(*) AS n_pairs

@@ -363,7 +363,57 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** q86 — CDC keep-latest dedup: reduce a change stream to each key's
+    * most recent record, the read-side compaction every CDC-ingested
+    * table needs (st06's changelog reconciliation as a batch operator).
+    * Formulated as `max(struct(ts, event_id, …))` — one hash shuffle on
+    * user_id with map-side partial maxes — NOT the row_number()-window
+    * spelling, which shuffles the same bytes and then sorts every
+    * partition to rank rows it immediately discards. The struct's
+    * leading fields (ts, then unique event_id) make the max — and thus
+    * the carried event_type/value payload — deterministic under ties.
+    * Values are exact integer cents (the q81/q83 discipline). */
+  def q86(t: Tables): DataFrame = {
+    val latest = t.events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))).as("last"))
+    latest
+      .select(col("last.event_type").as("event_type"), col("last.cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("sum_latest_cents"))
+      .orderBy("event_type")
+  }
+
+  /** q87 — gaps-and-islands: collapse each user's distinct active days
+    * into runs of consecutive days (the classic `day − row_number()`
+    * anchor trick) and report streak stats per user — retention
+    * analytics' "longest streak" metric. Scale shape: the raw-event scan
+    * collapses to distinct (user, day) pairs in the first aggregation
+    * (map-side combine — shuffle ∝ distinct pairs, never events); the
+    * window and both later groupBys all partition by user_id, so one
+    * hash exchange feeds window + island rollup + final rollup (the
+    * per-user window sees at most the calendar's day count). */
+  def q87(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("anchor", expr("date_sub(day, row_number() over " +
+        "(partition by user_id order by day))"))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q87_islands_gaps" -> q87,
+    "q86_keep_latest" -> q86,
     "q85_cumulative_uniques" -> q85,
     "q84_sql_udf" -> q84,
     "q83_null_safe_join" -> q83,
@@ -382,6 +432,32 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // ts order ties broken by unique event_id; CAST(ts AS TIMESTAMP)
+    // truncates DuckDB's ns values to the same µs precision Spark reads
+    "q86_keep_latest" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS sum_latest_cents
+        |FROM latest WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q87_islands_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day - CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days),
+        |g AS (SELECT user_id, anchor, count(*) AS len
+        |      FROM isl GROUP BY user_id, anchor)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q85_cumulative_uniques" ->
       """WITH firsts AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS day

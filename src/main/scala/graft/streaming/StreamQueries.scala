@@ -282,7 +282,72 @@ object StreamQueries {
     }
   }
 
+  /** st07 — LEFT-OUTER stream-stream interval join, driver-graded: clicks
+    * with no purchase inside the 10-minute horizon still emit (null
+    * purchase side) — the funnel-abandonment query, st04's other half.
+    * Null-side emission IS join-state eviction, which only happens when
+    * the watermark passes a click's horizon — so over a finite corpus
+    * the trailing clicks would never flush. The source therefore unions
+    * a sentinel click+purchase pair 30 days past max(ts) (user −1,
+    * filtered from the result): after the data batch the watermark jumps
+    * past every real click's horizon, and the trailing no-data
+    * micro-batch (the state-cleanup batch AvailableNow exists to run,
+    * unlike the retired Trigger.Once) evicts and emits every unmatched
+    * click. This is the standard end-of-stream flush marker a bounded
+    * replay of unbounded history uses. Sink: distributed append parquet
+    * — the join output is O(clicks), it grows with the corpus and must
+    * not funnel through the driver. Oracle: the batch LEFT JOIN with
+    * identical predicates. */
+  def st07(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = { // probe AFTER the nanosAsLong conf is set
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .forall(_ != "true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path).schema
+    }
+    val maxNs = spark.read.parquet(path)
+      .agg(max(col("ts"))).head().getLong(0)
+    val sentinelDir = graft.TempDirs.create("graft_st07_sentinel")
+    val sentinelTs = maxNs + 30L * 24 * 3600 * 1000 * 1000 * 1000
+    spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "click", 0.0, "{}"),
+          org.apache.spark.sql.Row(-2L, sentinelTs, -1L, "purchase", 0.0, "{}")),
+        schema)
+      .write.mode("overwrite").parquet(sentinelDir)
+    val sentinel = spark.readStream.schema(schema).parquet(sentinelDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val ev = eventsStream(spark, dir).unionByName(sentinel)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val out = graft.TempDirs.create("graft_st07_rows")
+    val q = joined.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the sentinel pair
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_stream_outer_join" -> ((s, dir) => st07(s, dir)),
     "st05_stream_enrich" -> ((s, dir) => st05(s, dir)),
     "st01_stream_window_agg" -> ((s, dir) => st01(s, dir)),
     "st02_stream_sessionize" -> ((s, dir) => st02(s, dir)),

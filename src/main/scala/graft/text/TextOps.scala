@@ -642,7 +642,41 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t22 — character-entropy quality rule: per-doc Shannon entropy over
+    * the character distribution, plus the exact integer diagnostics
+    * (distinct chars, modal-char count) — the low-entropy detector that
+    * catches keyboard-mash / repeated-boilerplate spam that t02's ratio
+    * rules and t11's 3-gram rule both miss (a doc of one repeated char
+    * has zero repeated word-3-grams). Scale shape: the char explode
+    * collapses map-side to distinct (doc, char) pairs — shuffle ∝
+    * docs × alphabet, never bytes — and entropy is computed in ONE
+    * aggregation via the algebraic identity
+    * −Σ(n/N)·ln(n/N) = ln N − (Σ n·ln n)/N, so no second shuffle or
+    * join for the per-doc total. The oracle spells the identical
+    * float expression; each per-doc sum has ≤ alphabet terms (the t15
+    * rounding discipline). */
+  def t22(t: Tables): DataFrame = charEntropy(t.documentsWide)
+
+  private[graft] def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0) // Spark's limit=-1 split keeps a trailing ""
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("n_distinct_chars"),
+        max(col("n")).as("max_char_count"),
+        sum(col("n") * log(col("n"))).as("snln"))
+      .select(col("doc_id"), col("tot").cast("bigint").as("n_chars"),
+        col("n_distinct_chars"), col("max_char_count"),
+        round(log(col("tot")) - col("snln") / col("tot"), 4)
+          .as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t22_char_entropy" -> t22,
     "t21_vocab_growth" -> t21,
     "t20_perplexity_buckets" -> t20,
     "t19_gopher_rules" -> t19,
@@ -677,6 +711,17 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "t22_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS n FROM chars
+        |      WHERE ch <> '' GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  CAST(max(n) AS BIGINT) AS max_char_count,
+        |  round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS char_entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t21_vocab_growth" ->
       raw"""WITH toks AS (
          |  SELECT source, unnest($dTokens) AS tok FROM documents),

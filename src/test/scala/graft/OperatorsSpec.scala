@@ -44,6 +44,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pcts.sum - 100.0) < 0.1)
   }
 
+  test("q86 keep-latest partitions users and equals the window spelling") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val agg = operators.Analytics.q86(t)
+    val rows = agg.collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      t.events.select("user_id").distinct().count())
+    // the max(struct) reduction must equal the row_number() window
+    // spelling exactly (same tie-break: ts, then unique event_id)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val alt = t.events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_latest_cents"))
+      .orderBy("event_type")
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    assert(canon(agg) == canon(alt))
+  }
+
+  test("q87 streaks partition each user's active days") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Analytics.q87(t).collect()
+    assert(rows.map(_.getLong(3)).sum ==
+      t.events.select(col("user_id"), to_date(col("ts"))).distinct().count())
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3), "n_streaks <= n_active_days")
+      assert(r.getLong(2) <= r.getLong(3), "longest_streak <= n_active_days")
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+  }
+
+  test("w02 compacted layout preserves every event") {
+    val rows = operators.CatalogOps.w02(t).collect()
+    assert(rows.map(_.getLong(1)).sum == t.events.count())
+  }
+
   test("q83 null-safe join keeps the NULL bucket and partitions orders") {
     val rows = operators.Analytics.q83(t).collect()
     assert(rows.exists(_.getString(0) == "bucket_-1"),

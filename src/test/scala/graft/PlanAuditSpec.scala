@@ -165,6 +165,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 keep-latest plans as partial max(struct), never a window sort") {
+    val plan = operators.Analytics.q86(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // the row_number() spelling would shuffle the same bytes and then
+    // sort every partition; the reduction spelling must not plan a
+    // Window (and must partial-aggregate the struct max before the
+    // user_id exchange)
+    assert(!plan.contains("Window"),
+      s"q86 must reduce, not rank:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"q86 should partial-aggregate the struct max map-side:\n$plan")
+  }
+
+  test("q87 reuses the user_id clustering: no exchange between the window " +
+    "and the island/streak rollups") {
+    val plan = operators.Analytics.q87(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // expected exchanges: (user, day) distinct, user window, and the
+    // final orderBy's range partition — the two post-window groupBys
+    // must ride the window's user_id hash clustering
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"q87 should need <=2 hash exchanges:\n$plan")
+  }
+
   test("dynamic partition pruning fires on a partition-keyed dim join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

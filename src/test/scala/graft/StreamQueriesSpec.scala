@@ -79,6 +79,33 @@ class StreamQueriesSpec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass").exists(_.contains("RocksDB")))
   }
 
+  test("st07 streaming left-outer join equals the batch LEFT JOIN exactly " +
+    "(null-side rows included)") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamQueries.st07(spark, TestSpark.sfDir)
+    val ev = TestSpark.tables.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("p_ts")).as("n_matched"))
+      .orderBy("user_id")
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+    // the gate is only meaningful if eviction actually emitted null-side
+    // rows: some click must be unmatched (n_rows > n_matched)
+    val unmatched = streamed.filter(col("n_rows") > col("n_matched")).count()
+    assert(unmatched > 0,
+      "no unmatched clicks — the null-side flush path was not exercised")
+  }
+
   test("st01 reruns get fresh sinks (bench reruns each query)") {
     val a = canon(StreamQueries.st01(spark, TestSpark.sfDir))
     val b = canon(StreamQueries.st01(spark, TestSpark.sfDir))

@@ -37,4 +37,31 @@ class TextFixtureSpec extends AnyFunSuite {
     assert(out(3L)._2 == md5hex("customer id <ID> ref <ID> short 12345"))
     assert(out(4L)._2 == md5hex("clean text with no sensitive content at all"))
   }
+
+  test("t22 char entropy matches a direct per-string computation, and " +
+    "degenerate docs hit the boundaries") {
+    import spark.implicits._
+    val docs = FixtureData.docTexts ++ Seq(
+      90L -> "aaaaaaaa",   // one symbol: entropy exactly 0
+      91L -> "ababababab", // two symbols, uniform: entropy ln 2
+      92L -> "x")          // single char
+    val out = TextOps.charEntropy(
+        docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    docs.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).map { case (_, v) => v.length.toLong }
+      val n = text.length.toLong
+      val expected = math.log(n.toDouble) -
+        counts.map(c => c * math.log(c.toDouble)).sum / n
+      val (nc, nd, mx, ent) = out(id)
+      assert(nc == n, s"doc $id n_chars")
+      assert(nd == text.toSet.size, s"doc $id n_distinct_chars")
+      assert(mx == counts.max, s"doc $id max_char_count")
+      // ent is rounded to 4dp; allow the half-step plus float noise
+      assert(math.abs(ent - expected) <= 5.001e-5, s"doc $id entropy")
+    }
+    assert(out(90L)._4 == 0.0 && out(92L)._4 == 0.0)
+    assert(math.abs(out(91L)._4 - FixtureData.round4(math.log(2))) < 1e-12)
+  }
 }
