@@ -675,7 +675,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t23 — deterministic quota sampling per language (the CCNet-style
+    * corpus-rebalancing step): rank each language's documents by
+    * `md5(doc_id)` — a uniform, engine-reproducible permutation — and
+    * keep the first `Quota` per language. Sampling-by-hash-rank is THE
+    * distributed sampling idiom: no RNG state, re-runnable, and any
+    * engine (here: DuckDB) reproduces the identical sample.
+    *
+    * Scale shape: ranking naively sorts every doc inside each language
+    * partition — at web scale one language dominates the corpus, so
+    * that sort is the bottleneck. The operator instead prefilters with
+    * a hash threshold computed from the per-language counts (broadcast
+    * — one row per language): keep docs whose 32-bit hash prefix falls
+    * under `Margin·Quota/n_l` of the hash space, then rank only the
+    * survivors (expected `Margin·Quota` rows per language, constant).
+    * The prefilter is map-only after a broadcast join, so the window
+    * sort runs on O(Quota) rows per language regardless of corpus
+    * size. Retention of the true top-Quota is guaranteed up to the
+    * Chernoff tail P[Binom(n, 4Q/n) < Q] ≤ exp(−40·(3/4)²·4/2) ≈ e⁻⁴⁵
+    * per language; TextFixtureSpec additionally pins kept-count =
+    * least(Quota, n_l) per language at every locally-run SF. */
+  def t23(t: Tables): DataFrame = {
+    val Quota = 40
+    val Margin = 4.0
+    val docs = t.documents
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val thresholded = docs
+      .join(broadcast(counts), "lang")
+      // first 8 hex chars as an integer uniform on [0, 2^32)
+      .withColumn("h32", expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
+      .filter(col("h32") <
+        (least(lit(1.0), lit(Margin * Quota) / col("n_l")) * 4294967296.0)
+          .cast("long"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    thresholded
+      .withColumn("samp_rank", row_number().over(w).cast("bigint"))
+      .filter(col("samp_rank") <= Quota)
+      .select(col("doc_id"), col("lang"), col("samp_rank"))
+      .orderBy("lang", "samp_rank")
+  }
+
+  /** t24 — token-budget mixture weights: given a target budget of half
+    * the corpus tokens split uniformly across sources, derive each
+    * source's sampling weight and planned token yield — the
+    * data-mixing plan a training run starts from. All arithmetic is
+    * exact integer basis points (×10⁴; a 1e13-token source stays under
+    * int64 through the ×10⁴ multiply, where ppm ×10⁶ would not), so
+    * the result is hash-stable across engines. Scale shape: one
+    * kernel-scanned aggregation to 20 source rows, grand totals ride a
+    * broadcast scalar (the q02 percent-of-total pattern — never an
+    * OVER() global window). */
+  def t24(t: Tables): DataFrame = {
+    val perSrc = t.documents
+      .select(col("source"),
+        graft.functions.exprs.quality_scan(col("text"))
+          .getField("n_tokens").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget_per_source", expr("tot_tokens DIV (2 * n_sources)"))
+      .withColumn("weight_bp",
+        least(lit(10000L), expr("budget_per_source * 10000 DIV src_tokens")))
+      .withColumn("planned_tokens", expr("src_tokens * weight_bp DIV 10000"))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("weight_bp"), col("planned_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t24_mixture_weights" -> t24,
+    "t23_quota_sample" -> t23,
     "t22_char_entropy" -> t22,
     "t21_vocab_growth" -> t21,
     "t20_perplexity_buckets" -> t20,
@@ -711,6 +784,31 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // md5 of the decimal rendering of doc_id is engine-identical; the
+    // oracle ranks ALL docs (no prefilter) — equality proves the
+    // threshold pass retained the true top-Quota per language
+    "t23_quota_sample" ->
+      """SELECT doc_id, lang, samp_rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS samp_rank
+        |  FROM documents)
+        |WHERE samp_rank <= 40
+        |ORDER BY lang, samp_rank""".stripMargin,
+    "t24_mixture_weights" ->
+      s"""WITH per_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($dTokens)) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+         |               count(*) AS n_sources FROM per_src)
+         |SELECT source, n_docs, src_tokens,
+         |  least(10000, (tot_tokens // (2 * n_sources)) * 10000 // src_tokens)
+         |    AS weight_bp,
+         |  src_tokens * least(10000,
+         |    (tot_tokens // (2 * n_sources)) * 10000 // src_tokens) // 10000
+         |    AS planned_tokens
+         |FROM per_src, tot ORDER BY source""".stripMargin,
     "t22_char_entropy" ->
       """WITH chars AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch

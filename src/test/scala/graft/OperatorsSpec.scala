@@ -78,6 +78,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("t23 quota sample keeps exactly least(Quota, n_l) docs per language " +
+    "and the prefilter retains the true hash-rank top-Quota") {
+    import org.apache.spark.sql.functions._
+    val kept = text.TextOps.t23(t)
+    val perLang = kept.groupBy("lang").agg(count(lit(1)).as("kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nl = t.documents.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet == nl.keySet)
+    perLang.foreach { case (lang, k) =>
+      assert(k == math.min(40L, nl(lang)), s"lang $lang kept $k of ${nl(lang)}")
+    }
+    // the threshold pass must reproduce the unfiltered ranking exactly
+    val full = t.documents
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("samp_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))).cast("bigint"))
+      .filter(col("samp_rank") <= 40)
+      .select(col("doc_id"), col("lang"), col("samp_rank"))
+      .orderBy("lang", "samp_rank")
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    assert(canon(kept) == canon(full))
+  }
+
+  test("t24 mixture weights conserve the token budget in exact integers") {
+    val rows = text.TextOps.t24(t).collect()
+    val totTokens = rows.map(_.getLong(2)).sum
+    val budgetPerSource = totTokens / (2L * rows.length)
+    rows.foreach { r =>
+      val (srcTokens, wbp, planned) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(wbp == math.min(10000L, budgetPerSource * 10000L / srcTokens))
+      assert(planned == srcTokens * wbp / 10000L)
+      assert(planned <= srcTokens)
+      // an uncapped source never plans more than its budget share
+      if (wbp < 10000L) assert(planned <= budgetPerSource)
+    }
+  }
+
+  test("w03 band query is selective and stable across reruns (cached layout)") {
+    val a = operators.CatalogOps.w03(t).collect()
+    assert(a.nonEmpty)
+    // middle-20% x middle-20% bands must actually select a proper subset
+    val selected = a.map(_.getLong(1)).sum
+    assert(selected > 0 && selected < t.events.count())
+    val b = operators.CatalogOps.w03(t).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("w02 compacted layout preserves every event") {
     val rows = operators.CatalogOps.w02(t).collect()
     assert(rows.map(_.getLong(1)).sum == t.events.count())
