@@ -46,6 +46,9 @@ object SparkEntry {
         // so they share the twins' oracle SQL verbatim
         "st01_stream_window_agg" -> Relational.oracles("q30_time_bucket_agg"),
         "st02_stream_sessionize" -> Relational.oracles("q31_sessionize"),
+        // the flatMapGroupsWithState state machine must reproduce the
+        // same batch sessionization as st02's native session_window
+        "st08_stateful_sessionize" -> Relational.oracles("q31_sessionize"),
         // streaming dedup+count must equal the batch DISTINCT exactly
         "st03_stream_dedup" ->
           """SELECT event_type,

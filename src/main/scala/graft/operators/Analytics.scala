@@ -411,7 +411,25 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q88 — global top-k (the "top 10 spenders" leaderboard): per-user
+    * rollup, then ORDER BY + LIMIT. The point at scale is what the plan
+    * must NOT contain: a global sort. Spark plans ORDER BY+LIMIT as
+    * TakeOrderedAndProject — each partition keeps its local top-k heap
+    * and the driver merges k·partitions rows — so no range-partitioned
+    * Exchange of the full user rollup ever happens (PlanAuditSpec pins
+    * this). Ties on total cents break by user_id so the row set is
+    * deterministic on both engines; values exact integer cents. */
+  def q88(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)"))
+          .as("sum_value_cents"))
+      .orderBy(col("sum_value_cents").desc, col("user_id"))
+      .limit(10)
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q88_global_topk" -> q88,
     "q87_islands_gaps" -> q87,
     "q86_keep_latest" -> q86,
     "q85_cumulative_uniques" -> q85,
@@ -432,6 +450,12 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    "q88_global_topk" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
+        |FROM events GROUP BY user_id
+        |ORDER BY sum_value_cents DESC, user_id LIMIT 10""".stripMargin,
     // ts order ties broken by unique event_id; CAST(ts AS TIMESTAMP)
     // truncates DuckDB's ns values to the same µs precision Spark reads
     "q86_keep_latest" ->

@@ -298,7 +298,15 @@ object StreamQueries {
     * — the join output is O(clicks), it grows with the corpus and must
     * not funnel through the driver. Oracle: the batch LEFT JOIN with
     * identical predicates. */
-  def st07(spark: SparkSession, dir: String): DataFrame = {
+  /** End-of-stream flush marker: a streamed source of one event per
+    * requested type, stamped 30 days past the corpus max(ts) under
+    * sentinel users (−1, −2, …). Unioned into a finite replay it
+    * advances the watermark past every real event's horizon, so the
+    * trailing no-data micro-batch (which AvailableNow exists to run,
+    * unlike the retired Trigger.Once) evicts/times-out all remaining
+    * state. Callers filter `user_id >= 0` from results. */
+  private def sentinelStream(spark: SparkSession, dir: String, name: String,
+                             eventTypes: Seq[String]): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = { // probe AFTER the nanosAsLong conf is set
       if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
@@ -308,17 +316,23 @@ object StreamQueries {
     }
     val maxNs = spark.read.parquet(path)
       .agg(max(col("ts"))).head().getLong(0)
-    val sentinelDir = graft.TempDirs.create("graft_st07_sentinel")
+    val sentinelDir = graft.TempDirs.create(s"graft_${name}_sentinel")
     val sentinelTs = maxNs + 30L * 24 * 3600 * 1000 * 1000 * 1000
+    val rows = eventTypes.zipWithIndex.map { case (tpe, i) =>
+      org.apache.spark.sql.Row(-(i + 1).toLong, sentinelTs, -(i + 1).toLong,
+        tpe, 0.0, "{}")
+    }
     spark.createDataFrame(
-        java.util.Arrays.asList(
-          org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "click", 0.0, "{}"),
-          org.apache.spark.sql.Row(-2L, sentinelTs, -1L, "purchase", 0.0, "{}")),
-        schema)
+        java.util.Arrays.asList(rows: _*), schema)
       .write.mode("overwrite").parquet(sentinelDir)
-    val sentinel = spark.readStream.schema(schema).parquet(sentinelDir)
+    spark.readStream.schema(schema).parquet(sentinelDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val ev = eventsStream(spark, dir).unionByName(sentinel)
+  }
+
+  def st07(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .unionByName(sentinelStream(spark, dir, "st07",
+        Seq("click", "purchase")))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -346,7 +360,57 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** st08 — flatMapGroupsWithState sessionization, driver-graded: the
+    * hand-rolled state-machine spelling of q31/st02 (EventsStream
+    * .sessionizeStateful — per-user open-session state, EventTimeTimeout
+    * closing sessions when the watermark passes last + gap), run through
+    * the full engine and rolled up to q31's per-user summary. With st02
+    * (native session_window) and st06 (transformWithState) this covers
+    * all three custom-state streaming APIs against the SAME batch
+    * semantics. Trailing open sessions only close via timeout, which
+    * only fires when the watermark advances — so the finite replay
+    * unions the end-of-stream sentinel (user −1, filtered) and the
+    * cleanup micro-batch flushes every open session. Sink: distributed
+    * append parquet (sessions are O(users×sessions) — never through the
+    * driver). Exactness argument: the corpus arrives in one data batch
+    * (single-file source), inside which the handler sorts each user's
+    * events by ts; a multi-batch replay stays exact as long as
+    * cross-batch arrival respects the 2-hour watermark (the st04/st07
+    * caveat). Oracle: q31's SQL verbatim. */
+  def st08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .unionByName(sentinelStream(spark, dir, "st08", Seq("click")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val out = graft.TempDirs.create("graft_st08_sessions")
+    val q = EventsStream.sessionizeStateful(ev).toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the sentinel's own session
+      .select(col("user_id"), col("n_events"),
+        (unix_timestamp(col("session_end")) -
+          unix_timestamp(col("session_start"))).as("dur_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dur_sec")).as("sum_sec"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        (expr("(10 * sum_sec + 3 * n_sessions) div (6 * n_sessions)") / 100.0)
+          .as("avg_session_min"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st08_stateful_sessionize" -> ((s, dir) => st08(s, dir)),
     "st07_stream_outer_join" -> ((s, dir) => st07(s, dir)),
     "st05_stream_enrich" -> ((s, dir) => st05(s, dir)),
     "st01_stream_window_agg" -> ((s, dir) => st01(s, dir)),

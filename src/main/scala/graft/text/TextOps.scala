@@ -746,7 +746,51 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** d11 — incremental snapshot dedup: when a new crawl batch lands, only
+    * the BATCH is checked — against the standing fingerprint index and
+    * within itself — never the whole corpus re-deduped (at 100 TB,
+    * re-running d01 per ingest is the difference between O(batch) and
+    * O(corpus) per day). Snapshot split is deterministic via the last
+    * md5(doc_id) hex digit (< 'd': ~81% standing corpus, ~19% incoming)
+    * — hash-based, NOT doc_id mod k, which correlates with the corpus's
+    * round-robin source assignment and would sample only a source
+    * subset into the batch. Each incoming doc classifies as
+    * dup-of-base (fingerprint already indexed), dup-in-batch (an earlier
+    * incoming doc — min doc_id — owns the fingerprint), or novel;
+    * classification is exhaustive and exclusive, so the three counts
+    * partition n_incoming (spec-pinned). Scale shape: one hash shuffle
+    * of the batch + the index probe join on fp; a production index would
+    * be bucketed on fp (the q81 layout) making the probe exchange-free
+    * on the index side — the batch-side shuffle is O(batch) regardless.
+    * Fingerprints via canon_fp (d01's normalization; DuckDB twin runs
+    * the same md5). */
+  def d11(t: Tables): DataFrame = {
+    val split = substring(md5(col("doc_id").cast("string")), 32, 1)
+    val fps = t.documents
+      .select(col("doc_id"), col("source"), fingerprint.as("fp"),
+        (split < "d").as("is_base"))
+    val base = fps.filter(col("is_base")).select("fp").distinct()
+    val inc = fps.filter(!col("is_base"))
+    val firsts = inc.groupBy("fp").agg(min("doc_id").as("first_id"))
+    inc
+      .join(base.withColumn("in_base", lit(1L)), Seq("fp"), "left_outer")
+      .join(firsts, "fp")
+      .select(col("source"),
+        when(col("in_base").isNotNull, "dup_of_base")
+          .when(col("doc_id") > col("first_id"), "dup_in_batch")
+          .otherwise("novel").as("cls"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("cls") === "dup_of_base", 1L).otherwise(0L))
+          .as("n_dup_of_base"),
+        sum(when(col("cls") === "dup_in_batch", 1L).otherwise(0L))
+          .as("n_dup_in_batch"),
+        sum(when(col("cls") === "novel", 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d11_incremental_dedup" -> d11,
     "t24_mixture_weights" -> t24,
     "t23_quota_sample" -> t23,
     "t22_char_entropy" -> t22,
@@ -784,6 +828,28 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "d11_incremental_dedup" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, source, $dFp AS fp,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 32, 1) < 'd' AS is_base
+         |  FROM documents),
+         |base AS (SELECT DISTINCT fp FROM fps WHERE is_base),
+         |inc AS (SELECT * FROM fps WHERE NOT is_base),
+         |firsts AS (SELECT fp, min(doc_id) AS first_id FROM inc GROUP BY fp),
+         |cls AS (
+         |  SELECT i.source,
+         |    CASE WHEN b.fp IS NOT NULL THEN 'dup_of_base'
+         |         WHEN i.doc_id > f.first_id THEN 'dup_in_batch'
+         |         ELSE 'novel' END AS cls
+         |  FROM inc i LEFT JOIN base b ON i.fp = b.fp
+         |  JOIN firsts f ON i.fp = f.fp)
+         |SELECT source, count(*) AS n_incoming,
+         |  CAST(count(*) FILTER (cls = 'dup_of_base') AS BIGINT)
+         |    AS n_dup_of_base,
+         |  CAST(count(*) FILTER (cls = 'dup_in_batch') AS BIGINT)
+         |    AS n_dup_in_batch,
+         |  CAST(count(*) FILTER (cls = 'novel') AS BIGINT) AS n_novel
+         |FROM cls GROUP BY source ORDER BY source""".stripMargin,
     // md5 of the decimal rendering of doc_id is engine-identical; the
     // oracle ranks ALL docs (no prefilter) — equality proves the
     // threshold pass retained the true top-Quota per language

@@ -118,6 +118,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d11 incremental classes partition the incoming batch") {
+    import org.apache.spark.sql.functions._
+    val rows = text.TextOps.d11(t).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"classes must partition n_incoming for ${r.getString(0)}")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      t.documents.filter(
+        substring(md5(col("doc_id").cast("string")), 32, 1) >= "d").count())
+    // the hash split must sample a broad source cross-section, which the
+    // correlated doc_id-mod-k split did not (4 of 20 sources)
+    assert(rows.length >= 10, s"expected a broad source spread, got ${rows.length}")
+  }
+
   test("w03 band query is selective and stable across reruns (cached layout)") {
     val a = operators.CatalogOps.w03(t).collect()
     assert(a.nonEmpty)

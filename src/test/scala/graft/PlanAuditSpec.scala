@@ -189,6 +189,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"q87 should need <=2 hash exchanges:\n$plan")
   }
 
+  test("q88 global top-k plans TakeOrderedAndProject, never a global sort") {
+    val plan = operators.Analytics.q88(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q88 must merge per-partition top-k heaps:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"q88 must not range-exchange the full rollup for a LIMIT:\n$plan")
+  }
+
   test("dynamic partition pruning fires on a partition-keyed dim join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -106,6 +106,15 @@ class StreamQueriesSpec extends AnyFunSuite {
       "no unmatched clicks — the null-side flush path was not exercised")
   }
 
+  test("st08 flatMapGroupsWithState sessionization equals the batch q31 " +
+    "summary (timeout flush of trailing open sessions included)") {
+    val streamed = StreamQueries.st08(spark, TestSpark.sfDir)
+    val batch = operators.Relational.q31(TestSpark.tables)
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+  }
+
   test("st01 reruns get fresh sinks (bench reruns each query)") {
     val a = canon(StreamQueries.st01(spark, TestSpark.sfDir))
     val b = canon(StreamQueries.st01(spark, TestSpark.sfDir))
