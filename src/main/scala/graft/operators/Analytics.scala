@@ -428,7 +428,48 @@ object Analytics {
       .orderBy(col("sum_value_cents").desc, col("user_id"))
       .limit(10)
 
+  /** q89 — SQL pipe syntax (Spark 4's `|>` operator chaining, SPARK-49555
+    * / the "SQL has problems" pipe-SQL proposal): the same linear
+    * dataflow a DataFrame chain expresses, but in SQL — each `|>` stage
+    * consumes the previous result, so query logic reads top-to-bottom
+    * instead of inside-out. Catalyst plans it identically to the nested
+    * spelling (no new operator — purely parser surface), which the
+    * matching ANSI-SQL oracle proves. Values exact integer cents. */
+  def q89(t: Tables): DataFrame = {
+    t.events.createOrReplaceTempView("graft_q89_events")
+    t.spark.sql(
+      """FROM graft_q89_events
+        ||> WHERE event_type IN ('click', 'purchase')
+        ||> EXTEND cast(round(value * 100) as bigint) AS cents
+        ||> AGGREGATE count(*) AS n_events, sum(cents) AS sum_cents
+        |   GROUP BY user_id % 10 AS bucket, event_type
+        ||> WHERE n_events > 0
+        ||> ORDER BY bucket, event_type""".stripMargin)
+  }
+
+  /** q90 — parameterized SQL (named parameter markers, SPARK-44140):
+    * the injection-safe templating surface a query service puts in
+    * front of the engine — parameters bind as typed literal expressions
+    * in the parsed plan, never string-spliced, so Catalyst constant-
+    * folds them exactly like hand-written literals (same plan, same
+    * pushed filters). The oracle inlines the same values as literals —
+    * equality proves binding is semantically identity. Values exact
+    * integer cents. */
+  def q90(t: Tables): DataFrame = {
+    t.events.createOrReplaceTempView("graft_q90_events")
+    t.spark.sql(
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
+        |FROM graft_q90_events
+        |WHERE event_type IN (:a, :b) AND value >= :minValue
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      Map("a" -> "click", "b" -> "purchase", "minValue" -> 10.0))
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q90_parameterized_sql" -> q90,
+    "q89_pipe_syntax" -> q89,
     "q88_global_topk" -> q88,
     "q87_islands_gaps" -> q87,
     "q86_keep_latest" -> q86,
@@ -450,6 +491,23 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // the parameters inlined as literals — binding must be identity
+    "q90_parameterized_sql" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase') AND value >= 10.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the pipe-syntax chain must plan to exactly this nested spelling
+    "q89_pipe_syntax" ->
+      """SELECT user_id % 10 AS bucket, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1, 2 HAVING count(*) > 0
+        |ORDER BY bucket, event_type""".stripMargin,
     "q88_global_topk" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

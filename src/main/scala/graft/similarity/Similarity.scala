@@ -398,7 +398,43 @@ object Similarity {
       .orderBy("q_id", "vec_id")
   }
 
+  /** s08 — k-NN GRAPH over the whole corpus (not a query-set search like
+    * s01–s06): every vector's top-K in-cluster neighbors — the
+    * SemDeDup / clustering-prep / graph-ANN-build primitive. Candidates
+    * come from the trained coarse quantizer (the d10 codebook, C sized
+    * by semCluster knobs so expected cluster size stays ~32 bounded:
+    * within-cluster self-join cost is Σ|cluster|² ≈ N·(N/C) — linear in
+    * N while C tracks N, never the N² brute-force graph). Per-vector
+    * ranking partitions by vec_id (cosine desc, nn_id tie-break), so
+    * the window sort is per-cluster-candidate-list sized, and the
+    * output is exactly ≤ K rows per vector at any corpus size.
+    * Within-cluster-only edges are the deliberate approximation (the
+    * published SemDeDup trade); SimilaritySpec gates graph recall
+    * against the exact brute-force graph on the small corpus.
+    * rows-only: the codebook + kernel assignment have no SQL twin. */
+  def s08(t: Tables): DataFrame = {
+    val K = 3
+    val c = graft.dedup.Dedup.semClusterKnobs(preppedCount(t))._1
+    val assigned = assignedClusters(t, c)
+    val left = assigned.select(col("cent_id"), col("vec_id"),
+      col("vec"), col("norm"))
+    val right = assigned.select(col("cent_id"),
+      col("vec_id").as("nn_id"), col("vec").as("n_vec"),
+      col("norm").as("n_norm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    left.join(right, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        round(dot_d(col("vec"), col("n_vec")) /
+          (col("norm") * col("n_norm")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s08_knn_graph" -> s08,
     "s07_range_search" -> s07,
     "s06_pq_ann" -> s06,
     "s01_cosine_topk" -> s01,

@@ -118,6 +118,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 parameter binding equals literal inlining") {
+    import org.apache.spark.sql.functions._
+    val bound = operators.Analytics.q90(t).collect()
+    val literal = t.events
+      .filter(col("event_type").isin("click", "purchase") && col("value") >= 10.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
+      .orderBy("event_type").collect()
+    assert(bound.nonEmpty &&
+      bound.map(_.toString).toSeq == literal.map(_.toString).toSeq)
+  }
+
+  test("q89 pipe syntax plans identically to the nested DataFrame spelling") {
+    import org.apache.spark.sql.functions._
+    val piped = operators.Analytics.q89(t)
+    val nested = t.events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+      .filter(col("n_events") > 0)
+      .orderBy("bucket", "event_type")
+    assert(piped.columns.sorted.toSeq == nested.columns.sorted.toSeq)
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(df.columns.sorted.map(col): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    assert(canon(piped).nonEmpty && canon(piped) == canon(nested))
+  }
+
   test("d11 incremental classes partition the incoming batch") {
     import org.apache.spark.sql.functions._
     val rows = text.TextOps.d11(t).collect()
@@ -141,6 +171,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(selected > 0 && selected < t.events.count())
     val b = operators.CatalogOps.w03(t).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("w04 merged-schema read keeps every event and the NULL bucket") {
+    val rows = operators.CatalogOps.w04(t).collect()
+    assert(rows.map(_.getLong(2)).sum == t.events.count())
+    assert(rows.exists(_.getString(1) == "pre_evolution"),
+      "pre-evolution rows must surface as the explicit NULL bucket")
+    assert(rows.exists(r => r.getString(1).startsWith("ch")),
+      "evolved rows must carry the new column")
   }
 
   test("w02 compacted layout preserves every event") {

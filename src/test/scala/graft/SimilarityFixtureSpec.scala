@@ -155,6 +155,32 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     assert(agg.map(_.getLong(2)).sum >= 2L) // at least the planted drops
   }
 
+  test("s08 knn graph: structure bounds hold and graph recall@3 vs the " +
+    "exact brute-force graph clears the floor") {
+    val rows = Similarity.s08(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, n, s, rk) =>
+      assert(v != n && rk >= 1 && rk <= 3)
+      assert(s >= -1.0001 && s <= 1.0001)
+    }
+    val perVec = rows.groupBy(_._1)
+    perVec.foreach { case (v, es) =>
+      assert(es.length <= 3, s"vec $v has ${es.length} edges")
+      assert(es.map(_._4).sorted.toSeq == (1L to es.length).toSeq)
+    }
+    // exact brute-force top-3 graph on the fixture corpus
+    val exact = vids.map { v =>
+      v -> vids.filter(_ != v).map(c => (c, sim(c, v)))
+        .sortBy { case (c, s) => (-s, c) }.take(3).map(_._1).toSet
+    }.toMap
+    val hits = rows.count { case (v, n, _, _) => exact(v).contains(n) }
+    val possible = vids.map(v => math.min(3, exact(v).size)).sum
+    val recall = hits.toDouble / possible
+    assert(recall >= 0.5,
+      f"knn-graph recall@3 $recall%.3f below floor (within-cluster approx)")
+  }
+
   test("s03 trained codebook (Lloyd) has recall@5 >= sampled codebook") {
     // ground truth: kernel-side brute-force top-5 over the whole corpus
     val truth: Map[Long, Set[Long]] = qids.map { q =>
