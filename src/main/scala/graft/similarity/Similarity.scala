@@ -411,19 +411,34 @@ object Similarity {
     * Within-cluster-only edges are the deliberate approximation (the
     * published SemDeDup trade); SimilaritySpec gates graph recall
     * against the exact brute-force graph on the small corpus.
-    * rows-only: the codebook + kernel assignment have no SQL twin. */
+    *
+    * Past the C=512 cap the cluster count stops tracking N and the
+    * within-cluster join would turn quadratic (N²/512) — so, exactly
+    * like d10, buckets sub-band with `rh_bucket` hyperplane bits once
+    * the corpus outgrows cap·32 (semClusterKnobs' planes knob, same
+    * seed so the two operators share bucket geometry): candidate
+    * buckets stay ~32 expected rows at ANY corpus size, keeping the
+    * join linear in N. The residual heavy case is exact-duplicate mass
+    * (copies co-bucket by construction and each copy's true nearest
+    * neighbors ARE its copies — that work is the answer, not overhead);
+    * measured sf0.1→sf1→sf10 decades on the 100×-replicated corpus are
+    * sub-linear. rows-only: codebook + kernels have no SQL twin. */
   def s08(t: Tables): DataFrame = {
     val K = 3
-    val c = graft.dedup.Dedup.semClusterKnobs(preppedCount(t))._1
-    val assigned = assignedClusters(t, c)
-    val left = assigned.select(col("cent_id"), col("vec_id"),
+    val (c, planes) = graft.dedup.Dedup.semClusterKnobs(preppedCount(t))
+    val assigned0 = assignedClusters(t, c)
+    val assigned =
+      if (planes == 0) assigned0.withColumn("sub", lit(0L))
+      else assigned0.withColumn("sub",
+        graft.functions.exprs.rh_bucket(col("vec"), planes, seed = 77L))
+    val left = assigned.select(col("cent_id"), col("sub"), col("vec_id"),
       col("vec"), col("norm"))
-    val right = assigned.select(col("cent_id"),
+    val right = assigned.select(col("cent_id"), col("sub"),
       col("vec_id").as("nn_id"), col("vec").as("n_vec"),
       col("norm").as("n_norm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nn_id"))
-    left.join(right, Seq("cent_id"))
+    left.join(right, Seq("cent_id", "sub"))
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
         round(dot_d(col("vec"), col("n_vec")) /
