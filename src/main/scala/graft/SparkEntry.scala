@@ -32,7 +32,9 @@ object SparkEntry {
         "m01_media_features" -> ((s: SparkSession, _: String) =>
           graft.multimodal.BinaryPipeline.m01(s)),
         "m02_frame_sample" -> ((s: SparkSession, _: String) =>
-          graft.multimodal.BinaryPipeline.m02(s)))
+          graft.multimodal.BinaryPipeline.m02(s)),
+        "m03_media_fingerprint" -> ((s: SparkSession, dir: String) =>
+          graft.multimodal.BinaryPipeline.m03(Tables(s, dir))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -42,6 +44,15 @@ object SparkEntry {
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       graft.pipeline.PipelineQueries.oracles ++
       Map(
+        // binary-payload fingerprint dedup: DuckDB md5(VARCHAR) hashes
+        // the same UTF-8 bytes Spark's md5(binary) sees after the cast
+        "m03_media_fingerprint" ->
+          """SELECT source, count(*) AS n_payloads,
+            | CAST(count(DISTINCT md5(text)) AS BIGINT)
+            |   AS n_unique_payloads,
+            | CAST(sum(octet_length(encode(text))) AS BIGINT)
+            |   AS total_bytes
+            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
         // the streaming queries must reproduce their batch twins exactly,
         // so they share the twins' oracle SQL verbatim
         "st01_stream_window_agg" -> Relational.oracles("q30_time_bucket_agg"),

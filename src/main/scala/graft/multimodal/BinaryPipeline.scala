@@ -177,6 +177,32 @@ object BinaryPipeline {
       .orderBy("modality")
   }
 
+  /** m03 — content-hash dedup over opaque binary payloads, the FIRST
+    * step of any media-ingest pipeline (hash the raw encoded bytes
+    * BEFORE any decode — exact-copy mass never reaches the codec). The
+    * payload here is the document's raw UTF-8 bytes cast to `binary`
+    * standing in for encoded media bytes; the fingerprint is md5
+    * computed ON the binary column, and the per-source rollup reports
+    * payload counts, unique-fingerprint counts, and byte volume. At
+    * 100 TB this is a single map-side hash per payload plus a tiny
+    * per-source aggregate — no payload bytes cross the shuffle (the
+    * md5 projection drops them before the Exchange). SQL-oracled
+    * (unlike m01/m02's stub codec): DuckDB's md5 over the same UTF-8
+    * text bytes must yield identical dedup counts, proving the
+    * binary-side hashing is byte-faithful to the source text. */
+  def m03(t: graft.Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    t.documents
+      .select(col("source"), col("text").cast("binary").as("payload"))
+      .select(col("source"), md5(col("payload")).as("fp"),
+        length(col("payload")).as("n_bytes"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_payloads"),
+        countDistinct(col("fp")).as("n_unique_payloads"),
+        sum(col("n_bytes")).cast("bigint").as("total_bytes"))
+      .orderBy("source")
+  }
+
   /** Join extracted media features back to their source documents —
     * multimodal columns co-live with text in one table. */
   def joinWithDocuments(features: Dataset[MediaFeatures], docs: DataFrame): DataFrame =

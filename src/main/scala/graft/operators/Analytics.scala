@@ -467,7 +467,37 @@ object Analytics {
       Map("a" -> "click", "b" -> "purchase", "minValue" -> 10.0))
   }
 
+  /** q91 — Datasketches HLL mergeability (Spark 4 `hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate`): per-group sketches over
+    * l_partkey union into a global estimate, alongside the direct
+    * whole-table sketch and the exact distinct count. Mergeability IS
+    * the 100 TB count-distinct story: per-partition sketch partials
+    * combine associatively map-side, so only fixed-size sketch bytes
+    * (not keys) cross the shuffle, and pre-aggregated per-group
+    * sketches roll up to ANY coarser grouping without rescanning the
+    * fact — exactly how a metrics store serves distinct-count cubes.
+    * rows-only (sketch estimates have no DuckDB twin); OperatorsSpec
+    * value-gates both estimates against the exact count at the
+    * default lgK=12 error bound and pins union≈direct agreement. */
+  def q91(t: Tables): DataFrame = {
+    val perGroup = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"),
+        countDistinct(col("l_partkey")).as("exact_group"))
+    val merged = perGroup.agg(
+      count(lit(1)).cast("bigint").as("n_groups"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+      max(col("exact_group")).as("max_group_exact"))
+    val direct = t.lineitem.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))")
+        .as("est_direct"),
+      countDistinct(col("l_partkey")).as("exact_total"))
+    merged.join(broadcast(direct))
+      .select(col("n_groups"), col("est_union"), col("est_direct"),
+        col("exact_total"), col("max_group_exact"))
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q91_sketch_union" -> q91,
     "q90_parameterized_sql" -> q90,
     "q89_pipe_syntax" -> q89,
     "q88_global_topk" -> q88,
