@@ -19,11 +19,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and rebuild a
-    * microsecond timestamp — DuckDB truncates ns→µs identically, so oracle
-    * comparisons agree. Integer division (DIV) avoids double precision loss
-    * on ~1.7e18 nano values.
+  /** events.parquet has shipped `ts` in two physical spellings across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only accepts as a raw nano LONG under the nanosAsLong legacy
+    * conf — and plain microsecond TIMESTAMP (read natively). Normalize
+    * either to a session-TZ TimestampType via [[Tables.normalizeTs]] so
+    * operators and oracles see identical values regardless of generation.
     */
   def events: DataFrame = {
     // nanosAsLong is set at build time by every session builder in this
@@ -33,9 +34,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    Tables.normalizeTs(table("events"))
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
@@ -75,6 +74,25 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Normalizes the events `ts` column to a microsecond TimestampType
+    * regardless of how the parquet stores it: a raw nano LONG (the
+    * TIMESTAMP(NANOS) generation, read under the nanosAsLong legacy conf)
+    * is truncated ns→µs with integer DIV — the same truncation DuckDB
+    * applies, so oracles agree — and a native TIMESTAMP_NTZ column is
+    * cast to TimestampType, a value-identity under the UTC session
+    * timezone every entry point in this library pins. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
   private[graft] def fingerprint(path: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] = {
       val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName))

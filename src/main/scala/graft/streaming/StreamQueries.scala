@@ -35,11 +35,12 @@ object StreamQueries {
     * every run gets a fresh table (the tiny prior result is dropped). */
   private val sinkId = new AtomicInteger(0)
 
-  /** Streaming read of the events table with the same TIMESTAMP(NANOS)
-    * handling as the batch facade (Tables.events): nanos read as long,
-    * rebuilt as microsecond timestamps — DuckDB truncates ns→µs the same
-    * way. The one batch `spark.read` is a footer-only schema probe
-    * (streaming sources require an explicit schema). */
+  /** Streaming read of the events table with the same generation-adaptive
+    * `ts` handling as the batch facade (Tables.normalizeTs): a raw nano
+    * LONG is rebuilt as a microsecond timestamp, a native TIMESTAMP_NTZ
+    * is cast to the session-TZ timestamp. The one batch `spark.read` is a
+    * footer-only schema probe (streaming sources require an explicit
+    * schema). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .forall(_ != "true"))
@@ -53,7 +54,7 @@ object StreamQueries {
     val src =
       if (new java.io.File(path).isDirectory) reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeTs(src)
   }
 
   /** Run a streaming aggregation to completion over the finite source and
@@ -314,19 +315,33 @@ object StreamQueries {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path).schema
     }
-    val maxNs = spark.read.parquet(path)
-      .agg(max(col("ts"))).head().getLong(0)
-    val sentinelDir = graft.TempDirs.create(s"graft_${name}_sentinel")
-    val sentinelTs = maxNs + 30L * 24 * 3600 * 1000 * 1000 * 1000
-    val rows = eventTypes.zipWithIndex.map { case (tpe, i) =>
-      org.apache.spark.sql.Row(-(i + 1).toLong, sentinelTs, -(i + 1).toLong,
-        tpe, 0.0, "{}")
+    // generation-adaptive ts arithmetic: +30 days in raw nanos for the
+    // LONG generation, interval arithmetic for a native timestamp; the
+    // final cast writes the sentinel file in the SAME physical ts type as
+    // the corpus so one probed schema reads both sources
+    val tsType = schema("ts").dataType
+    val thirtyDays = tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("mx") + lit(30L * 24 * 3600 * 1000 * 1000 * 1000)
+      case _ => col("mx") + expr("INTERVAL 30 DAYS")
     }
-    spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), schema)
+    val mx = spark.read.parquet(path).agg(max(col("ts")).as("mx"))
+    val sentinelDir = graft.TempDirs.create(s"graft_${name}_sentinel")
+    import spark.implicits._
+    eventTypes.zipWithIndex
+      .map { case (tpe, i) => (-(i + 1).toLong, tpe) }
+      .toDF("sid", "event_type")
+      .crossJoin(mx)
+      .select(
+        col("sid").as("event_id"),
+        thirtyDays.cast(tsType).as("ts"),
+        col("sid").as("user_id"),
+        col("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
       .write.mode("overwrite").parquet(sentinelDir)
-    spark.readStream.schema(schema).parquet(sentinelDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(sentinelDir))
   }
 
   def st07(spark: SparkSession, dir: String): DataFrame = {

@@ -24,7 +24,7 @@ class OperatorsSpec extends AnyFunSuite {
         text.TextOps.queries.size +
         dedup.Dedup.queries.size + similarity.Similarity.queries.size +
         pipeline.PipelineQueries.queries.size +
-        streaming.StreamQueries.queries.size + 2
+        streaming.StreamQueries.queries.size + 3
     assert(qs.size == moduleSizes,
       s"key collision between module query maps: ${qs.size} != $moduleSizes")
   }
@@ -395,6 +395,35 @@ class OperatorsSpec extends AnyFunSuite {
       .toMap
     assert(got.keySet == expected.keySet.map(identity))
     expected.foreach { case (c, ms) => assert(got(c) == ms, s"cluster $c") }
+  }
+
+  test("q91 sketch union merges losslessly and lands inside the HLL error " +
+    "bound") {
+    val r = operators.Analytics.q91(t).head()
+    def num(i: Int) = r.get(i).asInstanceOf[Number].doubleValue
+    val estUnion = num(1)
+    val estDirect = num(2)
+    val exact = num(3)
+    // HLL register merge is max-per-register, so the union of per-group
+    // sketches IS the sketch of the whole table — estimates must agree
+    // exactly, not approximately (mergeability is the 100 TB claim)
+    assert(estUnion == estDirect,
+      s"union estimate $estUnion != direct estimate $estDirect")
+    // default lgK=12 → relative standard error ~1.6%; 5σ gate
+    assert(math.abs(estUnion - exact) / exact < 0.08,
+      s"HLL estimate $estUnion outside error bound of exact $exact")
+  }
+
+  test("m03 fingerprint rollup partitions the corpus and bounds uniques") {
+    val rows = multimodal.BinaryPipeline.m03(t).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == t.documents.count(),
+      s"per-source payload counts must partition the corpus, got $total")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"${r.getString(0)}: unique fingerprints exceed payloads")
+      assert(r.getLong(3) > 0, s"${r.getString(0)}: empty byte volume")
+    }
   }
 
   test("multi-probe raises recall over single-probe LSH vs exact ground truth") {

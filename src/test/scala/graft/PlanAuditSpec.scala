@@ -221,6 +221,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"partitioned fact scan should carry a dynamic pruning filter:\n$plan")
   }
 
+  test("w05 carries a dynamic pruning filter on the dt-partitioned fact " +
+    "scan") {
+    val plan = operators.CatalogOps.w05(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // the weekend predicate lives only on the calendar dim; the fact scan
+    // must still prune its dt partition list at runtime via DPP — at
+    // 100 TB the scan cost tracks selected partitions, not table size
+    assert(plan.contains("dynamicpruningexpression"),
+      s"w05 fact scan should carry a dynamic pruning filter:\n$plan")
+  }
+
   test("runtime bloom filter injects might_contain for a selective dim on " +
     "a shuffle join") {
     import org.apache.spark.sql.functions._
