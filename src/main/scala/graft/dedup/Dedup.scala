@@ -144,6 +144,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d12 — dedup-rate-vs-threshold curve: the operating-point sweep a
+    * data engineer runs BEFORE picking a near-dup threshold. For each
+    * Jaccard threshold τ ∈ {0.3 … 0.9} (exact-rational compare, 10s ≥
+    * τ10·u — no float boundary), reports the surviving pair count and
+    * the number of distinct documents those pairs touch (the dedup
+    * blast radius). Built on d04's verified exact-Jaccard pairs, so the
+    * curve inherits its LSH-banded candidate path: the 7-threshold
+    * expand runs over O(near-dup mass) verified pairs, never the corpus
+    * — at 100 TB the sweep costs the same one banding pass d04 already
+    * pays, plus a tiny re-aggregation. Full SQL oracle: DuckDB
+    * recomputes the curve from the exact all-pairs answer (the d04
+    * oracle's scale boundary and recall argument apply verbatim). */
+  def d12(t: Tables): DataFrame = {
+    val pairs = d04(t).select("doc_a", "doc_b", "n_shared", "n_union")
+    val th = t.spark.range(3, 10).select(col("id").as("threshold_x10"))
+    val at = pairs.crossJoin(broadcast(th))
+      .filter(col("n_shared") * 10 >= col("n_union") * col("threshold_x10"))
+    val nPairs = at.groupBy("threshold_x10")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = at.select(col("threshold_x10"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold_x10")
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold_x10")).orderBy("threshold_x10")
+  }
+
   /** d05 — embedding-cosine near-dup: L hash tables of `TablePlanes`
     * random hyperplanes each (multi-table LSH); exact cosine verified
     * within buckets. CosThreshold=0.4 surfaces the synthetic corpus's
@@ -509,12 +535,41 @@ object Dedup {
     "d05_embedding_neardup" -> d05,
     "d02_dedup_minhash" -> d02,
     "d03_dedup_simhash" -> d03,
-    "d04_ngram_jaccard" -> d04)
+    "d04_ngram_jaccard" -> d04,
+    "d12_threshold_curve" -> d12)
 
   /** MinHash/SimHash pipelines are not ANSI-SQL-expressible (custom hash
     * kernels) → driver records rows-only checks; determinism is guaranteed
     * by fixed seeds + sorted output. d09's gram sets ARE SQL-expressible
     * as string 8-grams (t10 precedent), so it carries a full oracle. */
+  /** The exact all-pairs 3-gram Jaccard computation (string grams, same
+    * short-doc fallback as the hash kernel), shared by the d04 oracle and
+    * the d12 curve oracle: columns (doc_a, doc_b, n_shared, n_union,
+    * jaccard_x1e4), filtered to J ≥ 0.3 in exact rationals. */
+  private val D04PairsSql: String =
+    raw"""WITH toks AS (SELECT doc_id,
+       |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+       |g AS (SELECT DISTINCT doc_id, g FROM (
+       |   SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+       |   FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)
+       |   WHERE len(tk) >= 3
+       |   UNION ALL
+       |   SELECT doc_id, array_to_string(tk, ' ') FROM toks
+       |   WHERE len(tk) < 3)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS s
+       |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, n_shared, n_union,
+       |  (20000 * n_shared + n_union) // (2 * n_union) AS jaccard_x1e4
+       |FROM (
+       |  SELECT doc_a, doc_b, s AS n_shared,
+       |    sa.n + sb.n - s AS n_union
+       |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+       |              JOIN sizes sb ON sb.doc_id = doc_b)
+       |WHERE n_shared * 10 >= n_union * 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // d04's oracle is the EXACT all-pairs computation (string 3-grams,
     // same short-doc fallback as the hash kernel): it checks the exact-
@@ -528,30 +583,25 @@ object Dedup {
     // suppresses hot buckets by contract, so the all-pairs compare
     // applies where dup-group sizes ≤ MaxBucket — the d02/d03 scaladoc's
     // documented semantics.
-    "d04_ngram_jaccard" ->
-      raw"""WITH toks AS (SELECT doc_id,
-         |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
-         |g AS (SELECT DISTINCT doc_id, g FROM (
-         |   SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
-         |   FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)
-         |   WHERE len(tk) >= 3
-         |   UNION ALL
-         |   SELECT doc_id, array_to_string(tk, ' ') FROM toks
-         |   WHERE len(tk) < 3)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
-         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    count(*) AS s
-         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY doc_a, doc_b)
-         |SELECT doc_a, doc_b, n_shared, n_union,
-         |  (20000 * n_shared + n_union) // (2 * n_union) AS jaccard_x1e4
-         |FROM (
-         |  SELECT doc_a, doc_b, s AS n_shared,
-         |    sa.n + sb.n - s AS n_union
-         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a
-         |              JOIN sizes sb ON sb.doc_id = doc_b)
-         |WHERE n_shared * 10 >= n_union * 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_ngram_jaccard" -> (D04PairsSql + "\nORDER BY doc_a, doc_b"),
+    // same exact all-pairs core, re-aggregated into the operating-point
+    // curve: pair count + distinct-doc blast radius per threshold
+    "d12_threshold_curve" ->
+      raw"""WITH pairs AS ($D04PairsSql),
+         |th AS (SELECT CAST(UNNEST(range(3, 10)) AS BIGINT)
+         |         AS threshold_x10),
+         |at AS (SELECT threshold_x10, doc_a, doc_b FROM pairs, th
+         |       WHERE n_shared * 10 >= n_union * threshold_x10)
+         |SELECT threshold_x10, n_pairs, n_docs FROM
+         |  (SELECT threshold_x10, count(*) AS n_pairs FROM at GROUP BY 1) a
+         |  JOIN
+         |  (SELECT threshold_x10, CAST(count(DISTINCT d) AS BIGINT)
+         |     AS n_docs
+         |   FROM (SELECT threshold_x10, UNNEST([doc_a, doc_b]) AS d
+         |         FROM at)
+         |   GROUP BY 1) b
+         |  USING (threshold_x10)
+         |ORDER BY threshold_x10""".stripMargin,
     "d09_containment" ->
       raw"""WITH toks AS (SELECT doc_id,
          |        string_split_regex(trim(text), '\s+') AS tk FROM documents),

@@ -58,8 +58,39 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p02 — the `observe` data-quality counters as a GRADED query: the
+    * reference's quality-check queries (row counts, char volume, null
+    * checks — ref lines 95–131) computed as free by-products of a
+    * curation job instead of separate scans. The counters accumulate in
+    * AccumulatorV2s DURING one full-plan pass over quality-filter ∘
+    * exact-dedup survivors (driven here by a `noop`-format write — no
+    * bytes land anywhere), so at 100 TB the audit costs ZERO extra jobs
+    * on top of the ETL that runs anyway. The oracle recomputes all
+    * three counters from the already-oracled stage semantics (t02
+    * quality rule, d01 canonical fingerprint) — proving the observed
+    * metrics equal what a dedicated audit query would have returned.
+    * Near-dup stays out for the same reason as p01 (custom kernels, no
+    * SQL twin). */
+  def p02(t: Tables): DataFrame = {
+    import TrainingDataPipeline._
+    val obs = org.apache.spark.sql.Observation()
+    exactDedup(qualityFilter(t.documents))
+      .observe(obs,
+        count(lit(1)).as("rows_out"),
+        sum(length(col("text"))).cast("bigint").as("total_chars"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import t.spark.implicits._
+    Seq((m("rows_out").asInstanceOf[Long],
+        m("total_chars").asInstanceOf[Long],
+        m("null_texts").asInstanceOf[Long]))
+      .toDF("rows_out", "total_chars", "null_texts")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
-    "p01_curation_pipeline" -> p01)
+    "p01_curation_pipeline" -> p01,
+    "p02_observe_metrics" -> p02)
 
   // The composed oracle: each CTE is the DuckDB twin of one stage's
   // already-oracled semantics, chained on the previous stage's survivors.
@@ -141,5 +172,32 @@ object PipelineQueries {
          |  USING (source)
          |LEFT JOIN (SELECT source, count(*) AS n FROM d GROUP BY source) dn
          |  USING (source)
-         |ORDER BY source""".stripMargin)
+         |ORDER BY source""".stripMargin,
+    // the observed counters recomputed from the same stage semantics
+    // (quality rule over the RAW documents — p02 does not scrub — then
+    // canonical-fingerprint exact dedup), as a dedicated audit query
+    "p02_observe_metrics" ->
+      raw"""WITH q AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |        AS ntk,
+         |      length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+         |        AS npunct,
+         |      length(text) AS nch
+         |    FROM documents)
+         |  WHERE ntk BETWEEN 10 AND 1000 AND npunct * 1.0 / nch < 0.2),
+         |e AS (
+         |  SELECT q.* FROM q JOIN (
+         |    SELECT min(doc_id) AS doc_id FROM (
+         |      SELECT doc_id,
+         |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+         |          AS fp
+         |      FROM q)
+         |    GROUP BY fp) s USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS rows_out,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
+         |    AS null_texts
+         |FROM e""".stripMargin)
 }

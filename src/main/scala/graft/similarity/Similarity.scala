@@ -448,7 +448,32 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** s09 — ANN index-quality audit: per-query recall@k of the LSH index
+    * (s02) against the exact ground truth (s01), reported in exact
+    * half-up integer percent. This is the recall monitoring loop every
+    * production ANN deployment runs against its index: ground truth is
+    * computed for a SAMPLED query set (NQueries here), so the audit is
+    * O(sample · corpus) for the exact side and O(sample · bucket) for
+    * the index side — independent of how many live queries the index
+    * serves, and the standard recall@k evaluation protocol. The join
+    * and rollup run over q·k result rows (tiny at any corpus size).
+    * rows-only: the LSH side has no SQL twin; OperatorsSpec pins the
+    * per-query values to an independently-computed set intersection of
+    * the two result sets. */
+  def s09(t: Tables): DataFrame = {
+    val exact = s01(t).select(col("q_id"), col("vec_id"))
+    val approx = s02(t).select(col("q_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall_x100", expr("(200 * n_hit + k) div (2 * k)"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s09_recall_eval" -> s09,
     "s08_knn_graph" -> s08,
     "s07_range_search" -> s07,
     "s06_pq_ann" -> s06,

@@ -426,6 +426,54 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d12 curve is monotone in the threshold and anchored to d04 at 0.3") {
+    val curve = dedup.Dedup.d12(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.nonEmpty, "threshold curve must have rows at sf0.001")
+    // raising the threshold can only shrink the pair set and its blast
+    // radius
+    curve.sliding(2).foreach {
+      case Array((tl, pl, dl), (th, ph, dh)) =>
+        assert(tl < th && ph <= pl && dh <= dl,
+          s"curve not monotone: ($tl,$pl,$dl) -> ($th,$ph,$dh)")
+      case _ =>
+    }
+    // the 0.3 point IS d04's verified pair set
+    assert(curve.head._1 == 3L)
+    assert(curve.head._2 == dedup.Dedup.d04(t).count(),
+      "curve at threshold 3 must count exactly d04's pairs")
+  }
+
+  test("s09 per-query recall equals the s01/s02 set intersection") {
+    def byQ(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = byQ(similarity.Similarity.s01(t))
+    val approx = byQ(similarity.Similarity.s02(t))
+    val got = similarity.Similarity.s09(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (q, ex) =>
+      val (k, nHit) = got(q)
+      assert(k == ex.size, s"q$q k")
+      val expectHit = (ex & approx.getOrElse(q, Set.empty)).size
+      assert(nHit == expectHit,
+        s"q$q: s09 reports $nHit hits, set intersection has $expectHit")
+    }
+  }
+
+  test("p02 observed counters equal a dedicated audit recomputation") {
+    import org.apache.spark.sql.functions._
+    val r = pipeline.PipelineQueries.p02(t).head()
+    val audited = pipeline.TrainingDataPipeline.exactDedup(
+        pipeline.TrainingDataPipeline.qualityFilter(t.documents))
+      .agg(count(lit(1)), coalesce(sum(length(col("text"))), lit(0L)))
+      .head()
+    assert(r.getLong(0) == audited.getLong(0), "rows_out")
+    assert(r.getLong(1) == audited.getLong(1), "total_chars")
+    assert(r.getLong(2) == 0L, "null_texts must be zero post-quality-gate")
+  }
+
   test("multi-probe raises recall over single-probe LSH vs exact ground truth") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
