@@ -276,7 +276,44 @@ object CatalogOps {
       .orderBy("event_type")
   }
 
+  /** Probe key for w06 — the corpus min order key, one tiny driver-side
+    * column aggregation per corpus snapshot, cached exactly like the
+    * bucketed tables it probes (at 100 TB the lookup key comes from the
+    * application, not a scan; deriving it from data here keeps the query
+    * deterministic at every SF). */
+  private val probeKeyCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def minOrderKey(t: Tables): Long =
+    probeKeyCache.getOrElseUpdate(
+      s"${t.dir}:${t.tableFingerprint("orders")}",
+      t.orders.agg(min(col("o_orderkey"))).head().getLong(0))
+
+  /** w06 — bucket-pruned point lookup through the catalog: the
+    * o_orderkey literal constant-propagates across the join and prunes
+    * BOTH bucketed tables' scans to 1 of NBuckets buckets
+    * (SelectedBucketsCount pinned by PlanAuditSpec), and the join still
+    * consumes the bucket layout exchange-free. This is the
+    * single-entity drill-down an operational dashboard fires constantly:
+    * with the q81 layout it reads 1/NBuckets of the files at ANY corpus
+    * size — the hash-bucketed complement of w05's partition pruning
+    * (range/date prunes partitions, key lookups prune buckets). Oracle
+    * runs the same lookup on the raw parquet with the key derived in
+    * SQL. */
+  def w06(t: Tables): DataFrame = {
+    val (ordersTable, lineitemTable) = bucketedTables(t)
+    t.spark.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS n_items,
+         |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+         |      AS BIGINT)) AS revenue_e4
+         |FROM $lineitemTable JOIN $ordersTable ON l_orderkey = o_orderkey
+         |WHERE o_orderkey = ${minOrderKey(t)}
+         |GROUP BY o_orderstatus
+         |ORDER BY status""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "w06_bucket_pruned_lookup" -> w06,
     "w05_dpp_prune" -> w05,
     "w04_schema_evolution" -> w04,
     "q81_catalog_bucketed_join" -> q81,
@@ -285,6 +322,15 @@ object CatalogOps {
     "w03_zorder_band_query" -> w03)
 
   val oracles: Map[String, String] = Map(
+    // the same point lookup on the raw parquet, key derived in SQL
+    "w06_bucket_pruned_lookup" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |     AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY status""".stripMargin,
     // weekday arithmetic inlined: DuckDB dayofweek is 0-based Sun..Sat
     "w05_dpp_prune" ->
       """SELECT event_type, count(*) AS n_events,

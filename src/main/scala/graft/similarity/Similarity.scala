@@ -472,7 +472,41 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** s10 — FILTERED similarity search: exact top-k under a metadata
+    * predicate (label parity here, standing for any attribute filter —
+    * language, license, source, date). Pre-filtering is the
+    * production-correct shape when the predicate is selective: the
+    * attribute filter prunes the corpus BEFORE ranking, so recall@k is
+    * exact over the qualifying subset — whereas post-filtering an
+    * unfiltered ANN shortlist silently loses results when most of the
+    * shortlist fails the predicate (the classic filtered-ANN failure
+    * mode). Same two-phase WindowGroupLimit rank as s01 over the
+    * surviving fraction; self-matches excluded (a query need not
+    * satisfy the filter). Full SQL oracle (s01's DuckDB spelling plus
+    * the same predicate). */
+  def s10(t: Tables): DataFrame = {
+    val corpus = t.embeddingsWide.select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .withColumn("norm", sqrt(dot_d(col("vec"), col("vec"))))
+      .filter(col("norm") > 0)
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.filter(col("label") % 2 === 0)
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s10_filtered_topk" -> s10,
     "s09_recall_eval" -> s09,
     "s08_knn_graph" -> s08,
     "s07_range_search" -> s07,
@@ -486,6 +520,22 @@ object Similarity {
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
     * s02's bucket function is a custom kernel → rows-only. */
   val oracles: Map[String, String] = Map(
+    // s01's exact spelling plus the metadata predicate and self-exclusion
+    "s10_filtered_topk" ->
+      s"""SELECT q_id, vec_id, label, sim, rn FROM (
+         | SELECT q.vec_id AS q_id, v.vec_id AS vec_id, v.label AS label,
+         |   round(list_cosine_similarity(v.embedding::DOUBLE[],
+         |                                q.embedding::DOUBLE[]), 4) AS sim,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[],
+         |                      q.embedding::DOUBLE[]), 4) DESC, v.vec_id) AS rn
+         | FROM (SELECT * FROM embeddings
+         |       WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+         |         AND label % 2 = 0) v,
+         |      (SELECT * FROM embeddings WHERE vec_id < $NQueries
+         |         AND len(list_filter(embedding, x -> x <> 0)) > 0) q
+         | WHERE v.vec_id <> q.vec_id)
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
     "s01_cosine_topk" ->
       s"""SELECT q_id, vec_id, sim, rn FROM (
          | SELECT q.vec_id AS q_id, v.vec_id AS vec_id,

@@ -474,6 +474,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L, "null_texts must be zero post-quality-gate")
   }
 
+  test("s10 filtered top-k only returns rows satisfying the predicate and " +
+    "never a self-match") {
+    val rows = similarity.Similarity.s10(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) % 2 == 0, s"label filter violated: ${r.getInt(2)}")
+      assert(r.getLong(0) != r.getLong(1), "self-match in filtered top-k")
+    }
+    // per-query result counts are capped at k and keys are the query set
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach(g => assert(g.length <= 5))
+  }
+
   test("multi-probe raises recall over single-probe LSH vs exact ground truth") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -232,6 +232,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"w05 fact scan should carry a dynamic pruning filter:\n$plan")
   }
 
+  test("w06 point lookup prunes both bucketed scans to a single bucket") {
+    val plan = operators.CatalogOps.w06(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // the literal key must constant-propagate across the join and prune
+    // BOTH sides' bucket lists — the 1/NBuckets read that makes point
+    // lookups O(bucket) instead of O(table) at any corpus size
+    val pruned = "SelectedBucketsCount: 1 out of".r.findAllIn(plan).size
+    assert(pruned == 2,
+      s"w06 should prune both bucketed scans to one bucket:\n$plan")
+  }
+
   test("runtime bloom filter injects might_contain for a selective dim on " +
     "a shuffle join") {
     import org.apache.spark.sql.functions._
