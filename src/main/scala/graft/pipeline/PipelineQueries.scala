@@ -77,8 +77,12 @@ object PipelineQueries {
     exactDedup(qualityFilter(t.documents))
       .observe(obs,
         count(lit(1)).as("rows_out"),
-        sum(length(col("text"))).cast("bigint").as("total_chars"),
-        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_texts"))
+        // coalesce: sum over zero rows is NULL, and a counter must be
+        // total (0) even if a filter combination empties the survivors
+        coalesce(sum(length(col("text"))).cast("bigint"), lit(0L))
+          .as("total_chars"),
+        coalesce(sum(when(col("text").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("null_texts"))
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
     import t.spark.implicits._
@@ -196,7 +200,7 @@ object PipelineQueries {
          |      FROM q)
          |    GROUP BY fp) s USING (doc_id))
          |SELECT CAST(count(*) AS BIGINT) AS rows_out,
-         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
          |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
          |    AS null_texts
          |FROM e""".stripMargin)
