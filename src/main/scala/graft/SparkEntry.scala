@@ -60,6 +60,15 @@ object SparkEntry {
         // the flatMapGroupsWithState state machine must reproduce the
         // same batch sessionization as st02's native session_window
         "st08_stateful_sessionize" -> Relational.oracles("q31_sessionize"),
+        // the cross-micro-batch observed counters must equal the one-pass
+        // batch audit exactly (integer cents in the counter)
+        "st09_stream_observe" ->
+          """SELECT CAST(count(*) AS BIGINT) AS n_events,
+            | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            |   AS sum_value_cents,
+            | CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+            |   AS n_negative
+            |FROM events""".stripMargin,
         // streaming dedup+count must equal the batch DISTINCT exactly
         "st03_stream_dedup" ->
           """SELECT event_type,

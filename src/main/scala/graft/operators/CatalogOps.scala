@@ -312,7 +312,69 @@ object CatalogOps {
          |ORDER BY status""".stripMargin)
   }
 
+  /** w07's layout: a dt-partitioned copy of events with EXACTLY ONE
+    * partition rewritten through dynamic partition overwrite, plus the
+    * build-time evidence the spec pins. Cached per corpus snapshot like
+    * every layout artifact. The tuple is (layout dir, target date,
+    * non-target files untouched by the overwrite?). */
+  private val w07Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, Boolean)]
+
+  private[graft] def w07Layout(t: Tables): (String, String, Boolean) = {
+    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:" +
+      s"${t.tableFingerprint("events")}"
+    w07Cache.getOrElseUpdate(key, {
+      val dir = graft.TempDirs.create("graft_w07_layout")
+      val ev = t.events.withColumn("dt", to_date(col("ts")))
+      graft.sources.PartitionedWriter.writePartitioned(ev, dir, Seq("dt"))
+      // target = earliest date that actually holds a purgeable row, so
+      // the overwrite frame is never empty (an empty frame would leave
+      // the old partition in place under dynamic mode)
+      val target = ev.filter(col("event_type") === "error")
+        .agg(min(col("dt"))).head().getDate(0).toString
+      def listing() = {
+        def walk(f: java.io.File): Seq[java.io.File] = {
+          val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName))
+          kids.map(_.flatMap(walk)).getOrElse(Seq(f))
+        }
+        walk(new java.io.File(dir))
+          .filterNot(_.getPath.contains(s"dt=$target"))
+          .map(f => (f.getPath, f.length, f.lastModified)).toSet
+      }
+      val before = listing()
+      graft.sources.PartitionedWriter.writePartitioned(
+        ev.filter(col("dt") === lit(target) &&
+          col("event_type") =!= "error"),
+        dir, Seq("dt"))
+      (dir, target, listing() == before)
+    })
+  }
+
+  /** w07 — the reference's INSERT OVERWRITE PARTITION workflow graded
+    * end-to-end: rewrite EXACTLY ONE date partition of the layout
+    * (dynamic partition overwrite — only partitions present in the
+    * incoming frame are replaced), purging one record class from it
+    * (the GDPR-delete / backfill-correction shape) while every other
+    * partition's files stay byte-untouched (path+size+mtime captured at
+    * build, spec-pinned). The overwrite frame derives from the RAW
+    * table, so the rewrite is idempotent — reruns converge to the same
+    * layout, the INSERT OVERWRITE contract (ref lines 261–269). At
+    * 100 TB the write cost is O(one partition), not O(table): dynamic
+    * mode is what makes a daily backfill affordable. Oracle recomputes
+    * the per-partition rollup from the raw table with the purge applied
+    * only to the target date. */
+  def w07(t: Tables): DataFrame = {
+    val (dir, _, _) = w07Layout(t)
+    t.spark.read.parquet(dir)
+      .groupBy(col("dt").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)"))
+          .as("sum_value_cents"))
+      .orderBy("dt")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "w07_partition_overwrite" -> w07,
     "w06_bucket_pruned_lookup" -> w06,
     "w05_dpp_prune" -> w05,
     "w04_schema_evolution" -> w04,
@@ -322,6 +384,19 @@ object CatalogOps {
     "w03_zorder_band_query" -> w03)
 
   val oracles: Map[String, String] = Map(
+    // per-partition rollup with the purge applied only to the target
+    // date (earliest date holding a purgeable row — the same derivation
+    // the overwrite uses)
+    "w07_partition_overwrite" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt, event_type, value
+        |           FROM events),
+        |tgt AS (SELECT min(dt) AS d FROM e WHERE event_type = 'error')
+        |SELECT dt, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
+        |FROM e, tgt
+        |WHERE NOT (dt = tgt.d AND event_type = 'error')
+        |GROUP BY dt ORDER BY dt""".stripMargin,
     // the same point lookup on the raw parquet, key derived in SQL
     "w06_bucket_pruned_lookup" ->
       """SELECT o_orderstatus AS status, count(*) AS n_items,

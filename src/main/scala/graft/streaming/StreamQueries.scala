@@ -424,7 +424,41 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** st09 — streaming data-quality counters: `observe` on the event
+    * stream itself, the streaming twin of p02 and of the reference's
+    * quality-check queries. The counters ride each micro-batch's plan
+    * as accumulators — no extra stateful operator, no state store, no
+    * second pass — and the per-batch observed rows (3 longs each) sum
+    * associatively on the driver from the engine's progress stream.
+    * This is how a production ingest pipeline watches row volume /
+    * value totals / anomaly counts continuously without taxing the hot
+    * path. Gated on the batch rollup: the cross-batch totals must equal
+    * the one-pass batch answer exactly (integer cents in the counter,
+    * so micro-batch boundaries cannot drift the sum). */
+  def st09(spark: SparkSession, dir: String): DataFrame = {
+    val observed = eventsStream(spark, dir)
+      .observe("st09_dq",
+        count(lit(1)).as("n_events"),
+        coalesce(sum(expr("cast(round(value * 100) as bigint)")), lit(0L))
+          .as("sum_value_cents"),
+        coalesce(sum(when(col("value") < 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_negative"))
+    val q = observed.writeStream
+      .format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("st09_dq")))
+    val totals = perBatch.foldLeft((0L, 0L, 0L)) { case ((n, s, neg), r) =>
+      (n + r.getLong(0), s + r.getLong(1), neg + r.getLong(2))
+    }
+    import spark.implicits._
+    Seq(totals).toDF("n_events", "sum_value_cents", "n_negative")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_stream_observe" -> ((s, dir) => st09(s, dir)),
     "st08_stateful_sessionize" -> ((s, dir) => st08(s, dir)),
     "st07_stream_outer_join" -> ((s, dir) => st07(s, dir)),
     "st05_stream_enrich" -> ((s, dir) => st05(s, dir)),

@@ -487,6 +487,37 @@ class OperatorsSpec extends AnyFunSuite {
     byQ.values.foreach(g => assert(g.length <= 5))
   }
 
+  test("w07 rewrites only the target partition: purge applied, every " +
+    "other partition's files byte-untouched") {
+    import org.apache.spark.sql.functions._
+    val (dir, target, untouched) = operators.CatalogOps.w07Layout(t)
+    assert(untouched,
+      "dynamic overwrite must not rewrite non-target partition files")
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("dt") === lit(target) &&
+      col("event_type") === "error").count() == 0,
+      s"target partition $target must hold no purged rows")
+    // non-target partitions keep every raw row
+    val rawOther = t.events
+      .filter(to_date(col("ts")) =!= lit(target)).count()
+    val backOther = back.filter(col("dt") =!= lit(target)).count()
+    assert(backOther == rawOther,
+      s"non-target rows $backOther != raw $rawOther")
+  }
+
+  test("st09 streaming observed counters equal the batch audit") {
+    import org.apache.spark.sql.functions._
+    val r = streaming.StreamQueries.st09(spark, t.dir).head()
+    val batch = t.events.agg(
+      count(lit(1)),
+      coalesce(sum(expr("cast(round(value * 100) as bigint)")), lit(0L)),
+      coalesce(sum(when(col("value") < 0, 1L).otherwise(0L)), lit(0L)))
+      .head()
+    assert(r.getLong(0) == batch.getLong(0), "n_events")
+    assert(r.getLong(1) == batch.getLong(1), "sum_value_cents")
+    assert(r.getLong(2) == batch.getLong(2), "n_negative")
+  }
+
   test("multi-probe raises recall over single-probe LSH vs exact ground truth") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
