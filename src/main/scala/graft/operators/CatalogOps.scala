@@ -330,8 +330,11 @@ object CatalogOps {
       // target = earliest date that actually holds a purgeable row, so
       // the overwrite frame is never empty (an empty frame would leave
       // the old partition in place under dynamic mode)
-      val target = ev.filter(col("event_type") === "error")
-        .agg(min(col("dt"))).head().getDate(0).toString
+      val tgtRow = ev.filter(col("event_type") === "error")
+        .agg(min(col("dt"))).head()
+      require(!tgtRow.isNullAt(0),
+        "w07: corpus holds no purgeable rows — no partition to rewrite")
+      val target = tgtRow.getDate(0).toString
       def listing() = {
         def walk(f: java.io.File): Seq[java.io.File] = {
           val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName))

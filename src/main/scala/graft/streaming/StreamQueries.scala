@@ -448,6 +448,10 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // recentProgress retains the last spark.sql.streaming
+    // .numRecentProgressUpdates batches (default 100) — ample for the
+    // single-file replay here; a long-lived production query accumulates
+    // through a StreamingQueryListener instead, same per-batch rows
     val perBatch = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("st09_dq")))
     val totals = perBatch.foldLeft((0L, 0L, 0L)) { case ((n, s, neg), r) =>
