@@ -505,7 +505,109 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** BM25 shortlist size per retrieval leg of s11 (keyword and vector);
+    * the fused list keeps TopK. */
+  private val Shortlist = 20
+
+  /** The exact BM25 per-term contribution, quantized to integer
+    * micro-units BEFORE the per-(query,doc) sum — the same
+    * scaled-integer policy the repo applies to money sums (q59/q81):
+    * a sum of doubles is summation-order-dependent and two engines
+    * cannot be trusted to add floating-point terms in the same order,
+    * but a sum of int64 micro-units is exact and associative. The
+    * double math INSIDE one term is computed from integers (tf, df, N,
+    * dl) by an identical formula spelling on both engines (the
+    * t07 ln-at-4dp precedent). k1=1.2, b=0.75 (spelled as the exact
+    * double literals 2.2/1.2/0.75/0.25 on both sides). */
+  private val bm25TermSql =
+    """cast(round(
+      |  ln(1.0 + (cast(n - df as double) + 0.5) / (cast(df as double) + 0.5))
+      |  * (cast(tf as double) * 2.2)
+      |  / (cast(tf as double)
+      |     + 1.2 * (0.25 + 0.75 * cast(dl as double)
+      |                     / (cast(tot_dl as double) / cast(n as double))))
+      |  * 1000000.0) as bigint)""".stripMargin
+
+  /** s11 — HYBRID retrieval: BM25 keyword ranking over `documents`
+    * fused with exact cosine ranking over the docs' `embeddings` twin
+    * rows via reciprocal-rank fusion — the retrieval core of a RAG /
+    * training-data-attribution stack (sparse+dense fusion, Cormack's
+    * RRF). Query set = the ten doc_id < NQueries docs: their text is
+    * the keyword query, their embedding the dense query; self-matches
+    * excluded on both legs.
+    *
+    * Scale shape: the keyword leg is the standard distributed
+    * inverted-index build — tf is one (doc, token) hash aggregation
+    * with dl riding a same-key window (no second shuffle), df one
+    * token aggregation; the query-term list (terms of 10 docs ⨝ their
+    * df rows ⨝ the 2-scalar stats row) is tiny at ANY corpus size and
+    * broadcasts, so scoring is a broadcast-hash probe of tf — shuffle
+    * ∝ matching postings, never corpus pairs. The dense leg is s01's
+    * broadcast map-only cosine. Both legs rank through the two-phase
+    * WindowGroupLimit k-heap, so only ≤Shortlist rows per partition
+    * per query reach the exchanges, and fusion joins two ≤q·Shortlist
+    * row lists. RRF itself is pure integer arithmetic
+    * (1e9 DIV (60+rank) summed over legs) — hash-stable by
+    * construction; absent-from-shortlist legs contribute 0, exactly
+    * the published RRF convention. */
+  def s11(t: Tables): DataFrame = {
+    // doc length = token-array size, computed MAP-SIDE before the
+    // explode and carried through the tf aggregation as a grouping key
+    // it is functionally dependent on — no per-doc-length shuffle or
+    // join anywhere in the plan
+    val base = t.documents.select(col("doc_id"),
+      expr(graft.functions.exprs.wsTokensSql).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val toks = base.select(col("doc_id"), col("dl"),
+      explode(col("toks")).as("token"))
+    val tf = toks.groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot_dl"))
+    val qterms = toks.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("q_id"), col("token")).distinct()
+    val qdf = qterms.join(df, "token").crossJoin(stats)
+    val bm = tf.join(broadcast(qdf), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("contrib_u", expr(bm25TermSql))
+      .groupBy("q_id", "doc_id").agg(sum(col("contrib_u")).as("bm25_u"))
+    val wb = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_u").desc, col("doc_id"))
+    val bmRanks = bm
+      .withColumn("bm_rank", row_number().over(wb).cast("long"))
+      .filter(col("bm_rank") <= Shortlist)
+      .select(col("q_id"), col("doc_id"), col("bm_rank"))
+
+    val corpus = prepped(t)
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vecRanks = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4).as("sim"))
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= Shortlist)
+      .select(col("q_id"), col("doc_id"), col("vec_rank"))
+
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+    bmRanks.join(vecRanks, Seq("q_id", "doc_id"), "full_outer")
+      .na.fill(0L, Seq("bm_rank", "vec_rank"))
+      .withColumn("rrf_u", expr(
+        """(case when bm_rank > 0 then 1000000000 div (60 + bm_rank) else 0 end)
+          | + (case when vec_rank > 0 then 1000000000 div (60 + vec_rank) else 0 end)"""
+          .stripMargin))
+      .withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .filter(col("fused_rank") <= TopK)
+      .select(col("q_id"), col("doc_id"), col("bm_rank"), col("vec_rank"),
+        col("rrf_u"), col("fused_rank"))
+      .orderBy("q_id", "fused_rank")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s11_hybrid_search" -> s11,
     "s10_filtered_topk" -> s10,
     "s09_recall_eval" -> s09,
     "s08_knn_graph" -> s08,
@@ -520,6 +622,74 @@ object Similarity {
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
     * s02's bucket function is a custom kernel → rows-only. */
   val oracles: Map[String, String] = Map(
+    // both legs re-spelled in DuckDB: the BM25 term formula char-for-char
+    // (quantized to int64 micro-units BEFORE the sum, so engine-side
+    // summation order cannot matter), the cosine leg via s01's proven
+    // list_cosine_similarity spelling, RRF in pure integer arithmetic
+    "s11_hybrid_search" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(text), '\s+') AS toks,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS dl
+         |  FROM documents),
+         |toks AS (SELECT doc_id, dl, unnest(toks) AS token FROM base),
+         |tf AS (SELECT doc_id, dl, token, count(*) AS tf
+         |       FROM toks GROUP BY doc_id, dl, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS tot_dl FROM base),
+         |qt AS (SELECT DISTINCT doc_id AS q_id, token FROM toks
+         |       WHERE doc_id < $NQueries),
+         |bm AS (
+         |  SELECT qt.q_id, tf.doc_id,
+         |    CAST(sum(CAST(round(
+         |      ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+         |               / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE)
+         |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |                  / (CAST(tot_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_u
+         |  FROM tf JOIN qt USING (token) JOIN df USING (token)
+         |    CROSS JOIN stats
+         |  WHERE tf.doc_id <> qt.q_id
+         |  GROUP BY qt.q_id, tf.doc_id),
+         |bmr AS (SELECT * FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY bm25_u DESC, doc_id) AS bm_rank
+         |    FROM bm) WHERE bm_rank <= $Shortlist),
+         |vr AS (SELECT * FROM (
+         |    SELECT q_id, doc_id, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY sim DESC, doc_id) AS vec_rank
+         |    FROM (SELECT q.vec_id AS q_id, v.vec_id AS doc_id,
+         |            round(list_cosine_similarity(v.embedding::DOUBLE[],
+         |                    q.embedding::DOUBLE[]), 4) AS sim
+         |          FROM (SELECT * FROM embeddings
+         |                WHERE len(list_filter(embedding, x -> x <> 0)) > 0) v,
+         |               (SELECT * FROM embeddings WHERE vec_id < $NQueries
+         |                  AND len(list_filter(embedding, x -> x <> 0)) > 0) q
+         |          WHERE v.vec_id <> q.vec_id)) WHERE vec_rank <= $Shortlist),
+         |fused AS (
+         |  SELECT coalesce(b.q_id, v.q_id) AS q_id,
+         |    coalesce(b.doc_id, v.doc_id) AS doc_id,
+         |    CAST(coalesce(b.bm_rank, 0) AS BIGINT) AS bm_rank,
+         |    CAST(coalesce(v.vec_rank, 0) AS BIGINT) AS vec_rank
+         |  FROM bmr b FULL OUTER JOIN vr v
+         |    ON b.q_id = v.q_id AND b.doc_id = v.doc_id),
+         |r AS (
+         |  SELECT q_id, doc_id, bm_rank, vec_rank,
+         |    CAST((CASE WHEN bm_rank > 0
+         |            THEN 1000000000 // (60 + bm_rank) ELSE 0 END)
+         |       + (CASE WHEN vec_rank > 0
+         |            THEN 1000000000 // (60 + vec_rank) ELSE 0 END)
+         |      AS BIGINT) AS rrf_u
+         |  FROM fused)
+         |SELECT * FROM (
+         |  SELECT q_id, doc_id, bm_rank, vec_rank, rrf_u,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf_u DESC, doc_id) AS fused_rank
+         |  FROM r)
+         |WHERE fused_rank <= $TopK ORDER BY q_id, fused_rank""".stripMargin,
     // s01's exact spelling plus the metadata predicate and self-exclusion
     "s10_filtered_topk" ->
       s"""SELECT q_id, vec_id, label, sim, rn FROM (

