@@ -746,6 +746,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t25 — boilerplate phrase detection (the RefinedWeb/CCNet line-dedup
+    * rule at phrase granularity): a 5-gram that appears in ≥3 docs AND
+    * >20% of its source's documents is template boilerplate (nav bars,
+    * license footers, cookie banners), and each document reports what
+    * fraction of its distinct phrases are boilerplate — the removal
+    * signal a curation pass filters on. Distinct-gram semantics via the
+    * one-pass `ngram_hashes` kernel (64-bit FNV gram set; the DuckDB
+    * twin uses string grams — identical sets up to ~2^-64 collision
+    * odds, the t10 equivalence); docs shorter than 5 tokens fall back
+    * to a whole-text gram exactly like the kernel. Ratio in exact
+    * integer basis points (half-up), hash-stable across engines.
+    *
+    * Scale shape: gram explode is map-only; per-(source, gram) doc
+    * frequency is one hash agg (shuffle ∝ distinct grams — Heaps-law
+    * sub-linear in bytes); per-source doc counts broadcast; the
+    * flag-back join runs shuffle-hash on (source, gram) — the gram
+    * vocabulary grows with the corpus and must NEVER broadcast (the
+    * t17 probe rationale). Final rollup shuffles by doc. */
+  def t25(t: Tables): DataFrame = {
+    import graft.functions.exprs.ngram_hashes
+    val pos = t.documentsWide
+      .withColumn("toks", expr(tokensExpr))
+      .select(col("doc_id"), col("source"),
+        explode(ngram_hashes(col("toks"), 5)).as("g"))
+    val dfg = pos.groupBy("source", "g").agg(count(lit(1)).as("df_docs"))
+    val nsrc = t.documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val flags = dfg.join(broadcast(nsrc), "source")
+      .select(col("source"), col("g"),
+        (col("df_docs") >= 3 && col("df_docs") * 5 > col("n_docs"))
+          .as("boiler"))
+    pos.hint("shuffle_hash")
+      .join(flags, Seq("source", "g"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_bp",
+        expr("(20000 * n_boiler + n_grams) div (2 * n_grams)"))
+      .orderBy("doc_id")
+  }
+
   /** d11 — incremental snapshot dedup: when a new crawl batch lands, only
     * the BATCH is checked — against the standing fingerprint index and
     * within itself — never the whole corpus re-deduped (at 100 TB,
@@ -790,6 +830,7 @@ object TextOps {
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t25_boilerplate_ngrams" -> t25,
     "d11_incremental_dedup" -> d11,
     "t24_mixture_weights" -> t24,
     "t23_quota_sample" -> t23,
@@ -828,6 +869,35 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // string 5-grams stand in for the kernel's 64-bit gram hashes (the
+    // t10 equivalence); the short branch mirrors the whole-text fallback
+    "t25_boilerplate_ngrams" ->
+      raw"""WITH toks AS (SELECT doc_id, source,
+         |        string_split_regex(trim(text), '\s+') AS tk
+         |      FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source, array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(tk) - 3)) AS t(i)
+         |  WHERE len(tk) >= 5),
+         |short AS (SELECT doc_id, source, array_to_string(tk, ' ') AS g
+         |          FROM toks WHERE len(tk) < 5),
+         |pos AS (SELECT DISTINCT doc_id, source, g FROM
+         |        (SELECT * FROM grams UNION ALL SELECT * FROM short)),
+         |dfg AS (SELECT source, g, count(*) AS df_docs
+         |        FROM pos GROUP BY source, g),
+         |nsrc AS (SELECT source, count(*) AS n_docs
+         |         FROM documents GROUP BY source),
+         |flags AS (SELECT dfg.source AS source, g,
+         |    (df_docs >= 3 AND df_docs * 5 > n_docs) AS boiler
+         |  FROM dfg JOIN nsrc ON dfg.source = nsrc.source)
+         |SELECT pos.doc_id AS doc_id, pos.source AS source,
+         |  count(*) AS n_grams,
+         |  CAST(coalesce(sum(CASE WHEN boiler THEN 1 END), 0) AS BIGINT)
+         |    AS n_boiler,
+         |  CAST((20000 * coalesce(sum(CASE WHEN boiler THEN 1 END), 0)
+         |        + count(*)) // (2 * count(*)) AS BIGINT) AS boiler_bp
+         |FROM pos JOIN flags ON pos.source = flags.source AND pos.g = flags.g
+         |GROUP BY pos.doc_id, pos.source ORDER BY doc_id""".stripMargin,
     "d11_incremental_dedup" ->
       s"""WITH fps AS (
          |  SELECT doc_id, source, $dFp AS fp,

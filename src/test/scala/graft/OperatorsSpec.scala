@@ -487,6 +487,41 @@ class OperatorsSpec extends AnyFunSuite {
     byQ.values.foreach(g => assert(g.length <= 5))
   }
 
+  test("t25 covers every document, bounds n_boiler by n_grams, and " +
+    "reports the exact half-up basis-point ratio") {
+    val rows = text.TextOps.t25(t).collect()
+    assert(rows.length == t.documents.count())
+    rows.foreach { r =>
+      val (ng, nb, bp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ng >= 1, "whole-text fallback guarantees >=1 gram per doc")
+      assert(nb >= 0 && nb <= ng)
+      assert(bp == (20000 * nb + ng) / (2 * ng),
+        s"doc ${r.getLong(0)}: bp $bp != half-up of $nb/$ng")
+    }
+  }
+
+  test("t25 flags a planted template phrase: docs sharing a 5-gram in " +
+    ">20% of a source are reported boilerplate-positive") {
+    import spark.implicits._
+    val boiler = "terms of service apply here"
+    // 10 docs in one source: 4 share the template 5-gram (40% > 20% and
+    // >= 3 docs), 6 are unique filler
+    val docs = (0L until 10L).map { i =>
+      val text =
+        if (i < 4) s"unique lead $i $boiler trailing words $i"
+        else s"totally unique filler ${i}a ${i}b ${i}c ${i}d ${i}e ${i}f"
+      (i, text, "en", "srcX", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t25fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.TextOps.t25(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    (0L until 4L).foreach(i =>
+      assert(out(i) > 0, s"template doc $i reported zero boilerplate grams"))
+    (4L until 10L).foreach(i =>
+      assert(out(i) == 0, s"unique doc $i falsely flagged"))
+  }
+
   test("s11 hybrid fusion is exact RRF arithmetic over its reported leg " +
     "ranks, never a self-match, and fused order is (rrf_u desc, doc_id)") {
     val rows = similarity.Similarity.s11(t).collect()
