@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, CatalogOps, Extended, Grouped, Reference, Relational}
+import graft.operators.{Analytics, CatalogOps, Extended, GraphOps, Grouped, Reference, Relational}
 import graft.text.TextOps
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -24,6 +24,7 @@ object SparkEntry {
     lift(Reference.queries) ++ lift(Relational.queries) ++
       lift(Extended.queries) ++ lift(Grouped.queries) ++
       lift(Analytics.queries) ++ lift(CatalogOps.queries) ++
+      lift(GraphOps.queries) ++
       lift(TextOps.queries) ++ lift(Dedup.queries) ++
       lift(Similarity.queries) ++
       lift(graft.pipeline.PipelineQueries.queries) ++
@@ -41,6 +42,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Reference.oracles ++ Relational.oracles ++ Extended.oracles ++
       Grouped.oracles ++ Analytics.oracles ++ CatalogOps.oracles ++
+      GraphOps.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       graft.pipeline.PipelineQueries.oracles ++
       Map(
@@ -69,6 +71,25 @@ object SparkEntry {
             | CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
             |   AS n_negative
             |FROM events""".stripMargin,
+        // the streaming curation gates (t02 quality rule ∘ d01 canonical
+        // fingerprint dedup) must equal the batch composition exactly;
+        // (source, fp) dedup keys make the count order-independent
+        "st10_stream_curation" ->
+          raw"""WITH q AS (
+             |  SELECT source, text FROM (
+             |    SELECT source, text,
+             |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |        AS ntk,
+             |      length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+             |        AS npunct,
+             |      length(text) AS nch
+             |    FROM documents)
+             |  WHERE ntk BETWEEN 10 AND 1000 AND npunct * 1.0 / nch < 0.2)
+             |SELECT source,
+             |  CAST(count(DISTINCT
+             |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+             |    AS BIGINT) AS n_unique
+             |FROM q GROUP BY source ORDER BY source""".stripMargin,
         // streaming dedup+count must equal the batch DISTINCT exactly
         "st03_stream_dedup" ->
           """SELECT event_type,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph computation (SURVEY §2 g01) — the operator class the
+  * rest of the inventory lacks: a fixed-point loop where iteration N+1's
+  * input is iteration N's output. PageRank is the canonical instance (the
+  * web-graph quality prior a Common-Crawl-scale curation pipeline ranks
+  * domains with — the CCNet/RefinedWeb lineage uses exactly this signal).
+  *
+  * Graph: the supplier↔customer trade graph from the fact tables
+  * (ref analog: the reference's vendor/payment entity groupings, lines
+  * 292–330, lifted to entity RELATIONS). Node ids disambiguate the two
+  * key spaces arithmetically (supplier s → 2s, customer c → 2c+1); every
+  * distinct (supplier, customer) lineitem pairing contributes an edge in
+  * BOTH directions, so no node dangles and rank mass cannot leak.
+  *
+  * Exactness: classic PageRank sums floating-point contributions, whose
+  * value depends on summation order — unusable for a cross-engine gate
+  * (and irreproducible across cluster re-runs). Here rank lives in
+  * integer micro-units (init 1e6 per node) and every step is integer
+  * arithmetic with truncating division — contribution = r DIV outdeg,
+  * update = 150000 + (850 · Σcontrib) DIV 1000, i.e. damping 0.85 —
+  * identical in Spark (`div`) and DuckDB (`//`), so an 8-iteration run
+  * is bit-reproducible on any engine, any partitioning, any executor
+  * count. The mass truncation loses <1 unit per edge per step on both
+  * engines identically; convergence behavior is the textbook one.
+  *
+  * Scale shape (the Pregel/GraphX layout): the edge list — O(lineitem)
+  * after the distinct — is hash-partitioned on src ONCE and persisted;
+  * every iteration's join then reuses that partitioning, so the per-
+  * iteration cost is ONE shuffle of the rank vector (O(nodes), tiny
+  * next to edges) plus the map-side join. 8 iterations = 8 rank
+  * shuffles, NOT 8 edge shuffles, and never an edge re-scan. The
+  * driver-side loop iterates over PLANS (8 of them), never over data —
+  * no collect anywhere. */
+object GraphOps {
+
+  private val Iters = 8
+
+  def g01(t: Tables): DataFrame = {
+    val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"),
+        (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    val undirected = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = undirected.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // partition the (src, dst, outdeg) edge relation by src once; every
+    // iteration's join reuses it (Exchange reuse on the cached plan)
+    val edges = undirected.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to Iters) {
+      ranks = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr("150000 + (850 * s) div 1000").as("r"))
+    }
+    ranks
+      .select(col("node"),
+        when(col("node") % 2 === 0, "supplier").otherwise("customer")
+          .as("entity"),
+        expr("node div 2").as("entity_key"),
+        col("r").as("rank_u"))
+      .orderBy("node")
+  }
+
+  val queries: Map[String, Tables => DataFrame] = Map(
+    "g01_pagerank" -> g01)
+
+  /** 8 unrolled iteration CTEs — DuckDB's recursive CTE restricts
+    * aggregation over the recursive relation, and a fixed unroll is the
+    * exact twin of the Spark loop anyway. */
+  val oracles: Map[String, String] = {
+    def step(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.dst AS node,
+         |  CAST(150000 + (850 * sum(r.r // e.outdeg)) // 1000 AS BIGINT)
+         |    AS r
+         |  FROM edges e JOIN $prev r ON e.src = r.node GROUP BY e.dst)"""
+        .stripMargin
+    val steps = (1 to Iters)
+      .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    Map("g01_pagerank" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |undirected AS (
+         |  SELECT src, dst FROM pairs
+         |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg
+         |        FROM undirected GROUP BY src),
+         |edges AS (SELECT u.src, u.dst, deg.outdeg
+         |          FROM undirected u JOIN deg USING (src)),
+         |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r
+         |       FROM undirected),
+         |$steps
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+         |    AS entity,
+         |  CAST(node // 2 AS BIGINT) AS entity_key,
+         |  r AS rank_u
+         |FROM r$Iters ORDER BY node""".stripMargin)
+  }
+}

@@ -461,7 +461,48 @@ object StreamQueries {
     Seq(totals).toDF("n_events", "sum_value_cents", "n_negative")
   }
 
+  /** Streaming read of the documents table (same single-file
+    * FileStreamSource arrangement as [[eventsStream]]; schema probe is
+    * footer-only). */
+  private def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** st10 — the curation pipeline's gate stages as a CONTINUOUS-INGEST
+    * query: documents stream through the t02 quality rule (map-only
+    * kernel filter — no state) into exact-dedup via
+    * `dropDuplicates(source, fp)` (dedup state store, one entry per
+    * distinct canonical fingerprint per source) into a per-source
+    * unique-survivor count (aggregation state store) — two stateful
+    * operators, the streaming twin of the p01 chain's first two gates.
+    * Dedup keys on (source, fp) rather than first-arrival fp alone so
+    * the answer is arrival-order-independent (a cross-source duplicate
+    * survives once per source): micro-batch boundaries and partition
+    * interleaving cannot change it, which is what makes a finite-replay
+    * exactness gate valid. At scale the dedup state is the fingerprint
+    * index (d11's standing index, held by the state store); unbounded
+    * ingest bounds it with `dropDuplicatesWithinWatermark` over the
+    * reordering horizon (EventsStream, spec-covered). Oracle: quality
+    * CTE ∘ count(DISTINCT fp) — the composition of t02's and d01's
+    * already-oracled semantics. */
+  def st10(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = graft.pipeline.TrainingDataPipeline
+      .qualityFilter(documentsStream(spark, dir))
+      .select(col("source"),
+        graft.functions.exprs.canon_fp(col("text")).as("fp"))
+      .dropDuplicates("source", "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"))
+    runComplete(spark, survivors, "st10_curation")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_stream_curation" -> ((s, dir) => st10(s, dir)),
     "st09_stream_observe" -> ((s, dir) => st09(s, dir)),
     "st08_stateful_sessionize" -> ((s, dir) => st08(s, dir)),
     "st07_stream_outer_join" -> ((s, dir) => st07(s, dir)),

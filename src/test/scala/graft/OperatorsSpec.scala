@@ -21,6 +21,7 @@ class OperatorsSpec extends AnyFunSuite {
       operators.Reference.queries.size + operators.Relational.queries.size +
         operators.Extended.queries.size + operators.Grouped.queries.size +
         operators.Analytics.queries.size + operators.CatalogOps.queries.size +
+        operators.GraphOps.queries.size +
         text.TextOps.queries.size +
         dedup.Dedup.queries.size + similarity.Similarity.queries.size +
         pipeline.PipelineQueries.queries.size +
@@ -485,6 +486,38 @@ class OperatorsSpec extends AnyFunSuite {
     // per-query result counts are capped at k and keys are the query set
     val byQ = rows.groupBy(_.getLong(0))
     byQ.values.foreach(g => assert(g.length <= 5))
+  }
+
+  test("g01 equals a driver-side integer PageRank recomputation on the " +
+    "collected graph, node for node") {
+    import org.apache.spark.sql.functions.expr
+    val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        expr("l_orderkey = o_orderkey"))
+      .select(expr("l_suppkey * 2").as("src"),
+        expr("o_custkey * 2 + 1").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val outdeg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = und.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 8) {
+      val contribs = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      und.foreach { case (s, d) => contribs(d) += r(s) / outdeg(s) }
+      r = r.keys.map(n => n -> (150000L + (850L * contribs(n)) / 1000L)).toMap
+    }
+    val got = operators.GraphOps.g01(t).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(got.size == r.size, s"node count ${got.size} != ${r.size}")
+    r.foreach { case (n, v) =>
+      assert(got(n) == v, s"node $n: engine ${got(n)} != reference $v")
+    }
+    // rank mass: damping pins totals near n·1e6 (truncation loses <1
+    // unit per edge per step, identically on any engine)
+    val total = got.values.sum
+    val n = got.size.toLong
+    assert(total > n * 900000L && total < n * 1100000L,
+      s"rank mass $total drifted from ${n * 1000000L}")
   }
 
   test("t25 covers every document, bounds n_boiler by n_grams, and " +

@@ -63,6 +63,23 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s == b)
   }
 
+  test("st10 streaming curation gates equal the batch quality∘dedup " +
+    "composition exactly") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamQueries.st10(spark, TestSpark.sfDir)
+    val batch = graft.pipeline.TrainingDataPipeline
+      .qualityFilter(TestSpark.tables.documents)
+      .select(col("source"),
+        graft.functions.exprs.canon_fp(col("text")).as("fp"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy("source")
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b)
+  }
+
   test("st06 transformWithState totals equal the batch rollup exactly") {
     import org.apache.spark.sql.functions._
     val streamed = StreamQueries.st06(spark, TestSpark.sfDir)
