@@ -786,6 +786,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t26 — DSIR-style importance weighting (Xie et al.: Data Selection
+    * for LMs via Importance Resampling): every document scored by the
+    * log-likelihood ratio of a TARGET hashed-unigram model (here the
+    * curated `src0` slice) against the RAW corpus model — the published
+    * recipe for steering a web-scale crawl toward a quality domain
+    * without training a classifier. Feature space is FIXED at 256
+    * hash buckets (first md5 hex byte of each token — an engine-neutral
+    * hash both sides spell identically), Laplace +1 smoothing, and each
+    * bucket's log-ratio is quantized to int64 1e-4 units BEFORE the
+    * per-doc sum (the t17 policy: engines cannot diverge on float
+    * summation order). keep = positive evidence (λ-sum > 0).
+    *
+    * Scale shape: the bucket LM is a 256-row aggregate — unlike t17's
+    * Heaps-law vocabulary it is CONSTANT-SIZE at any corpus, so the
+    * probe join is a legitimate broadcast; per-doc bucket counts are one
+    * hash agg (≤256 rows per doc), and scoring is map-side. Nothing
+    * scales super-linearly; the whole plan is two aggs + a broadcast. */
+  def t26(t: Tables): DataFrame = {
+    val toks = t.documentsWide
+      .select(col("doc_id"), col("source"),
+        explode(expr(tokensExpr)).as("token"))
+      .withColumn("b", substring(md5(col("token")), 1, 2))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val target = toks.filter(col("source") === "src0")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("tr"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tt"))
+    val lam = raw.join(target, Seq("b"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        """cast(round(ln(
+          |  ((cast(ct as double) + 1.0) / (cast(tt as double) + 256.0))
+          |  * ((cast(tr as double) + 256.0) / (cast(cr as double) + 1.0))
+          |) * 10000.0) as bigint)""".stripMargin).as("lam_q4"))
+    toks.groupBy("doc_id", "source", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * col("lam_q4")).as("iw_q4"))
+      .withColumn("keep", col("iw_q4") > 0L)
+      .orderBy("doc_id")
+  }
+
   /** d11 — incremental snapshot dedup: when a new crawl batch lands, only
     * the BATCH is checked — against the standing fingerprint index and
     * within itself — never the whole corpus re-deduped (at 100 TB,
@@ -830,6 +875,7 @@ object TextOps {
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t26_importance_weights" -> t26,
     "t25_boilerplate_ngrams" -> t25,
     "d11_incremental_dedup" -> d11,
     "t24_mixture_weights" -> t24,
@@ -869,6 +915,39 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the 256-bucket hashed-unigram LMs re-spelled verbatim: first md5
+    // hex byte buckets, Laplace +1, per-bucket log-ratio quantized to
+    // int64 1e-4 units before the per-doc integer sum
+    "t26_importance_weights" ->
+      raw"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    substr(md5(unnest(string_split_regex(trim(text), '\s+'))), 1, 2)
+         |      AS b
+         |  FROM documents),
+         |raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+         |target AS (SELECT b, count(*) AS ct FROM toks
+         |           WHERE source = 'src0' GROUP BY b),
+         |totals AS (SELECT count(*) AS tr,
+         |    CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0)
+         |      AS BIGINT) AS tt
+         |  FROM toks),
+         |lam AS (
+         |  SELECT raw.b AS b,
+         |    CAST(round(ln(
+         |      ((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)
+         |        / (CAST(tt AS DOUBLE) + 256.0))
+         |      * ((CAST(tr AS DOUBLE) + 256.0)
+         |        / (CAST(cr AS DOUBLE) + 1.0))
+         |    ) * 10000.0) AS BIGINT) AS lam_q4
+         |  FROM raw LEFT JOIN target ON raw.b = target.b CROSS JOIN totals),
+         |db AS (SELECT doc_id, source, b, count(*) AS cnt
+         |       FROM toks GROUP BY doc_id, source, b)
+         |SELECT db.doc_id AS doc_id, db.source AS source,
+         |  CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |  CAST(sum(cnt * lam_q4) AS BIGINT) AS iw_q4,
+         |  (CAST(sum(cnt * lam_q4) AS BIGINT) > 0) AS keep
+         |FROM db JOIN lam ON db.b = lam.b
+         |GROUP BY db.doc_id, db.source ORDER BY doc_id""".stripMargin,
     // string 5-grams stand in for the kernel's 64-bit gram hashes (the
     // t10 equivalence); the short branch mirrors the whole-text fallback
     "t25_boilerplate_ngrams" ->

@@ -488,6 +488,55 @@ class OperatorsSpec extends AnyFunSuite {
     byQ.values.foreach(g => assert(g.length <= 5))
   }
 
+  test("t26 equals a driver-side DSIR recomputation (hashed buckets, " +
+    "Laplace smoothing, quantized log-ratios), doc for doc") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = t.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.flatMap { case (id, src, text) =>
+      text.trim.split("\\s+", -1).map(tok =>
+        (id, src, md5hex(tok).substring(0, 2)))
+    }
+    val cr = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = toks.filter(_._2 == "src0").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    val tr = toks.length.toLong
+    val tt = toks.count(_._2 == "src0").toLong
+    val lam = cr.map { case (b, c) =>
+      val ratio = ((ct.getOrElse(b, 0L) + 1.0) / (tt + 256.0)) *
+        ((tr + 256.0) / (c + 1.0))
+      b -> BigDecimal(math.log(ratio) * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expect = toks.groupBy(_._1).view.mapValues { ts =>
+      (ts.length.toLong, ts.map(x => lam(x._3)).sum)
+    }.toMap
+    val got = text.TextOps.t26(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (id, (n, iw)) =>
+      val (gn, giw, gkeep) = got(id)
+      assert(gn == n, s"doc $id: n_toks $gn != $n")
+      assert(giw == iw, s"doc $id: iw_q4 $giw != $iw")
+      assert(gkeep == (iw > 0L), s"doc $id: keep flag")
+    }
+    // the model targets src0, so src0's aggregate per-token evidence
+    // must exceed the rest of the corpus's (the DSIR selection signal)
+    val bySrc = docs.map(_._2).toSet.map { s: String =>
+      val ids = docs.filter(_._2 == s).map(_._1).toSet
+      val (nt, iw) = ids.foldLeft((0L, 0L)) { case ((a, b), id) =>
+        (a + expect(id)._1, b + expect(id)._2)
+      }
+      s -> (iw.toDouble / nt)
+    }.toMap
+    val others = bySrc.filter(_._1 != "src0").values
+    assert(bySrc("src0") > others.sum / others.size,
+      "src0 per-token evidence must beat the corpus average")
+  }
+
   test("g01 equals a driver-side integer PageRank recomputation on the " +
     "collected graph, node for node") {
     import org.apache.spark.sql.functions.expr
