@@ -41,15 +41,21 @@ object GraphOps {
 
   private val Iters = 8
 
-  def g01(t: Tables): DataFrame = {
+  /** Distinct supplier↔customer edges in both directions (node ids:
+    * supplier s → 2s, customer c → 2c+1). Shared by g01/g02. */
+  private def undirectedTradeEdges(t: Tables): DataFrame = {
     val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("src"),
         (col("o_custkey") * 2 + 1).as("dst"))
       .distinct()
-    val undirected = pairs
+    pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def g01(t: Tables): DataFrame = {
+    val undirected = undirectedTradeEdges(t)
     val deg = undirected.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // partition the (src, dst, outdeg) edge relation by src once; every
     // iteration's join reuses it (Exchange reuse on the cached plan)
@@ -75,8 +81,51 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** g02 — connected components by min-label propagation, the graph twin
+    * of d06's duplicate-cluster labeling WITH a SQL oracle: after k
+    * rounds every node's label is exactly the minimum node id within k
+    * hops — a deterministic integer invariant on BOTH engines whether or
+    * not the graph has converged, which is what makes a fixed-iteration
+    * gate valid (classic CC needs convergence detection; a production
+    * run adds a stop-when-stable check around the same loop, or the
+    * large-star/small-star contraction when diameters are large).
+    * Labels only ever decrease (min is monotone), components here have
+    * small diameter (trade graphs are dense), and the arithmetic is
+    * pure int64 min — no rounding surface at all. Same Pregel layout as
+    * g01: edges partitioned+persisted once, each round shuffles only the
+    * O(nodes) label vector. */
+  def g02(t: Tables): DataFrame = {
+    val und = undirectedTradeEdges(t)
+    // self-loops fold the "keep your own label" term into the one join:
+    // label' = min over (neighbors ∪ self) — WITHOUT them the natural
+    // spelling unions the previous label vector into each round, which
+    // references labels_{k-1} TWICE and doubles the unshared logical
+    // plan every iteration (2^Iters blowup — measured 58 s vs 2 s at
+    // sf0.01 before this restructure)
+    val edges = und
+      .unionByName(und.select(col("src"), col("src").as("dst")).distinct())
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("l", col("node"))
+    for (_ <- 1 to Iters) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"))
+        .agg(min(col("l")).as("l"))
+        .select(col("dst").as("node"), col("l"))
+    }
+    labels
+      .select(col("node"),
+        when(col("node") % 2 === 0, "supplier").otherwise("customer")
+          .as("entity"),
+        expr("node div 2").as("entity_key"),
+        col("l").as("component"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
-    "g01_pagerank" -> g01)
+    "g01_pagerank" -> g01,
+    "g02_connected_components" -> g02)
 
   /** 8 unrolled iteration CTEs — DuckDB's recursive CTE restricts
     * aggregation over the recursive relation, and a fixed unroll is the
@@ -88,9 +137,34 @@ object GraphOps {
          |    AS r
          |  FROM edges e JOIN $prev r ON e.src = r.node GROUP BY e.dst)"""
         .stripMargin
+    def ccStep(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.dst AS node, min(r.l) AS l
+         |  FROM edges_cc e JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    val ccSteps = (1 to Iters)
+      .map(i => ccStep(s"l${i - 1}", s"l$i")).mkString(",\n")
     val steps = (1 to Iters)
       .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
-    Map("g01_pagerank" ->
+    Map(
+      "g02_connected_components" ->
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT src, dst FROM pairs
+           |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+           |edges_cc AS (
+           |  SELECT src, dst FROM edges
+           |  UNION ALL SELECT DISTINCT src, src AS dst FROM edges),
+           |l0 AS (SELECT DISTINCT src AS node, src AS l FROM edges),
+           |$ccSteps
+           |SELECT node,
+           |  CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END
+           |    AS entity,
+           |  CAST(node // 2 AS BIGINT) AS entity_key,
+           |  l AS component
+           |FROM l$Iters ORDER BY node""".stripMargin,
+      "g01_pagerank" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

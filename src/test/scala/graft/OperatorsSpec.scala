@@ -569,6 +569,46 @@ class OperatorsSpec extends AnyFunSuite {
       s"rank mass $total drifted from ${n * 1000000L}")
   }
 
+  test("g02 equals a driver-side 8-round min-label propagation and, " +
+    "where converged, the true union-find components") {
+    import org.apache.spark.sql.functions.expr
+    val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        expr("l_orderkey = o_orderkey"))
+      .select(expr("l_suppkey * 2").as("src"),
+        expr("o_custkey * 2 + 1").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var l = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 8) {
+      l = l.map { case (n, v) => n -> math.min(v, adj(n).map(l).min) }
+    }
+    val got = operators.GraphOps.g02(t).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(got.size == l.size)
+    l.foreach { case (n, v) =>
+      assert(got(n) == v, s"node $n: engine ${got(n)} != reference $v")
+    }
+    // independent union-find ground truth: labels that HAVE converged
+    // (fixpoint reached in 8 rounds) must equal the true component min
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    und.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val compMin = adj.keys.groupBy(find).flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }
+    val next = l.map { case (n, v) => n -> math.min(v, adj(n).map(l).min) }
+    if (next == l) // converged: the propagation answer IS the components
+      compMin.foreach { case (n, m) => assert(got(n) == m, s"node $n") }
+  }
+
   test("t25 covers every document, bounds n_boiler by n_grams, and " +
     "reports the exact half-up basis-point ratio") {
     val rows = text.TextOps.t25(t).collect()
