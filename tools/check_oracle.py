@@ -59,6 +59,9 @@ def canon(rows, cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # spill outside the repo: DuckDB's default temp dir is ./.tmp, which
+    # lands in the checkout (a large-SF oracle once spilled 46 GB there)
+    con.sql("PRAGMA temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
