@@ -606,7 +606,37 @@ object Similarity {
       .orderBy("q_id", "fused_rank")
   }
 
+  /** s12 — maximum-inner-product search (MIPS): top-k by RAW dot product,
+    * the asymmetric retrieval problem recommenders and learned-embedding
+    * rankers solve (two-tower models score user·item — magnitude
+    * matters, so cosine top-k is the WRONG answer when norms differ;
+    * that distinction is the reason this operator exists next to s01).
+    * Zero-norm vectors stay in the corpus (a zero dot is a valid score —
+    * no NaN surface, unlike cosine). Exact brute-force baseline:
+    * broadcast query set, map-only fused-loop dot kernel, two-phase
+    * WindowGroupLimit rank — identical scale shape to s01. The ANN
+    * scale path is the published norm-augmentation reduction (append
+    * sqrt(M²−‖x‖²) so MIPS becomes cosine on the augmented space) and
+    * then any of s02–s06 apply unchanged; SimilaritySpec pins the
+    * reduction's rank-preservation on the real corpus. */
+  def s12(t: Tables): DataFrame = {
+    val corpus = t.embeddingsWide.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot("vec", "q_vec"), 4).as("ip"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s12_mips_topk" -> s12,
     "s11_hybrid_search" -> s11,
     "s10_filtered_topk" -> s10,
     "s09_recall_eval" -> s09,
@@ -622,6 +652,21 @@ object Similarity {
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
     * s02's bucket function is a custom kernel → rows-only. */
   val oracles: Map[String, String] = Map(
+    // raw dot product ranks (list_dot_product ≡ the fused-loop dot_d
+    // kernel: both iterate in index order, equal at 4dp — s01 precedent)
+    "s12_mips_topk" ->
+      s"""SELECT q_id, vec_id, ip, rn FROM (
+         | SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |   round(list_dot_product(v.embedding::DOUBLE[],
+         |                          q.embedding::DOUBLE[]), 4) AS ip,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY round(list_dot_product(v.embedding::DOUBLE[],
+         |                      q.embedding::DOUBLE[]), 4) DESC, v.vec_id)
+         |     AS rn
+         | FROM embeddings v,
+         |      (SELECT * FROM embeddings WHERE vec_id < $NQueries) q
+         | WHERE v.vec_id <> q.vec_id)
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
     // both legs re-spelled in DuckDB: the BM25 term formula char-for-char
     // (quantized to int64 micro-units BEFORE the sum, so engine-side
     // summation order cannot matter), the cosine leg via s01's proven

@@ -644,6 +644,46 @@ class OperatorsSpec extends AnyFunSuite {
       assert(out(i) == 0, s"unique doc $i falsely flagged"))
   }
 
+  test("s12 MIPS ranks by raw dot product and the norm-augmentation " +
+    "reduction to cosine preserves exactly that ranking") {
+    val vecs = t.embeddings.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val m2 = vecs.values.map(v => dot(v, v)).max
+    val rows = similarity.Similarity.s12(t).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      // engine top-k must be the driver-side dot-product top-k
+      val expect = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, BigDecimal(dot(vecs(id), vecs(q)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, ip) => (-ip, id) }.take(5)
+      val got = g.sortBy(_.getLong(3)).map(r =>
+        (r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == expect, s"q$q: $got != $expect")
+      // the published MIPS→cosine reduction: augment x with
+      // sqrt(M²−‖x‖²), query with 0 — augmented cosine is dot(x,q)
+      // / (M·‖q‖), a positive monotone map of dot, so the ANN paths
+      // (s02–s06) solve MIPS unchanged on the augmented space
+      val qn = math.sqrt(dot(vecs(q), vecs(q)))
+      if (qn > 0) {
+        val augRank = vecs.keys.filter(_ != q).toSeq
+          .map { id =>
+            val x = vecs(id)
+            val cos = dot(x, vecs(q)) / (math.sqrt(m2) * qn)
+            (id, cos)
+          }
+          .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+        val dotRank = vecs.keys.filter(_ != q).toSeq
+          .map(id => (id, dot(vecs(id), vecs(q))))
+          .sortBy { case (id, d) => (-d, id) }.take(5).map(_._1)
+        assert(augRank == dotRank, s"q$q: augmentation broke rank order")
+      }
+    }
+  }
+
   test("s11 hybrid fusion is exact RRF arithmetic over its reported leg " +
     "ranks, never a self-match, and fused order is (rrf_u desc, doc_id)") {
     val rows = similarity.Similarity.s11(t).collect()
