@@ -39,6 +39,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t21 aggregates must run map-side partials:\n$plan")
   }
 
+  test("s11's keyword leg probes tf with a broadcast of the bounded " +
+    "query-term table and both rank legs keep two-phase WindowGroupLimit") {
+    val plan = similarity.Similarity.s11(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // the (query-terms ⨝ df ⨝ stats) relation is ≤|query tokens| rows at
+    // any corpus size — if it ever stops broadcasting, the probe becomes
+    // a full shuffle of the posting list
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s11 tf probe must broadcast the query-term table:\n$plan")
+    // Partial+Final per leg and once for the fused rank
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 6,
+      s"s11 rank legs must keep per-partition k-heaps:\n$plan")
+  }
+
+  test("g01/g02 build their edge relation once: a single persisted scan " +
+    "feeds all 8 iterations") {
+    Seq("g01" -> operators.GraphOps.g01(TestSpark.tables),
+        "g02" -> operators.GraphOps.g02(TestSpark.tables)).foreach {
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        // every iteration must read the InMemoryRelation, not re-derive
+        // the lineitem⨝orders edge list
+        assert(plan.contains("InMemoryTableScan"),
+          s"$name iterations must reuse the persisted edges:\n$plan")
+    }
+  }
+
+  test("t26's bucket-LM probe broadcasts: the 256-row feature table is " +
+    "constant-size at any corpus scale") {
+    val plan = text.TextOps.t26(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"t26 lambda probe must broadcast the fixed bucket table:\n$plan")
+  }
+
   test("single-table aggregates prune the fact scan to referenced columns") {
     val plan = operators.Reference.q01(TestSpark.tables)
       .queryExecution.executedPlan.toString
