@@ -443,7 +443,48 @@ object Extended {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
+  /** q92 — higher-order array functions as the per-row compute surface:
+    * `aggregate` (fold), `filter`, `exists`, `forall`, `zip_with` +
+    * `sequence` over each order's sorted quantity array. HOFs are the
+    * scale-correct way to run per-row array logic — the lambda executes
+    * INSIDE whole-stage codegen against the array bytes (no UDF
+    * serialization boundary, no per-element row explosion through a
+    * shuffle). The array is built per order (collect_list bounded by
+    * lines-per-order, ~7), sorted for determinism, then every HOF result
+    * is integer-exact; the final rollup keys on order size so the result
+    * stays O(max lines per order) rows at any corpus size. The
+    * position-weighted fold (zip_with × sequence) is well-defined under
+    * duplicate quantities: equal values swap positions only among equal
+    * contributions. Oracle: DuckDB computes the same values relationally
+    * (row_number over the sorted-by-value stream), proving the HOF stack
+    * against an engine with no shared lambda machinery. */
+  def q92(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("qty"))).as("qtys"))
+      .select(
+        size(col("qtys")).cast("long").as("n_items"),
+        expr("aggregate(qtys, 0L, (acc, x) -> acc + x)").as("sum_qty"),
+        expr("cast(size(filter(qtys, x -> x > 25)) as long)").as("n_big"),
+        expr("exists(qtys, x -> x = 50)").as("has_max"),
+        expr("forall(qtys, x -> x > 0)").as("all_pos"),
+        expr("""aggregate(
+                  zip_with(qtys, sequence(1L, cast(size(qtys) as long)),
+                           (x, i) -> x * i),
+                  0L, (acc, y) -> acc + y)""").as("idx_weighted"))
+      .groupBy("n_items")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("sum_qty")).as("total_qty"),
+        sum(col("n_big")).as("total_big"),
+        count(when(col("has_max"), 1)).as("n_has_max"),
+        count(when(col("all_pos"), 1)).as("n_all_pos"),
+        sum(col("idx_weighted")).as("total_idx_weighted"))
+      .orderBy("n_items")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q92_hof_suite" -> q92,
     "q68_listagg" -> q68,
     "q67_approx_topk" -> q67,
     "q66_map_funcs" -> q66,
@@ -470,6 +511,32 @@ object Extended {
     "q53_salted_join" -> q53)
 
   val oracles: Map[String, String] = Map(
+    // relational twin of the HOF stack: row_number over the value-sorted
+    // per-order stream reproduces the sorted-array fold exactly (the
+    // position-weighted sum is permutation-invariant among equal values)
+    "q92_hof_suite" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY CAST(l_quantity AS BIGINT)) AS i
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT l_orderkey,
+        |    count(*) AS n_items,
+        |    sum(qty) AS sum_qty,
+        |    count(CASE WHEN qty > 25 THEN 1 END) AS n_big,
+        |    bool_or(qty = 50) AS has_max,
+        |    bool_and(qty > 0) AS all_pos,
+        |    sum(qty * i) AS idx_weighted
+        |  FROM s GROUP BY l_orderkey)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  count(*) AS n_orders,
+        |  CAST(sum(sum_qty) AS BIGINT) AS total_qty,
+        |  CAST(sum(n_big) AS BIGINT) AS total_big,
+        |  count(CASE WHEN has_max THEN 1 END) AS n_has_max,
+        |  count(CASE WHEN all_pos THEN 1 END) AS n_all_pos,
+        |  CAST(sum(idx_weighted) AS BIGINT) AS total_idx_weighted
+        |FROM o GROUP BY n_items ORDER BY n_items""".stripMargin,
     "q68_listagg" ->
       """SELECT o_custkey,
         | string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)

@@ -123,9 +123,88 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** g03 — triangle counting over the part co-order graph (market-basket
+    * co-occurrence: two parts adjacent iff some order contains both —
+    * the g01/g02 trade graph is bipartite and definitionally
+    * triangle-free, so this operator builds the one-mode projection
+    * instead). Per-node triangle participation is the local clustering
+    * signal (community density / recommendation strength).
+    *
+    * Scale shape — the two classic blowups and their guards:
+    *  1. Edge generation: the per-order self-join emits at most
+    *     k·(k−1)/2 pairs per order where k = lines per order (bounded,
+    *     ~7; ≤13 here) — O(orders·k²), never O(parts²).
+    *  2. Wedge enumeration: counting via raw neighbor pairs is
+    *     Σ deg(v)² — quadratic in the hub degree. The degree-ordered
+    *     orientation (Cohen's MapReduce algorithm / "forward"
+    *     enumeration) orients every edge from its (deg, id)-smaller to
+    *     its larger endpoint, capping effective out-degree at O(√m);
+    *     wedges become O(m^{3/2}) worst-case and each triangle is
+    *     enumerated EXACTLY once (its (deg,id)-minimum vertex owns it),
+    *     so no ÷3 correction and no dedup shuffle.
+    * The orientation key (deg, id) rides the edges as a struct; Spark
+    * struct comparison and DuckDB row-value comparison implement the
+    * same lexicographic order. All arithmetic is integer; the oracle
+    * counts the same triangles via the naive a<b<c 3-join — a DIFFERENT
+    * enumeration converging on the same per-node counts.
+    *
+    * Measured boundary (single-box, NOT a cluster limit): this synthetic
+    * co-order graph is near-regular random (deg ≈ 115 at every SF), so
+    * orientation caps out-degree at ~deg/2 and the wedge set is
+    * irreducibly ~m·deg/4 — 3.9M wedges at sf0.01, 41M at sf0.1, 410M
+    * at sf1 (verified green), ~4.1B at sf10 ≈ 120+ GB of wedge shuffle,
+    * which exceeds this box's free disk while being ~125 MB/executor on
+    * the 1000-executor target. The d04 pattern: the COST is the
+    * published algorithm's (Suri–Vassilvitskii reducer input bound),
+    * the boundary is the test host, and the scaling slope is proven on
+    * the three SFs that fit. */
+  def g03(t: Tables): DataFrame = {
+    val items = t.lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = items.as("x").join(items.as("y"), "l_orderkey")
+      .where(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val keyed = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        struct(col("da").as("d"), col("a").as("id")).as("ka"),
+        struct(col("db").as("d"), col("b").as("id")).as("kb"))
+    val oriented = keyed.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    // SHUFFLE_HASH, not sort-merge: the closing probe streams the O(m·d)
+    // wedge set against a hash table of the O(m) edge set — sorting the
+    // wedge stream (SMJ's price) is the single biggest cost in the whole
+    // operator, and the build side is the SMALL side by a factor of d/2
+    // at every scale. Never broadcast: edges grow with the corpus.
+    val tri = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w"))
+          .hint("SHUFFLE_HASH"),
+        Seq("v", "w"))
+    tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v").as("node")))
+      .unionAll(tri.select(col("w").as("node")))
+      .groupBy(col("node").as("part_key"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("part_key")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "g01_pagerank" -> g01,
-    "g02_connected_components" -> g02)
+    "g02_connected_components" -> g02,
+    "g03_triangle_count" -> g03)
 
   /** 8 unrolled iteration CTEs — DuckDB's recursive CTE restricts
     * aggregation over the recursive relation, and a fixed unroll is the
@@ -146,6 +225,27 @@ object GraphOps {
     val steps = (1 to Iters)
       .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
     Map(
+      // naive a<b<c triangle enumeration — a different algorithm than the
+      // Spark side's degree-ordered orientation, converging on the same
+      // per-node counts (each triangle touches its three vertices once)
+      "g03_triangle_count" ->
+        """WITH items AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e AS (
+          |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM items x JOIN items y USING (l_orderkey)
+          |  WHERE x.l_partkey < y.l_partkey),
+          |tri AS (
+          |  SELECT e1.a, e1.b, e2.b AS c
+          |  FROM e e1
+          |  JOIN e e2 ON e1.b = e2.a
+          |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |n AS (
+          |  SELECT a AS node FROM tri
+          |  UNION ALL SELECT b FROM tri
+          |  UNION ALL SELECT c FROM tri)
+          |SELECT node AS part_key, count(*) AS n_triangles
+          |FROM n GROUP BY node ORDER BY part_key""".stripMargin,
       "g02_connected_components" ->
         s"""WITH pairs AS (
            |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
