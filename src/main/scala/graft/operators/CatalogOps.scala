@@ -376,7 +376,87 @@ object CatalogOps {
       .orderBy("dt")
   }
 
+  /** w08 — the reference's CSV external-table load (OpenCSVSerde +
+    * explicit schema + header skip, ref lines 31–55) graded as a full
+    * round-trip under adversarial quoting: a derived payload column
+    * carries embedded quotes, commas, and leading/trailing whitespace —
+    * every field class RFC-4180 quoting exists for — through
+    * [[graft.sources.CsvSource]] and back. The writer pins
+    * ignoreLeading/TrailingWhiteSpace=false (Spark's WRITE default
+    * trims, silently corrupting whitespace-significant fields — the
+    * reason this round-trip is worth grading). The oracle recomputes
+    * the rollup (payload md5s included) from the raw parquet, so
+    * equality proves the text survived serialization byte-for-byte.
+    * Header+schema read, never inference — schema inference is an extra
+    * full scan at 100 TB. Written once per corpus snapshot. */
+  def w08(t: Tables): DataFrame = {
+    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:w08:" +
+      s"${t.tableFingerprint("documents")}"
+    val dir = etlCache.getOrElseUpdate(key, {
+      val out = graft.TempDirs.create("graft_w08_csv")
+      t.documents
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          concat(lit(" \""), col("source"), lit("\", "),
+            substring(col("text"), 1, 30), lit(" ")).as("payload"))
+        .write.mode(SaveMode.Overwrite)
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+      out
+    })
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT, " +
+        "payload STRING")
+    graft.sources.CsvSource.read(t.spark, dir, schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("payload").cast("binary")))
+          .as("n_payloads"),
+        sum(length(col("payload"))).as("payload_len"))
+      .orderBy("source")
+  }
+
+  /** w09 — [[graft.sources.JsonLinesSource]]'s corrupt-line quarantine
+    * graded end-to-end (the PERMISSIVE `_corrupt` capture SURVEY lists
+    * as spec-only until now): every document serializes to a jsonl line
+    * via to_json, plus one deliberately TRUNCATED line per doc_id ≡ 0
+    * (mod 97) — the torn-write/partial-flush shape a 100 TB crawl
+    * ingest always contains. The schema'd read must route exactly the
+    * truncated lines to the quarantine bucket (schema fields null,
+    * `_corrupt` holding the raw line) and parse everything else — a
+    * fail-fast read would lose whole 128 MB splits to one bad line.
+    * Oracle recomputes both populations from the raw table. */
+  def w09(t: Tables): DataFrame = {
+    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:w09:" +
+      s"${t.tableFingerprint("documents")}"
+    val dir = etlCache.getOrElseUpdate(key, {
+      val out = graft.TempDirs.create("graft_w09_jsonl")
+      val good = t.documents.select(to_json(struct(
+        col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_chars"))).as("value"))
+      val torn = t.documents.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"source\":\""), col("source"),
+          lit("\",\"text\":\"torn")).as("value"))
+      good.unionByName(torn).write.mode(SaveMode.Overwrite).text(out)
+      out
+    })
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, lang STRING, text STRING, " +
+        "n_chars BIGINT")
+    graft.sources.JsonLinesSource.read(t.spark, dir, schema)
+      .groupBy(when(col("_corrupt").isNull, col("source"))
+        .otherwise(lit("__quarantine__")).as("bucket"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "w08_csv_roundtrip" -> w08,
+    "w09_jsonl_quarantine" -> w09,
     "w07_partition_overwrite" -> w07,
     "w06_bucket_pruned_lookup" -> w06,
     "w05_dpp_prune" -> w05,
@@ -387,6 +467,31 @@ object CatalogOps {
     "w03_zorder_band_query" -> w03)
 
   val oracles: Map[String, String] = Map(
+    // recompute the adversarial payload from the raw parquet; md5 + length
+    // equality proves the CSV round-trip preserved quotes, commas, and
+    // leading/trailing whitespace byte-for-byte (DuckDB md5(VARCHAR)
+    // hashes the same UTF-8 bytes Spark's md5(binary) sees — m03 pattern)
+    "w08_csv_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(count(DISTINCT md5(' "' || source || '", ' ||
+        |   substr(text, 1, 30) || ' ')) AS BIGINT) AS n_payloads,
+        | CAST(sum(length(' "' || source || '", ' ||
+        |   substr(text, 1, 30) || ' ')) AS BIGINT) AS payload_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // good lines = every document; quarantine = exactly the torn lines
+    // (HAVING guards the empty-corpus edge on both engines: a group that
+    // never materializes on the Spark side must not materialize here)
+    "w09_jsonl_quarantine" ->
+      """SELECT source AS bucket, count(*) AS n_lines,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT '__quarantine__' AS bucket, count(*) AS n_lines,
+        | CAST(0 AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 97 = 0
+        |HAVING count(*) > 0
+        |ORDER BY bucket""".stripMargin,
     // per-partition rollup with the purge applied only to the target
     // date (earliest date holding a purgeable row — the same derivation
     // the overwrite uses)
