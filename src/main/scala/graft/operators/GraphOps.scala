@@ -65,7 +65,13 @@ object GraphOps {
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1000000L))
     for (_ <- 1 to Iters) {
-      ranks = edges.join(ranks, edges("src") === ranks("node"))
+      // SHUFFLE_HASH on the rank vector: SMJ would re-SORT the persisted
+      // edge relation every iteration (8 sorts of the O(edges) side);
+      // hashing the O(nodes) rank vector per partition costs one build
+      // of the small side instead. AQE may still upgrade to broadcast
+      // at small SFs — at scale the size check fails and the hint holds.
+      ranks = edges.join(ranks.hint("SHUFFLE_HASH"),
+          edges("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
@@ -109,7 +115,10 @@ object GraphOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("l", col("node"))
     for (_ <- 1 to Iters) {
-      labels = edges.join(labels, edges("src") === labels("node"))
+      // SHUFFLE_HASH for the same reason as g01's rank join: never
+      // re-sort the persisted edge relation per round
+      labels = edges.join(labels.hint("SHUFFLE_HASH"),
+          edges("src") === labels("node"))
         .groupBy(col("dst"))
         .agg(min(col("l")).as("l"))
         .select(col("dst").as("node"), col("l"))
