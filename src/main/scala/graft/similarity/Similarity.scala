@@ -25,6 +25,8 @@ object Similarity {
   private val NQueries = 10
   private val Planes = 8
   private val Seed = 7L
+  private val MatryoshkaPrefix = 16
+  private val MatryoshkaShortlist = 50
 
   /** vec as array<double> + precomputed L2 norm (one map-only pass).
     * Zero-norm vectors are excluded up front: cosine against them is
@@ -635,7 +637,51 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** s13 — Matryoshka (MRL) adaptive retrieval: rank with a PREFIX of
+    * the embedding dimensions, re-rank a bounded shortlist with the
+    * full vector. Matryoshka-trained embeddings pack coarse semantics
+    * into the leading dims, so the 16-dim prefix pass does the heavy
+    * ranking at 1/4 the float reads/FLOPs — at 100 TB the prefix lives
+    * as its own narrow column (parquet prunes the full vector from the
+    * scan entirely), and the exact stage touches only Shortlist·Q rows.
+    * Both stages are deterministic (4dp-rounded sims, vec_id
+    * tie-break), so shortlist membership at the boundary is
+    * reproducible and the WHOLE two-stage pipeline has an exact SQL
+    * twin — the oracle proves the composition, while SimilaritySpec
+    * gates its recall against s01's exact ranking. Prefix-zero vectors
+    * (possible even after the full-norm filter) sink via an explicit
+    * −2 sentinel on BOTH engines — never a NaN surface. */
+  def s13(t: Tables): DataFrame = {
+    val corpus = prepped(t)
+      .withColumn("pvec", slice(col("vec"), 1, MatryoshkaPrefix))
+      .withColumn("pnorm", sqrt(dot_d(col("pvec"), col("pvec"))))
+    val queries = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"), col("pvec").as("q_pvec"),
+        col("pnorm").as("q_pnorm"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("vec_id"))
+    val shortlist = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), col("vec"), col("norm"),
+        col("q_vec"), col("q_norm"),
+        when(col("pnorm") === 0 || col("q_pnorm") === 0, lit(-2d))
+          .otherwise(round(dot("pvec", "q_pvec")
+            / (col("pnorm") * col("q_pnorm")), 4)).as("psim"))
+      .withColumn("prn", row_number().over(wP))
+      .filter(col("prn") <= MatryoshkaShortlist)
+    val wF = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist
+      .select(col("q_id"), col("vec_id"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s13_matryoshka_topk" -> s13,
     "s12_mips_topk" -> s12,
     "s11_hybrid_search" -> s11,
     "s10_filtered_topk" -> s10,
@@ -652,6 +698,45 @@ object Similarity {
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
     * s02's bucket function is a custom kernel → rows-only. */
   val oracles: Map[String, String] = Map(
+    // the full two-stage pipeline re-spelled: prefix-16 cosine shortlist
+    // (same 4dp rounding, same -2 prefix-zero sentinel, same vec_id
+    // tie-break) then exact re-rank — composition equality, not just
+    // final-answer equality against a different algorithm
+    "s13_matryoshka_topk" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         |    sqrt(list_dot_product(embedding::DOUBLE[],
+         |                          embedding::DOUBLE[])) AS norm
+         |  FROM embeddings
+         |  WHERE sqrt(list_dot_product(embedding::DOUBLE[],
+         |                              embedding::DOUBLE[])) > 0),
+         |c2 AS (
+         |  SELECT vec_id, vec, norm, vec[1:$MatryoshkaPrefix] AS pvec,
+         |    sqrt(list_dot_product(vec[1:$MatryoshkaPrefix],
+         |                          vec[1:$MatryoshkaPrefix])) AS pnorm
+         |  FROM c),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm,
+         |        pvec AS q_pvec, pnorm AS q_pnorm
+         |      FROM c2 WHERE vec_id < $NQueries),
+         |sl AS (
+         |  SELECT q_id, vec_id, vec, norm, q_vec, q_norm,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY psim DESC, vec_id) AS prn
+         |  FROM (
+         |    SELECT q.q_id, v.vec_id, v.vec, v.norm, q.q_vec, q.q_norm,
+         |      CASE WHEN v.pnorm = 0 OR q.q_pnorm = 0 THEN -2
+         |        ELSE round(list_dot_product(v.pvec, q.q_pvec)
+         |               / (v.pnorm * q.q_pnorm), 4) END AS psim
+         |    FROM c2 v, q))
+         |SELECT q_id, vec_id, sim, rn FROM (
+         |  SELECT q_id, vec_id,
+         |    round(list_dot_product(vec, q_vec) / (norm * q_norm), 4)
+         |      AS sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(list_dot_product(vec, q_vec)
+         |                 / (norm * q_norm), 4) DESC, vec_id) AS rn
+         |  FROM sl WHERE prn <= $MatryoshkaShortlist)
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
     // raw dot product ranks (list_dot_product ≡ the fused-loop dot_d
     // kernel: both iterate in index order, equal at 4dp — s01 precedent)
     "s12_mips_topk" ->

@@ -181,6 +181,14 @@ class SimilarityFixtureSpec extends AnyFunSuite {
       f"knn-graph recall@3 $recall%.3f below floor (within-cluster approx)")
   }
 
+  test("s13 matryoshka two-stage result equals the exact top-5 on the " +
+    "fixture (prefix ≡ full at 16 dims, so the 50-shortlist must be " +
+    "recall-lossless; prefix<full semantics are the sf0.01 SQL oracle's " +
+    "job)") {
+    val expected = qids.flatMap(q => top5(q, vids))
+    assert(collect4(Similarity.s13(t)) == expected)
+  }
+
   test("s03 trained codebook (Lloyd) has recall@5 >= sampled codebook") {
     // ground truth: kernel-side brute-force top-5 over the whole corpus
     val truth: Map[Long, Set[Long]] = qids.map { q =>
