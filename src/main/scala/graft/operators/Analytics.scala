@@ -544,7 +544,35 @@ object Analytics {
         |END""".stripMargin)
   }
 
+  /** q94 — the custom Catalyst optimizer rule
+    * [[graft.plans.GlobalWindowToAgg]] graded end-to-end: the query is
+    * written in the NAIVE reference idiom — `sum(agg) OVER ()`
+    * percent-of-total (ref lines 62–66), the spelling Spark plans as
+    * Exchange SinglePartition + Window, i.e. the whole input through one
+    * task at 100 TB — and the injected rule rewrites it to a scalar
+    * Aggregate broadcast-joined back (partial aggregation map-side, no
+    * single-partition funnel; the ≤1-row build side plans as a broadcast
+    * nested-loop join). PlanAuditSpec pins both directions: no Window /
+    * SinglePartition in this plan, and the identical frame WITHOUT the
+    * rule planning the single-task Window. The oracle computes the same
+    * numbers relationally — the rewrite must be semantics-identity. */
+  def q94(t: Tables): DataFrame = {
+    graft.plans.GraftRules.install(t.spark)
+    t.lineitem
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("sum_qty"))
+      .withColumn("total_cnt", sum(col("cnt")).over(Window.partitionBy()))
+      .withColumn("total_qty",
+        sum(col("sum_qty")).over(Window.partitionBy()))
+      .select(col("grp"), col("cnt"), col("sum_qty"),
+        col("total_cnt"), col("total_qty"),
+        round(col("cnt") * 100.0 / col("total_cnt"), 2).as("pct"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q94_global_window_rule" -> q94,
     "q93_sql_scripting" -> q93,
     "q91_sketch_union" -> q91,
     "q90_parameterized_sql" -> q90,
@@ -570,6 +598,21 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // the rewritten global window computed relationally — the optimizer
+    // rule must be semantics-identity
+    "q94_global_window_rule" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS grp, count(*) AS cnt,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt,
+        |    CAST(sum(sum_qty) AS BIGINT) AS total_qty
+        |  FROM g)
+        |SELECT grp, cnt, sum_qty, total_cnt, total_qty,
+        |  round(cnt * 100.0 / total_cnt, 2) AS pct
+        |FROM g, t ORDER BY grp""".stripMargin,
     // the WHILE fixed point computed non-iteratively: min threshold in
     // 0..50 whose strict-exceeders are under 10% of rows
     "q93_sql_scripting" ->

@@ -18,6 +18,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("q94: GlobalWindowToAgg rewrites the OVER () window out of the " +
+    "plan, and without the rule the same frame single-tasks") {
+    val plan = operators.Analytics.q94(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q94's global window must be rewritten to agg+join:\n$plan")
+    // the rewritten plan still holds ONE Exchange SinglePartition — the
+    // scalar aggregate's final merge, fed by partial_sum rows (bounded,
+    // map-side combined), which is the acceptable shape; the hazard the
+    // rule removes is the WINDOW's SinglePartition, which funnels every
+    // DATA row through one task (control plan below)
+    assert(plan.contains("partial_sum"),
+      s"the scalar aggregate must partial-aggregate map-side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row aggregate side should broadcast back:\n$plan")
+    // control: the identical frame WITHOUT the rule plans the
+    // single-partition Window — the hazard the rule exists to remove
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ == graft.plans.GlobalWindowToAgg)
+      val naive = TestSpark.tables.lineitem
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+        .count()
+        .withColumn("total", org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("count"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .queryExecution.executedPlan.toString
+      assert(naive.contains("Window") && naive.contains("SinglePartition"),
+        s"control plan should single-task without the rule:\n$naive")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("q84's SQL UDF inlines into the plan: no UDF invocation node") {
     val plan = operators.Analytics.q84(TestSpark.tables)
       .queryExecution.executedPlan.toString
