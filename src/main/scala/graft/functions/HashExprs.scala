@@ -587,6 +587,17 @@ object exprs {
     column(QualityScanExpr(expression(text)))
   def canon_fp(text: Column): Column =
     column(CanonFpExpr(expression(text)))
+  /** Spark's own bloom-filter sketch aggregate (the runtime-filter
+    * machinery's BloomFilterAggregate, not SQL-registered upstream):
+    * builds a fixed-size filter over int64 hashes. */
+  def bloom_agg(hashes: Column, estimatedItems: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(hashes), estimatedItems)
+      .toAggregateExpression())
+  /** Membership probe against serialized bloom bytes (codegen'd). */
+  def might_contain(bloomBytes: Column, hash: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(expression(bloomBytes), expression(hash)))
 }
 
 /** rolling_hashes(text: string, windowSize: Int) → array<long>: polynomial

@@ -874,7 +874,69 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Serialized bench-gram bloom filters, cached per corpus snapshot
+    * (the codebookCache policy: an index artifact is built once per
+    * corpus, keyed by file fingerprint so a regenerated directory can
+    * never be served stale bits). */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+
+  /** t27 — bloom-prefiltered decontamination: t10's benchmark-overlap
+    * semantics restructured around Spark's own bloom-filter sketch
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the runtime-
+    * filter machinery driven explicitly). The bench-gram bloom is a
+    * FIXED-SIZE bit array however large the benchmark suite grows —
+    * the broadcast-a-hash-set t10 spelling stops scaling exactly when
+    * the eval suite does — and the corpus-side probe drops ~all clean
+    * grams map-side (codegen'd might_contain against literal bloom
+    * bytes riding the plan), so the verification join's shuffle is
+    * O(candidate grams), not O(corpus grams). Bloom false positives
+    * cost only shuffled bytes, never correctness: the SHUFFLE_HASH
+    * verification join (never broadcast — t17's vocabulary rationale)
+    * removes them, so the per-source contamination accounting is EXACT
+    * and fully SQL-oracled. False negatives are impossible by bloom
+    * construction. The filter is built once per corpus snapshot and
+    * embedded as plan bytes — how Spark's own InjectRuntimeFilter ships
+    * its blooms. Reported in exact half-up basis points. */
+  def t27(t: Tables): DataFrame = {
+    import graft.functions.exprs.{bloom_agg, might_contain, ngram_hashes}
+    val grams = t.documentsWide
+      .withColumn("toks", expr(tokensExpr))
+      .select(col("doc_id"), explode(ngram_hashes(col("toks"), 6)).as("g"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val key = s"${t.dir}:${t.tableFingerprint("documents")}"
+    val bf = bloomCache.getOrElseUpdate(key, {
+      // driver-side materialization of the INDEX (bloom bytes), not data
+      // — the s03 codebook pattern; 4M estimated items ≈ 1 MB of bits,
+      // FP rate degrades gracefully past that and only costs shuffle
+      bench.select(bloom_agg(col("g"), 4000000L).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    })
+    val perDoc = grams.filter(col("doc_id") % 50 =!= 0)
+      .filter(might_contain(lit(bf), col("g")))
+      .join(bench.hint("SHUFFLE_HASH"), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+    val docSrc = t.documents.select(col("doc_id"), col("source"))
+    val checked = docSrc.filter(col("doc_id") % 50 =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("n_docs_checked"))
+    val contam = perDoc.join(docSrc, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("n_shared")).as("total_shared_grams"))
+    checked.join(contam, Seq("source"), "left")
+      .select(col("source"), col("n_docs_checked"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("total_shared_grams"), lit(0L))
+          .as("total_shared_grams"))
+      .withColumn("contaminated_bp", expr(
+        "(20000 * n_contaminated + n_docs_checked) div (2 * n_docs_checked)"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t27_bloom_decontaminate" -> t27,
     "t26_importance_weights" -> t26,
     "t25_boilerplate_ngrams" -> t25,
     "d11_incremental_dedup" -> d11,
@@ -915,6 +977,43 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // the bloom prefilter must be invisible in the answer: exact
+    // 6-gram overlap accounting recomputed with string grams (t10's
+    // oracle pattern), rolled up per source in half-up basis points
+    "t27_bloom_decontaminate" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |        string_split_regex(trim(text), '\s+') AS tk
+         |      FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(tk[i:i+5], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(tk) - 4)) AS t(i)
+         |  WHERE len(tk) >= 6),
+         |short AS (SELECT doc_id, array_to_string(tk, ' ') AS g
+         |          FROM toks WHERE len(tk) < 6),
+         |allg AS (SELECT DISTINCT doc_id, g FROM
+         |         (SELECT * FROM grams UNION ALL SELECT * FROM short)),
+         |bench AS (SELECT doc_id AS bench_id, g FROM allg
+         |          WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM allg WHERE doc_id % 50 <> 0),
+         |perdoc AS (
+         |  SELECT corpus.doc_id,
+         |    CAST(count(DISTINCT corpus.g) AS BIGINT) AS n_shared
+         |  FROM corpus JOIN bench USING (g) GROUP BY corpus.doc_id),
+         |src AS (SELECT doc_id, source FROM documents),
+         |checked AS (SELECT source, count(*) AS n_docs_checked
+         |            FROM src WHERE doc_id % 50 <> 0 GROUP BY source),
+         |contam AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated,
+         |    CAST(sum(n_shared) AS BIGINT) AS total_shared_grams
+         |  FROM perdoc JOIN src USING (doc_id) GROUP BY source)
+         |SELECT source, n_docs_checked,
+         |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(coalesce(total_shared_grams, 0) AS BIGINT)
+         |    AS total_shared_grams,
+         |  CAST((20000 * coalesce(n_contaminated, 0) + n_docs_checked)
+         |    // (2 * n_docs_checked) AS BIGINT) AS contaminated_bp
+         |FROM checked LEFT JOIN contam USING (source)
+         |ORDER BY source""".stripMargin,
     // the 256-bucket hashed-unigram LMs re-spelled verbatim: first md5
     // hex byte buckets, Laplace +1, per-bucket log-ratio quantized to
     // int64 1e-4 units before the per-doc integer sum
