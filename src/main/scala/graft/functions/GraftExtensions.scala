@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer surface: the global-window → agg+broadcast-join rewrite
     // (graded by q94; plan-pinned in PlanAuditSpec)
     ext.injectOptimizerRule(_ => graft.plans.GlobalWindowToAgg)
+    // planner surface: the native one-pass as-of join (graded by q95)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -238,6 +238,32 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q95 — q33's as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]: custom LogicalPlan → SparkStrategy →
+    * one-pass merge SparkPlan — the whole-operator Catalyst-extension
+    * rung). Each event probes the latest order date ≤ its timestamp for
+    * the same user in a single co-partitioned sorted merge: the
+    * reference side is read once per partition with O(1) carry state,
+    * vs the q33 composition's union + window-sort over the merged
+    * stream. Same DuckDB ASOF JOIN oracle as q33; RelationalSpec pins
+    * row-identity between the two spellings, PlanAuditSpec pins the
+    * exec shape (AsOfJoinExec over two sorted hash exchanges). */
+  def q95(t: Tables): DataFrame = {
+    val events = t.events.select(col("user_id"), col("ts"), col("value"))
+    // NTZ → session-TZ timestamp is value-identity under the UTC session
+    // every entry point pins (Tables.normalizeTs note)
+    val orders = t.orders.select(col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    graft.plans.AsOfJoin
+      .asofJoin(events, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("asof_ts")).as("asof_date"),
+        sum(expr("cast(round(value * 100) as bigint)"))
+          .as("sum_value_cents"))
+      .orderBy("user_id")
+  }
+
   /** q36 — INTERSECT / EXCEPT set operations across dimension paths. */
   def q36(t: Tables): DataFrame = {
     val supNations = t.supplier
@@ -357,6 +383,7 @@ object Relational {
     "q39_date_funcs" -> q39,
     "q32_json_extract" -> q32,
     "q33_asof_join" -> q33,
+    "q95_native_asof" -> q95,
     "q21_star_join" -> q21,
     "q22_semi_join" -> q22,
     "q23_anti_join" -> q23,
@@ -422,6 +449,17 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the native operator must reproduce the composition's oracle verbatim
+    "q95_native_asof" ->
+      """SELECT user_id, count(*) AS n_events, max(asof_date) AS asof_date,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_value_cents
+        |FROM (
+        |  SELECT e.user_id, e.value, o.o_orderdate AS asof_date
+        |  FROM events e
+        |  ASOF JOIN orders o
+        |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q33_asof_join" ->
       """SELECT user_id, count(*) AS n_events, max(asof_date) AS asof_date,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -34,6 +34,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q95 native as-of join is row-identical to the q33 composition") {
+    // two independent spellings of the same semantics: the custom
+    // one-pass merge exec vs union + window last-non-null
+    val native = operators.Relational.q95(t).collect().toSeq
+    val composed = operators.Relational.q33(t).collect().toSeq
+    assert(native.nonEmpty && native == composed)
+  }
+
   test("q01 counts partition the table") {
     val total = operators.Reference.q01(t)
       .agg(org.apache.spark.sql.functions.sum("total")).head().getLong(0)

@@ -51,6 +51,23 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("q95 plans the custom AsOfJoinExec over two sorted hash " +
+    "exchanges — the one-pass merge shape") {
+    val plan = operators.Relational.q95(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin"),
+      s"q95 must plan the custom exec:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the native spelling must not fall back to the window plan:\n$plan")
+    // EnsureRequirements must have inserted the co-partitioning
+    // exchanges and the (key, time) partition-local sorts it requires
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2,
+      s"both as-of sides must hash-co-partition:\n$plan")
+    assert("Sort \\[".r.findAllIn(plan).size >= 2,
+      s"both as-of sides must sort partition-locally:\n$plan")
+  }
+
   test("q84's SQL UDF inlines into the plan: no UDF invocation node") {
     val plan = operators.Analytics.q84(TestSpark.tables)
       .queryExecution.executedPlan.toString
