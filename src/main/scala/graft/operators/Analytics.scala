@@ -571,7 +571,43 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** q96 — EXACT distinct counting via bitmap aggregation (Spark 3.5+
+    * `bitmap_bucket_number` / `bitmap_bit_position` /
+    * `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`): each
+    * key sets one bit in a 4 KB bucket segment, segments merge
+    * associatively map-side, so DISTINCT KEYS NEVER CROSS THE SHUFFLE —
+    * only OR-able fixed-size segments do. This is the exact complement
+    * of the sketch family: q27's groupBy-distinct shuffles the key
+    * stream, q42/q91 trade exactness for fixed size; bitmap aggregation
+    * is exact AND fixed-size per (group, bucket) when the key domain is
+    * dense integers (surrogate keys — precisely the warehouse case).
+    * The ALL row rolls the per-group bitmaps up by OR-merge WITHOUT
+    * rescanning the fact — the q91 mergeability story, exact. Oracle:
+    * plain COUNT(DISTINCT) on both levels. */
+  def q96(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """WITH per AS (
+        |  SELECT l_returnflag AS grp,
+        |    bitmap_bucket_number(l_partkey) AS b,
+        |    bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
+        |  FROM lineitem GROUP BY 1, 2),
+        |grouped AS (
+        |  SELECT grp, CAST(sum(bitmap_count(bm)) AS BIGINT)
+        |    AS n_distinct_parts
+        |  FROM per GROUP BY grp),
+        |rolled AS (
+        |  SELECT b, bitmap_or_agg(bm) AS bm FROM per GROUP BY b)
+        |SELECT grp, n_distinct_parts FROM grouped
+        |UNION ALL
+        |SELECT 'ALL' AS grp,
+        |  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct_parts
+        |FROM rolled
+        |ORDER BY grp""".stripMargin)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q96_bitmap_distinct" -> q96,
     "q94_global_window_rule" -> q94,
     "q93_sql_scripting" -> q93,
     "q91_sketch_union" -> q91,
@@ -598,6 +634,17 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // the bitmap plumbing must be invisible: plain COUNT(DISTINCT) at
+    // both grouping levels
+    "q96_bitmap_distinct" ->
+      """SELECT l_returnflag AS grp,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL' AS grp,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+        |FROM lineitem
+        |ORDER BY grp""".stripMargin,
     // the rewritten global window computed relationally — the optimizer
     // rule must be semantics-identity
     "q94_global_window_rule" ->
