@@ -606,7 +606,45 @@ object Analytics {
         |ORDER BY grp""".stripMargin)
   }
 
+  /** q97 — map higher-order functions (`map_filter`, `map_zip_with`,
+    * `transform_values`, `map_values` + array fold), q66's map-type
+    * coverage extended to the lambda surface: per-user event maps are
+    * built deterministically (sort_array before map_from_entries), then
+    * every derivation runs as a codegen'd lambda INSIDE the row — no
+    * explode/re-aggregate round trip through a shuffle for per-map
+    * logic. All outputs integer-exact; map_zip_with emits s−c (a
+    * subtraction, deliberately NOT s div c: integer division on
+    * possibly-negative cent sums is floor in DuckDB but
+    * truncate-toward-zero in Spark — a cross-engine trap this suite
+    * sidesteps by construction). Oracle recomputes every value
+    * relationally (q66 precedent: DuckDB map semantics differ, the
+    * CONTENT is engine-neutral). */
+  def q97(t: Tables): DataFrame = {
+    val per = t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    per.groupBy("user_id")
+      .agg(
+        map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cnt"))))).as("cnt_m"),
+        map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cents"))))).as("cents_m"))
+      .select(col("user_id"),
+        size(map_keys(col("cnt_m"))).cast("long").as("n_types"),
+        expr("cast(size(map_filter(cents_m, (k, v) -> v >= 50000)) as long)")
+          .as("n_heavy_types"),
+        expr("aggregate(map_values(cents_m), 0L, (acc, x) -> acc + x)")
+          .as("total_cents"),
+        expr("element_at(map_zip_with(cnt_m, cents_m," +
+          " (k, c, s) -> s - c), 'click')").as("click_zip"),
+        expr("element_at(transform_values(cents_m, (k, v) -> v * 2)," +
+          " 'purchase')").as("purchase_doubled"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q97_map_hof_suite" -> q97,
     "q96_bitmap_distinct" -> q96,
     "q94_global_window_rule" -> q94,
     "q93_sql_scripting" -> q93,
@@ -634,6 +672,22 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // every map-HOF value recomputed relationally (q66 precedent)
+    "q97_map_hof_suite" ->
+      """WITH per AS (
+        |  SELECT user_id, event_type, count(*) AS cnt,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(count(CASE WHEN cents >= 50000 THEN 1 END) AS BIGINT)
+        |    AS n_heavy_types,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(max(CASE WHEN event_type = 'click' THEN cents - cnt END)
+        |    AS BIGINT) AS click_zip,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN cents * 2 END)
+        |    AS BIGINT) AS purchase_doubled
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the bitmap plumbing must be invisible: plain COUNT(DISTINCT) at
     // both grouping levels
     "q96_bitmap_distinct" ->
