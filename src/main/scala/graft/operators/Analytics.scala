@@ -643,7 +643,53 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q98 — distinct counts over windows, a surface SQL engines expose as
+    * `count(DISTINCT x) OVER (...)` but Spark does not support at all
+    * (SPARK-30277 class). Two scalable spellings stand in:
+    *   - whole-partition distinct: `max(dense_rank)` over the partition
+    *     ordered by the counted value — O(1) state per row, no set
+    *     materialization;
+    *   - running (cumulative) distinct: a first-occurrence flag
+    *     (`row_number() = 1` over (user, type)) running-summed along the
+    *     event order.
+    * Neither spelling builds a per-row `collect_set` — the naive window
+    * translation — whose state is O(distinct values) PER ROW and dies on
+    * a hot user at corpus scale. Window order is chosen so the coarsest
+    * partitioning plans first: every spec clusters by `user_id` (the
+    * (user, type) spec is satisfied by hash(user_id) co-location), and
+    * the final per-user rollup reuses the same partitioning — ONE
+    * exchange end to end (PlanAuditSpec pins it). Output is the bounded
+    * per-user audit row (total distinct, curve checksum, event count),
+    * never the raw per-event curve. Oracle: DuckDB's NATIVE windowed
+    * DISTINCT aggregate — a genuinely different evaluation strategy
+    * converging on the same values. Ref analog: the reference's
+    * per-entity distinct profiling (lines 80–96) as a window, not a
+    * re-scan. */
+  def q98(t: Tables): DataFrame = {
+    val byUser    = Window.partitionBy("user_id")
+    val typeRank  = byUser.orderBy("event_type")
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val curve = byUser.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // coarse (user_id-clustered) window first: everything downstream
+      // inherits its exchange
+      .withColumn("dr", dense_rank().over(typeRank))
+      .withColumn("first_flag",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("n_types", max(col("dr")).over(byUser))
+      .withColumn("running_nt", sum(col("first_flag")).over(curve))
+      .groupBy("user_id")
+      .agg(max(col("n_types")).cast("long").as("n_types"),
+        sum(col("running_nt")).cast("long").as("curve_sum"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q98_window_distinct" -> q98,
     "q97_map_hof_suite" -> q97,
     "q96_bitmap_distinct" -> q96,
     "q94_global_window_rule" -> q94,
@@ -672,6 +718,22 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native windowed DISTINCT aggregate — a different
+    // evaluation strategy (per-frame distinct sets) than the Spark
+    // side's rank/flag spellings, converging on the same values
+    "q98_window_distinct" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    count(DISTINCT event_type) OVER (PARTITION BY user_id)
+        |      AS nt,
+        |    count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS running_nt
+        |  FROM events)
+        |SELECT user_id, CAST(max(nt) AS BIGINT) AS n_types,
+        |  CAST(sum(running_nt) AS BIGINT) AS curve_sum,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // every map-HOF value recomputed relationally (q66 precedent)
     "q97_map_hof_suite" ->
       """WITH per AS (

@@ -454,7 +454,54 @@ object CatalogOps {
       .orderBy("bucket")
   }
 
+  /** The nested-struct events layout w10 reads — a fat `blob` subfield
+    * (the raw props payload) sits INSIDE the struct next to the two
+    * numeric subfields the query wants, so pruning is the difference
+    * between reading ~16 bytes/row and re-reading the whole payload. */
+  private[graft] def nestedLayout(t: Tables): String = {
+    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:w10:" +
+      s"${t.tableFingerprint("events")}"
+    etlCache.getOrElseUpdate(key, {
+      val out = graft.TempDirs.create("graft_w10_nested")
+      t.events.select(col("event_id"),
+        struct(
+          col("event_type").as("kind"),
+          expr("cast(round(value * 100) as bigint)").as("amount_cents"),
+          struct(col("user_id").as("uid"),
+            length(col("props")).cast("long").as("props_len")).as("who"),
+          col("props").as("blob")).as("payload"))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "snappy").parquet(out)
+      out
+    })
+  }
+
+  /** w10 — nested-schema pruning graded end-to-end: event logs at crawl
+    * scale ship as one struct column (typed metadata + a fat raw
+    * payload), and a rollup touching two small subfields must push a
+    * PRUNED ReadSchema into the parquet scan — reading
+    * `payload.kind/amount_cents/who.props_len` and NOT `payload.blob`
+    * or `payload.who.uid`. Parquet stores each struct leaf as its own
+    * column chunk, so pruning here is the nested twin of flat column
+    * projection: without it a 2-subfield rollup re-reads the whole
+    * payload (at 100 TB, ~the whole table). Catalyst's
+    * nestedSchemaPruning handles it when the query stays declarative —
+    * PlanAuditSpec pins the scan's ReadSchema to exactly the three
+    * leaves. Oracle recomputes the rollup from the RAW table: the
+    * nested layer must be a pure physical layout choice. */
+  def w10(t: Tables): DataFrame =
+    t.spark.read.parquet(nestedLayout(t))
+      .select(col("payload.kind").as("kind"),
+        col("payload.amount_cents").as("amount_cents"),
+        col("payload.who.props_len").as("props_len"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("amount_cents")).as("amount_cents_sum"),
+        sum(col("props_len")).as("props_len_sum"))
+      .orderBy("kind")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "w10_nested_pruning" -> w10,
     "w08_csv_roundtrip" -> w08,
     "w09_jsonl_quarantine" -> w09,
     "w07_partition_overwrite" -> w07,
@@ -467,6 +514,14 @@ object CatalogOps {
     "w03_zorder_band_query" -> w03)
 
   val oracles: Map[String, String] = Map(
+    // the same rollup from the raw flat table — the nested layout (and
+    // its pruning) must be invisible in the values
+    "w10_nested_pruning" ->
+      """SELECT event_type AS kind, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS amount_cents_sum,
+        | CAST(sum(length(props)) AS BIGINT) AS props_len_sum
+        |FROM events GROUP BY event_type ORDER BY kind""".stripMargin,
     // recompute the adversarial payload from the raw parquet; md5 + length
     // equality proves the CSV round-trip preserved quotes, commas, and
     // leading/trailing whitespace byte-for-byte (DuckDB md5(VARCHAR)

@@ -40,6 +40,10 @@ import org.apache.spark.storage.StorageLevel
 object GraphOps {
 
   private val Iters = 8
+  /** LPA rounds: each round is TWO aggregations (vote count + argmax), so
+    * 4 rounds already exercises the merge-and-split dynamics mode labels
+    * have and min labels don't, at half g02's unrolled-oracle depth. */
+  private val LpaIters = 4
 
   /** Distinct supplier↔customer edges in both directions (node ids:
     * supplier s → 2s, customer c → 2c+1). Shared by g01/g02. */
@@ -210,10 +214,57 @@ object GraphOps {
       .orderBy("part_key")
   }
 
+  /** g04 — community detection by synchronous label propagation (LPA,
+    * Raghavan et al. 2007): each round every node adopts the MODE of its
+    * neighbors' labels (most-frequent; ties to the smallest label) — a
+    * different fixed-point aggregate than g02's min (mode is NOT
+    * monotone, so communities can merge AND split across rounds), which
+    * is why it finds density-based communities where min-label finds
+    * connectivity. Determinism without convergence: both engines run
+    * EXACTLY [[LpaIters]] synchronous rounds with identical integer tie
+    * semantics — Spark's `min(struct(-count, label))` and the oracle's
+    * `row_number() OVER (ORDER BY count DESC, label)` implement the same
+    * lexicographic argmax — so the gate is exact whether or not the
+    * labeling has stabilized (synchronous LPA on bipartite graphs can
+    * oscillate; the self-loop damps it, and a production run wraps the
+    * same loop in a stop-when-stable check, exactly as g02 documents).
+    * Scale shape: per round ONE O(edges) shuffle to count (dst, label)
+    * votes + one O(nodes·labels-per-node) argmax — the Pregel layout
+    * again, edges partitioned+persisted once, never re-scanned. Output
+    * is the bounded community histogram (size + member-id checksum),
+    * never asserted on raw per-node rows. */
+  def g04(t: Tables): DataFrame = {
+    val und = undirectedTradeEdges(t)
+    // self-loop = "my own label votes once", folded into the single join
+    // (the g02 restructure: referencing labels twice per round doubles
+    // the unshared plan every iteration)
+    val edges = und
+      .unionByName(und.select(col("src"), col("src").as("dst")).distinct())
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("l", col("node"))
+    for (_ <- 1 to LpaIters) {
+      labels = edges.join(labels.hint("SHUFFLE_HASH"),
+          edges("src") === labels("node"))
+        .groupBy(col("dst"), col("l"))
+        .agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc) as a lexicographic struct min
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("l").as("lbl"))).as("m"))
+        .select(col("dst").as("node"), col("m.lbl").as("l"))
+    }
+    labels.groupBy(col("l").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("node")).as("members_sum"))
+      .orderBy("community")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "g01_pagerank" -> g01,
     "g02_connected_components" -> g02,
-    "g03_triangle_count" -> g03)
+    "g03_triangle_count" -> g03,
+    "g04_label_propagation" -> g04)
 
   /** 8 unrolled iteration CTEs — DuckDB's recursive CTE restricts
     * aggregation over the recursive relation, and a fixed unroll is the
@@ -229,8 +280,17 @@ object GraphOps {
       s"""$cur AS (SELECT e.dst AS node, min(r.l) AS l
          |  FROM edges_cc e JOIN $prev r ON e.src = r.node
          |  GROUP BY e.dst)""".stripMargin
+    def lpaStep(prev: String, cur: String) =
+      s"""$cur AS (SELECT dst AS node, l FROM (
+         |  SELECT e.dst, r.l, count(*) AS c,
+         |    row_number() OVER (PARTITION BY e.dst
+         |      ORDER BY count(*) DESC, r.l) AS rn
+         |  FROM edges_cc e JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst, r.l) WHERE rn = 1)""".stripMargin
     val ccSteps = (1 to Iters)
       .map(i => ccStep(s"l${i - 1}", s"l$i")).mkString(",\n")
+    val lpaSteps = (1 to LpaIters)
+      .map(i => lpaStep(s"l${i - 1}", s"l$i")).mkString(",\n")
     val steps = (1 to Iters)
       .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
     Map(
@@ -255,6 +315,23 @@ object GraphOps {
           |  UNION ALL SELECT c FROM tri)
           |SELECT node AS part_key, count(*) AS n_triangles
           |FROM n GROUP BY node ORDER BY part_key""".stripMargin,
+      // same synchronous rounds, the argmax spelled as a window rank —
+      // identical (count desc, label asc) tie order
+      "g04_label_propagation" ->
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT src, dst FROM pairs
+           |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+           |edges_cc AS (
+           |  SELECT src, dst FROM edges
+           |  UNION ALL SELECT DISTINCT src, src AS dst FROM edges),
+           |l0 AS (SELECT DISTINCT src AS node, src AS l FROM edges),
+           |$lpaSteps
+           |SELECT l AS community, count(*) AS n_members,
+           |  CAST(sum(node) AS BIGINT) AS members_sum
+           |FROM l$LpaIters GROUP BY l ORDER BY community""".stripMargin,
       "g02_connected_components" ->
         s"""WITH pairs AS (
            |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst

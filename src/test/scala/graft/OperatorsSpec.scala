@@ -617,6 +617,46 @@ class OperatorsSpec extends AnyFunSuite {
       compMin.foreach { case (n, m) => assert(got(n) == m, s"node $n") }
   }
 
+  test("g04 equals a driver-side 4-round mode-label propagation with " +
+    "(count desc, label asc) ties, community for community") {
+    import org.apache.spark.sql.functions.expr
+    val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        expr("l_orderkey = o_orderkey"))
+      .select(expr("l_suppkey * 2").as("src"),
+        expr("o_custkey * 2 + 1").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    // neighbors ∪ self — the self-loop vote the engine folds into its join
+    val adj = und.groupBy(_._1).view
+      .mapValues(es => es.map(_._2) :+ es.head._1).toMap
+    var l = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      l = l.map { case (n, _) =>
+        val votes = adj(n).map(l).groupBy(identity).view
+          .mapValues(_.length).toSeq
+        // argmax by (count desc, label asc)
+        n -> votes.minBy { case (lbl, c) => (-c, lbl) }._1
+      }
+    }
+    val expected = l.values.groupBy(identity).map { case (c, vs) =>
+      c -> vs.size.toLong
+    }
+    val members = l.toSeq.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    val got = operators.GraphOps.g04(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == expected.size,
+      s"community count ${got.size} != ${expected.size}")
+    expected.foreach { case (c, n) =>
+      assert(got(c)._1 == n, s"community $c size ${got(c)._1} != $n")
+      assert(got(c)._2 == members(c),
+        s"community $c member checksum ${got(c)._2} != ${members(c)}")
+    }
+    // LPA must be strictly coarser than or equal to trivial labeling,
+    // and communities can only shrink in count vs node count
+    assert(got.size <= l.size)
+  }
+
   test("t25 covers every document, bounds n_boiler by n_grams, and " +
     "reports the exact half-up basis-point ratio") {
     val rows = text.TextOps.t25(t).collect()

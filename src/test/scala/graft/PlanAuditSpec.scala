@@ -406,6 +406,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scans must report the bucketed layout:\n$plan")
   }
 
+  test("q98's four window specs and final rollup share ONE exchange") {
+    val plan = operators.Analytics.q98(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // every spec clusters by user_id (the (user, type) spec is satisfied
+    // by hash(user_id) co-location) and the window order puts the coarse
+    // partitioning first, so the whole query is one hash exchange plus
+    // the final ORDER BY's range exchange — a second hash exchange means
+    // the window order regressed and the (user,type) spec planned first
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1,
+      s"q98 should plan exactly one hash exchange, found $hashEx:\n$plan")
+    // and the distinct spellings must never materialize per-row sets
+    assert(!plan.contains("collect_set"),
+      s"q98 must not fall back to collect_set state:\n$plan")
+  }
+
+  test("w10 scan prunes the nested schema to the three queried leaves") {
+    val t = TestSpark.tables
+    val plan = operators.CatalogOps.w10(t)
+      .queryExecution.executedPlan.toString
+    // parquet stores each struct leaf as its own column chunk; the scan
+    // must read kind/amount_cents/who.props_len and skip the fat blob
+    // and the unused who.uid — else a 2-subfield rollup re-reads the
+    // whole payload at 100 TB
+    assert(plan.contains("ReadSchema"), s"no scan in w10 plan:\n$plan")
+    assert(!plan.contains("blob"),
+      s"w10 scan must prune payload.blob:\n$plan")
+    assert(!plan.contains("uid"),
+      s"w10 scan must prune payload.who.uid:\n$plan")
+    assert(plan.contains("props_len"),
+      s"w10 scan should still read payload.who.props_len:\n$plan")
+  }
+
   test("salted join result equals the plain join") {
     val t = TestSpark.tables
     import org.apache.spark.sql.functions._
