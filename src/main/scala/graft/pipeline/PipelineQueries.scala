@@ -92,9 +92,69 @@ object PipelineQueries {
       .toDF("rows_out", "total_chars", "null_texts")
   }
 
+  /** p03 — the training-mix builder end-to-end: t24's token-budget
+    * weighting → deterministic rate sampling → t16's sequence packing,
+    * composed into the "construct the mixture" job a training run
+    * actually launches, reporting plan vs achievement per source
+    * (weight, kept docs/tokens, packed 512-token sequences).
+    *
+    * Sampling is a pure function of doc_id — keep iff the first 8 md5
+    * hex chars, read as a uniform 32-bit integer, fall under the
+    * source's weight: h32·10⁴ < weight_bp·2³² in exact int64 cross-
+    * multiplication (h32 < 2³², weight_bp ≤ 10⁴ ⇒ both sides < 2⁶⁰).
+    * That makes the sample reproducible on any engine, any partitioning,
+    * any executor count — the t23 hash-threshold idea as a RATE (t23
+    * caps a count; a mixture needs a fraction), with no RNG state and
+    * no shuffled sort. Expected kept fraction per source is
+    * weight_bp/10⁴ exactly; achieved counts are gated against the same
+    * arithmetic in DuckDB.
+    *
+    * Scale shape: one kernel scan builds (n_tokens, h32) per doc; the
+    * 20-row weight table broadcasts back (never a shuffle of the
+    * corpus); packing's running sum windows over kept docs only —
+    * O(corpus·weight) rows, partitioned by source exactly like t16.
+    * The per-doc relation is persisted across its two consumers (the
+    * weight aggregation and the sample filter), so the corpus scans
+    * once. */
+  def p03(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t.documents.select(col("doc_id"), col("source"),
+        graft.functions.exprs.quality_scan(col("text"))
+          .getField("n_tokens").cast("bigint").as("n_tokens"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8)," +
+          " 16, 10) as bigint)").as("h32"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val weights = perSrc.crossJoin(broadcast(tot))
+      .withColumn("weight_bp", least(lit(10000L),
+        expr("(tot_tokens DIV (2 * n_sources)) * 10000 DIV src_tokens")))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("weight_bp"))
+    val kept = docs
+      .join(broadcast(weights.select(col("source"), col("weight_bp"))),
+        "source")
+      .filter(col("h32") * lit(10000L) < col("weight_bp") * lit(4294967296L))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val achieved = kept
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr("cum_before div 512"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"),
+        countDistinct(col("pack_id")).as("n_packs"))
+    weights.join(achieved, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept", "kept_tokens", "n_packs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "p01_curation_pipeline" -> p01,
-    "p02_observe_metrics" -> p02)
+    "p02_observe_metrics" -> p02,
+    "p03_mixture_builder" -> p03)
 
   // The composed oracle: each CTE is the DuckDB twin of one stage's
   // already-oracled semantics, chained on the previous stage's survivors.
@@ -203,5 +263,48 @@ object PipelineQueries {
          |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
          |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
          |    AS null_texts
-         |FROM e""".stripMargin)
+         |FROM e""".stripMargin,
+    // weight → rate-sample → pack, each CTE the DuckDB twin of the
+    // already-oracled t24 / t23-hash / t16 semantics; the sample filter
+    // is the identical exact int64 cross-multiply
+    "p03_mixture_builder" ->
+      raw"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) AS h32
+         |  FROM documents),
+         |per_src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |  FROM docs GROUP BY source),
+         |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+         |               count(*) AS n_sources FROM per_src),
+         |weights AS (
+         |  SELECT source, n_docs, src_tokens,
+         |    least(10000, (tot_tokens // (2 * n_sources)) * 10000
+         |      // src_tokens) AS weight_bp
+         |  FROM per_src, tot),
+         |kept AS (
+         |  SELECT d.source, d.doc_id, d.n_tokens
+         |  FROM docs d JOIN weights w USING (source)
+         |  WHERE d.h32 * 10000 < w.weight_bp * 4294967296),
+         |packed AS (
+         |  SELECT source, n_tokens,
+         |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS pack_id
+         |  FROM kept),
+         |achieved AS (
+         |  SELECT source, count(*) AS n_kept,
+         |    CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+         |    CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs
+         |  FROM packed GROUP BY source)
+         |SELECT w.source, w.n_docs, w.src_tokens,
+         |  CAST(w.weight_bp AS BIGINT) AS weight_bp,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(coalesce(a.n_packs, 0) AS BIGINT) AS n_packs
+         |FROM weights w LEFT JOIN achieved a USING (source)
+         |ORDER BY w.source""".stripMargin)
 }

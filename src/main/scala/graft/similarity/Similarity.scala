@@ -680,7 +680,96 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Per-dim (min, step) SQ8 quantization grid, cached per table
+    * fingerprint like the IVF/PQ codebooks. */
+  private val sqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Double])]
+
+  /** s14 — scalar-quantized (SQ8) ANN, the memory-compression rung
+    * between raw floats and s06's PQ: each dimension quantizes
+    * independently to an 8-bit code on a per-dim [min, max] grid
+    * (4× smaller than float32, vs PQ's 64× — but NO codebook training
+    * and max per-dim error step/2, which is why SQ8 is the production
+    * default when memory merely needs to shrink 4×, not 64×).
+    *
+    * Scoring uses the SQ analog of ADC: dot(q, x̂) decomposes as
+    * C_q + Σ_d (q_d·step_d)·code_d — the per-query constant C_q and
+    * weight vector w_d = q_d·step_d are precomputed ONCE per query
+    * (10×64 driver-side floats, broadcast), so the per-candidate cost
+    * is one fused dot over the codes, identical to scoring raw floats
+    * but against the 4×-smaller representation that is what actually
+    * fits in executor memory at 100 TB. Approx top-`Shortlist` re-ranks
+    * with exact cosine (the s06 two-stage shape; both ranks compile to
+    * the two-phase WindowGroupLimit heap).
+    *
+    * The grid is ONE corpus aggregation (128 min/max partial-agg
+    * columns, map-side combined, one row out — no per-dim shuffle of
+    * the corpus), cached per table fingerprint. Constant dims get
+    * step=1 and code 0 — never a divide-by-zero. Rows-only by design
+    * (SQL engines lack the fused quantized-dot kernel); the
+    * SimilarityFixtureSpec gates recall vs the exact ranking and pins
+    * the per-dim reconstruction-error bound. */
+  def s14(t: Tables): DataFrame = {
+    val Shortlist = 50
+    val corpus = prepped(t)
+    val (mins, steps) = sqCache.getOrElseUpdate(s"${codebookKey(t)}:sq8", {
+      val d = corpus.select(size(col("vec"))).first.getInt(0)
+      val aggs = (0 until d).flatMap(i => Seq(
+        min(element_at(col("vec"), i + 1)), max(element_at(col("vec"), i + 1))))
+      val row = corpus.agg(aggs.head, aggs.tail: _*).first()
+      val mn = Array.tabulate(d)(i => row.getDouble(2 * i))
+      val st = Array.tabulate(d) { i =>
+        val s = (row.getDouble(2 * i + 1) - row.getDouble(2 * i)) / 255.0
+        if (s > 0) s else 1.0
+      }
+      (mn, st)
+    })
+    // encode map-only: code_d = round((x_d - min_d) / step_d), clamped
+    // to [0, 255] (clamp is a no-op on corpus data — the grid was fit on
+    // it — but keeps out-of-grid QUERY-TIME vectors safe by contract);
+    // kept as double so the ADC dot below is one fused kernel with no
+    // per-row re-cast allocation
+    val encoded = corpus
+      .withColumn("__sq_mins", typedlit(mins.toSeq))
+      .withColumn("__sq_steps", typedlit(steps.toSeq))
+      .withColumn("codes",
+        expr("zip_with(zip_with(vec, __sq_mins, (x, m) -> x - m)," +
+          " __sq_steps, (y, s) -> least(255d, greatest(0d, round(y / s))))"))
+      .drop("__sq_mins", "__sq_steps")
+    // per-query ADC: w_d = q_d·step_d, C_q = Σ q_d·min_d (driver-side
+    // over the 10 query vectors — the codebook-holding pattern)
+    val qRows = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("vec"), col("norm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    import t.spark.implicits._
+    val lutDf = qRows.map { case (qid, qv, _) =>
+      val w = Array.tabulate(qv.length)(i => qv(i) * steps(i))
+      val c = qv.indices.map(i => qv(i) * mins(i)).sum
+      (qid, w.toSeq, c)
+    }.toSeq.toDF("q_id", "w", "c")
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = encoded.crossJoin(broadcast(lutDf))
+      .select(col("q_id"), col("vec_id"), col("vec"), col("norm"),
+        (col("c") + dot_d(col("codes"), col("w"))).as("adc"))
+      .withColumn("srn", row_number().over(wAdc))
+      .filter(col("srn") <= Shortlist)
+    val queries10 = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    shortlist.join(broadcast(queries10), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot_d(col("vec"), col("q_vec"))
+          / (col("norm") * col("q_norm")), 4).as("sim"))
+      .withColumn("rn", row_number().over(wExact).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s14_sq8_ann" -> s14,
     "s13_matryoshka_topk" -> s13,
     "s12_mips_topk" -> s12,
     "s11_hybrid_search" -> s11,

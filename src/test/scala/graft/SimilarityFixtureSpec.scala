@@ -120,6 +120,44 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ+re-rank recall@5 $recall below 0.5")
   }
 
+  test("s14 SQ8 ANN equals the kernel-computed grid/ADC/re-rank " +
+    "expectation, and the grid bounds per-dim reconstruction error") {
+    val live = vids.filter(norm(_) > 0)
+    val d = dvecs(live.head).length
+    val mins = Array.tabulate(d)(i => live.map(dvecs(_)(i)).min)
+    val steps = Array.tabulate(d) { i =>
+      val s = (live.map(dvecs(_)(i)).max - mins(i)) / 255.0
+      if (s > 0) s else 1.0
+    }
+    // Spark round() is HALF_UP; operands are >= 0 here so floor(x+0.5)
+    def code(v: Array[Double], i: Int): Double =
+      math.min(255.0, math.max(0.0,
+        math.floor((v(i) - mins(i)) / steps(i) + 0.5)))
+    // reconstruction bound: |x̂ - x| <= step/2 (+ eps) on every live dim
+    live.foreach { id =>
+      (0 until d).foreach { i =>
+        val xhat = mins(i) + code(dvecs(id), i) * steps(i)
+        assert(math.abs(xhat - dvecs(id)(i)) <= steps(i) / 2 + 1e-9,
+          s"vec $id dim $i reconstruction error exceeds step/2")
+      }
+    }
+    // ADC shortlist-50 then exact top-5, same arithmetic order as the
+    // fused kernel (sequential dot)
+    val expected = qids.flatMap { q =>
+      val qv = dvecs(q)
+      val w = Array.tabulate(d)(i => qv(i) * steps(i))
+      val c0 = (0 until d).map(i => qv(i) * mins(i)).sum
+      val adc = live.map { v =>
+        var s = 0.0; var i = 0
+        while (i < d) { s += code(dvecs(v), i) * w(i); i += 1 }
+        v -> (c0 + s)
+      }.toMap
+      val shortlist = live.sortBy(v => (-adc(v), v)).take(50)
+      top5(q, shortlist)
+    }
+    assert(collect4(Similarity.s14(t)) == expected)
+  }
+
   test("s07 radius search equals the kernel-computed threshold set") {
     val live = vids.filter(norm(_) > 0)
     val expected = (for {
