@@ -121,7 +121,12 @@ object GraftExtensions {
       info("bounded_collect",
         "bounded_collect(item, cap) - struct(n, members) with members capped"),
       (args: Seq[Expression]) => BoundedCollect(
-        args.head, intArg(args(1), "cap")).toAggregateExpression()))
+        args.head, intArg(args(1), "cap")).toAggregateExpression()),
+    ("kmv_sketch",
+      info("kmv_sketch",
+        "kmv_sketch(hash, k) - k minimum distinct hashes ascending (KMV/theta sketch)"),
+      (args: Seq[Expression]) => KmvSketch(
+        args.head, intArg(args(1), "k")).toAggregateExpression()))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

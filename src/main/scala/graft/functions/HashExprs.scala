@@ -575,6 +575,8 @@ object exprs {
     column(WinnowStats(expression(text), hashWin, winnowWin))
   def bounded_collect(item: Column, cap: Int): Column =
     column(BoundedCollect(expression(item), cap).toAggregateExpression())
+  def kmv_sketch(hash: Column, k: Int): Column =
+    column(KmvSketch(expression(hash), k).toAggregateExpression())
   def ngram_scan(text: Column, n: Int = 3): Column =
     column(NgramScan(expression(text), n))
   def chunk_scan(text: Column, c: Int = 64): Column =

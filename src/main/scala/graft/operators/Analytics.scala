@@ -688,7 +688,66 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** q99 — theta/KMV sketch distinct counts WITH set intersection: the
+    * capability q91's HLL cannot express (HLL unions losslessly but
+    * intersects only via inclusion-exclusion, whose error explodes on
+    * small overlaps). The custom [[graft.functions.KmvSketch]]
+    * TypedImperativeAggregate keeps the k=256 minimum distinct 48-bit
+    * hashes per group — fixed O(k) memory, associative merge, map-side
+    * partials, only k longs per group across the shuffle — and because
+    * the sketch retains an actual uniform hash SAMPLE below
+    * θ = k-th-minimum, the 'click ∧ purchase' distinct-user overlap
+    * estimates as |common ∩ [0,θ)| · 2⁴⁸ / θ with θ = min(θ_A, θ_B).
+    *
+    * Every estimate is exact integer arithmetic over md5-derived hashes
+    * (first 12 hex chars = 48 bits; (k−1)·2⁴⁸ < 2⁶³ — 60-bit hashes
+    * would overflow the numerator), so the sketch CONTENT — not just an
+    * error bound — is reproducible on any engine: the oracle rebuilds
+    * the same sketches with a DuckDB window rank and must match the
+    * estimates to the last digit. A sketch operator with an exact SQL
+    * oracle (q91's mergeability story made value-checkable).
+    *
+    * Partial-sketch estimates (size < k) are exact counts by
+    * construction — θ = 2⁴⁸ and the "sample" is the whole set. */
+  def q99(t: Tables): DataFrame = {
+    import graft.functions.exprs.kmv_sketch
+    val K = 256
+    val Dom = 281474976710656L            // 2^48
+    val Num = (K - 1L) * Dom              // (k-1)·2^48 for the estimator
+    val sk = t.events
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 12)," +
+          " 16, 10) as bigint)").as("h"))
+      .groupBy("event_type")
+      .agg(kmv_sketch(col("h"), K).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perType = sk.select(
+      col("event_type").as("grp"),
+      size(col("sk")).cast("long").as("sketch_n"),
+      when(size(col("sk")) < K, size(col("sk")).cast("long"))
+        .otherwise(expr(s"$Num div element_at(sk, $K)")).as("est_distinct"))
+    val ix = sk.agg(
+        coalesce(first(when(col("event_type") === "click", col("sk")),
+          ignoreNulls = true), expr("cast(array() as array<bigint>)"))
+          .as("ska"),
+        coalesce(first(when(col("event_type") === "purchase", col("sk")),
+          ignoreNulls = true), expr("cast(array() as array<bigint>)"))
+          .as("skb"))
+      .withColumn("theta", least(
+        when(size(col("ska")) < K, lit(Dom))
+          .otherwise(element_at(col("ska"), K)),
+        when(size(col("skb")) < K, lit(Dom))
+          .otherwise(element_at(col("skb"), K))))
+      .withColumn("common", expr(
+        "cast(size(filter(array_intersect(ska, skb), x -> x < theta)) as bigint)"))
+      .select(lit("click_x_purchase").as("grp"),
+        col("common").as("sketch_n"),
+        expr(s"common * $Dom div theta").as("est_distinct"))
+    perType.unionByName(ix).orderBy("grp")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q99_theta_sketch" -> q99,
     "q98_window_distinct" -> q98,
     "q97_map_hof_suite" -> q97,
     "q96_bitmap_distinct" -> q96,
@@ -718,6 +777,49 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // the same KMV sketches rebuilt via a window rank over distinct
+    // hashes — estimates must match the custom aggregate to the digit
+    "q99_theta_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |sk AS (SELECT event_type, h, rn FROM r WHERE rn <= 256),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    max(CASE WHEN rn = 256 THEN h END) AS theta_k
+        |  FROM sk GROUP BY event_type),
+        |per AS (
+        |  SELECT event_type AS grp, CAST(n AS BIGINT) AS sketch_n,
+        |    CAST(CASE WHEN n < 256 THEN n
+        |              ELSE 71776119061217280 // theta_k END AS BIGINT)
+        |      AS est_distinct
+        |  FROM agg),
+        |th AS (
+        |  SELECT least(
+        |    coalesce((SELECT CASE WHEN n < 256 THEN 281474976710656
+        |                          ELSE theta_k END
+        |              FROM agg WHERE event_type = 'click'),
+        |             281474976710656),
+        |    coalesce((SELECT CASE WHEN n < 256 THEN 281474976710656
+        |                          ELSE theta_k END
+        |              FROM agg WHERE event_type = 'purchase'),
+        |             281474976710656)) AS theta),
+        |common AS (
+        |  SELECT count(*) AS cnt FROM sk a JOIN sk b ON a.h = b.h, th
+        |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |    AND a.h < th.theta)
+        |SELECT grp, sketch_n, est_distinct FROM per
+        |UNION ALL
+        |SELECT 'click_x_purchase' AS grp, CAST(cnt AS BIGINT) AS sketch_n,
+        |  CAST(cnt * 281474976710656 // theta AS BIGINT) AS est_distinct
+        |FROM common, th
+        |ORDER BY grp""".stripMargin,
     // DuckDB's native windowed DISTINCT aggregate — a different
     // evaluation strategy (per-frame distinct sets) than the Spark
     // side's rank/flag spellings, converging on the same values

@@ -203,6 +203,48 @@ class HashPropertySpec extends AnyFunSuite {
     assert(sa.zip(sc).count { case (x, y) => x == y } / 32.0 < 0.2)
   }
 
+  test("kmv_sketch buffer: k-smallest-distinct semantics, merge-order " +
+    "invariance, serde round-trip, and estimator error bound") {
+    import graft.functions.{KmvBuffer, KmvSketch}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.LongType
+    val K = 256
+    val agg = KmvSketch(BoundReference(0, LongType, nullable = true), K)
+    def evalSeq(b: KmvBuffer): Seq[Long] =
+      agg.eval(b).asInstanceOf[ArrayData].toLongArray().toSeq
+    def updated(vs: Seq[Long]): KmvBuffer = {
+      val b = agg.createAggregationBuffer()
+      vs.foreach(v => agg.update(b, InternalRow(v)))
+      b
+    }
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(2000)
+      // duplicates on purpose: KMV is over DISTINCT values
+      val vs = Seq.fill(n)(rnd.nextLong(1L << 48))
+      val dup = rnd.shuffle(vs ++ vs.take(n / 2))
+      val expect = vs.distinct.sorted.take(K)
+      assert(evalSeq(updated(dup)) == expect)
+      // merge in arbitrary split order must equal the single-pass sketch
+      val parts = dup.grouped(1 + rnd.nextInt(200)).map(updated).toSeq
+      val merged = rnd.shuffle(parts)
+        .reduce { (a, b) => agg.merge(a, b) }
+      assert(evalSeq(merged) == expect)
+      // serde round-trip preserves the sketch exactly
+      assert(evalSeq(agg.deserialize(agg.serialize(merged))) == expect)
+    }
+    // estimator: 100k uniform 48-bit distinct hashes; KMV RSE ~ 1/sqrt(k-2)
+    // (~6.3% at k=256) — gate at 5 sigma
+    val big = Seq.fill(100000)(rnd.nextLong(1L << 48)).distinct
+    val sk = evalSeq(updated(big))
+    assert(sk.size == K)
+    val est = (K - 1L) * (1L << 48) / sk.last
+    val err = math.abs(est.toDouble - big.size) / big.size
+    assert(err < 5.0 / math.sqrt(K - 2.0),
+      s"KMV estimate $est vs ${big.size}: error $err beyond 5 sigma")
+  }
+
   test("rolling hashes: deterministic, n-w+1 windows, equal windows collide") {
     (1 to 200).foreach { _ =>
       val s = rnd.alphanumeric.take(4 + rnd.nextInt(60)).mkString
