@@ -35,7 +35,9 @@ object SparkEntry {
         "m02_frame_sample" -> ((s: SparkSession, _: String) =>
           graft.multimodal.BinaryPipeline.m02(s)),
         "m03_media_fingerprint" -> ((s: SparkSession, dir: String) =>
-          graft.multimodal.BinaryPipeline.m03(Tables(s, dir))))
+          graft.multimodal.BinaryPipeline.m03(Tables(s, dir))),
+        "m04_phash_neardup" -> ((s: SparkSession, _: String) =>
+          graft.multimodal.BinaryPipeline.m04(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -527,7 +527,56 @@ object Dedup {
       .orderBy("cent_id")
   }
 
+  /** d13 — cross-source n-gram overlap matrix: for every source pair,
+    * the count of distinct word 5-grams present in BOTH plus the exact
+    * gram-Jaccard in basis points — the "which sources share
+    * boilerplate/content" audit run BEFORE mixing sources into a
+    * training corpus (shared mass inflates effective epochs on the
+    * overlap; the decontamination lineage of t10 applied source-to-
+    * source instead of corpus-to-benchmark).
+    *
+    * Scale shape: distinct (source, gram) via one hash agg (shuffle ∝
+    * distinct pairs — Heaps-sublinear in bytes, Zipf head collapses
+    * map-side); then per-gram source SETS via collect_set, which is
+    * bounded by #sources (structurally ≤20 here — the one place
+    * collect_set is safe by CONSTRUCTION, not by data luck), and pair
+    * generation runs as a codegen'd HOF combination expansion INSIDE
+    * the row — ≤ C(sources,2) structs per gram, never a second shuffle
+    * of the gram relation and never a self-join that re-shuffles the
+    * gram stream twice. Output is the ≤C(20,2)-row matrix. Gram space:
+    * the 64-bit FNV `ngram_hashes` kernel with whole-text fallback;
+    * the DuckDB twin uses string grams — identical sets up to ~2⁻⁶⁴
+    * collision odds (the t10/t25 equivalence). */
+  def d13(t: Tables): DataFrame = {
+    val grams = t.documentsWide
+      .withColumn("toks", expr(graft.functions.exprs.wsTokensSql))
+      .select(col("source"), explode(ngram_hashes(col("toks"), 5)).as("g"))
+      .distinct()
+    val perSrc = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = grams.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (sa, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), sb ->
+          |    struct(sa as src_a, sb as src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"),
+        col("n_grams").as("na"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("n_grams").as("nb"))), "src_b")
+      .withColumn("jaccard_bp", expr(
+        "(20000 * n_shared + (na + nb - n_shared)) div (2 * (na + nb - n_shared))"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("na"),
+        col("nb"), col("jaccard_bp"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d13_cross_source_overlap" -> d13,
     "d10_semantic_dedup" -> d10,
     "d09_containment" -> d09,
     "d07_winnow_overlap" -> d07,
@@ -571,6 +620,36 @@ object Dedup {
        |WHERE n_shared * 10 >= n_union * 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // string 5-grams with the kernel's whole-text fallback (t25's twin),
+    // the pair matrix rebuilt by a plain self-join — a different pair
+    // enumeration than the HOF combination expansion
+    "d13_cross_source_overlap" ->
+      raw"""WITH toks AS (SELECT doc_id, source,
+         |        string_split_regex(trim(text), '\s+') AS tk
+         |      FROM documents),
+         |g0 AS (
+         |  SELECT source, array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM toks, UNNEST(range(1, len(tk) - 3)) AS t(i)
+         |  WHERE len(tk) >= 5
+         |  UNION ALL
+         |  SELECT source, array_to_string(tk, ' ') AS g
+         |  FROM toks WHERE len(tk) < 5),
+         |g AS (SELECT DISTINCT source, g FROM g0),
+         |per AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(pa.n_grams AS BIGINT) AS na,
+         |  CAST(pb.n_grams AS BIGINT) AS nb,
+         |  CAST((20000 * n_shared + (pa.n_grams + pb.n_grams - n_shared))
+         |    // (2 * (pa.n_grams + pb.n_grams - n_shared)) AS BIGINT)
+         |    AS jaccard_bp
+         |FROM pairs
+         |JOIN per pa ON pairs.src_a = pa.source
+         |JOIN per pb ON pairs.src_b = pb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     // d04's oracle is the EXACT all-pairs computation (string 3-grams,
     // same short-doc fallback as the hash kernel): it checks the exact-
     // Jaccard verification math AND the LSH recall claim in one gate —

@@ -203,6 +203,88 @@ object BinaryPipeline {
       .orderBy("source")
   }
 
+  /** Synthetic media with PLANTED near-duplicates: every id ≡ 7 (mod 10)
+    * with id ≥ 12 carries the payload of id−12 (same modality class —
+    * 12 ≡ 0 mod 3) with exactly TWO body bytes perturbed — the
+    * re-encoded/re-compressed copy a crawl always contains. ≤2 flipped
+    * body bytes flip ≤2 pHash bits, so with 4 bands the pigeonhole
+    * guarantees ≥2 clean bands — banding recall on plants is 1.0 by
+    * construction, which is what the spec pins. */
+  def synthesizeNearDups(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    synthesize(spark, n).map { m =>
+      if (m.media_id % 10 == 7 && m.media_id >= 12) {
+        val base = StubCodec.encode(m.media_id - 12,
+          if ((m.media_id - 12) % 3 == 0) "audio" else "image")
+        base(12 + 5) = (base(12 + 5) ^ 0x41).toByte
+        base(12 + 40) = (base(12 + 40) ^ 0x13).toByte
+        MediaRow(m.media_id, m.modality, base, m.source_doc)
+      } else m
+    }
+  }
+
+  /** 64-bit perceptual hash over the payload BODY: bit j = body[j] >
+    * body mean — the aHash family's threshold-against-mean shape (real
+    * pHash thresholds DCT coefficients; the stub thresholds raw bytes —
+    * same locality property: a small payload perturbation flips few
+    * bits). Runs in the same mapPartitions batch shape as the codec. */
+  def phash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val body = java.util.Arrays.copyOfRange(m.payload, 12,
+          math.min(m.payload.length, 12 + 64))
+        var sum = 0L
+        body.foreach(b => sum += (b & 0xff))
+        val mean = sum / math.max(1, body.length)
+        var ph = 0L
+        var j = 0
+        while (j < body.length) {
+          if ((body(j) & 0xff) > mean) ph |= (1L << j)
+          j += 1
+        }
+        (m.media_id, m.modality, ph)
+      }
+    }.toDF("media_id", "modality", "ph")
+  }
+
+  /** m04 — perceptual-hash near-duplicate detection over media payloads
+    * (the visual-dedup step of a multimodal curation pipeline: exact
+    * hashing (m03) misses every re-encode; pHash Hamming distance
+    * catches them). Same machinery as d03's SimHash text dedup applied
+    * to the binary modality: the 64-bit pHash splits into 4×16-bit
+    * bands, candidates share ≥1 band (a pair within Hamming ≤3 ALWAYS
+    * co-buckets by pigeonhole — recall 1.0 on the planted class), and
+    * candidates verify with exact `bit_count(a^b) ≤ 6`. Never all-pairs:
+    * the self-join is an equi-join on (band_idx, band_val), O(bucket²)
+    * only within buckets. Rows-only (binary payloads + stub codec);
+    * MultimodalSpec pins the exact expected pair set driver-side. */
+  def m04(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ph = phash(synthesizeNearDups(spark, 2000))
+    val bands = ph.select(col("media_id"), col("modality"), col("ph"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(ph >> ${16 * b}) & 65535")): _*)).as(Seq("band_idx", "band")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.media_id") < col("b.media_id") &&
+          col("a.modality") === col("b.modality"))
+      .select(col("a.modality").as("modality"),
+        col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
+      .distinct()
+    cands
+      .filter(expr("bit_count(ph_a ^ ph_b) <= 6"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dup_media"),
+        sum(expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
+          .as("hamming_sum"))
+      .orderBy("modality")
+  }
+
   /** Join extracted media features back to their source documents —
     * multimodal columns co-live with text in one table. */
   def joinWithDocuments(features: Dataset[MediaFeatures], docs: DataFrame): DataFrame =

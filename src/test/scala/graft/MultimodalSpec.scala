@@ -52,4 +52,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows("audio") == ((1334L, 667L, 21344L)), s"audio: ${rows("audio")}")
     assert(rows("image") == ((2666L, 1333L, 42656L)), s"image: ${rows("image")}")
   }
+
+  test("m04 pHash near-dup equals the driver-side band+Hamming " +
+    "expectation, and banding recall on the planted pairs is 1.0") {
+    def phashOf(payload: Array[Byte]): Long = {
+      val body = java.util.Arrays.copyOfRange(payload, 12,
+        math.min(payload.length, 12 + 64))
+      val mean = body.map(_ & 0xff).map(_.toLong).sum / body.length
+      body.indices.foldLeft(0L) { (ph, j) =>
+        if ((body(j) & 0xff) > mean) ph | (1L << j) else ph
+      }
+    }
+    // rebuild the synthetic corpus driver-side with the same plant rule
+    val media = (0L until 2000L).map { id =>
+      val modality = if (id % 3 == 0) "audio" else "image"
+      val payload =
+        if (id % 10 == 7 && id >= 12) {
+          val base = BinaryPipeline.StubCodec.encode(id - 12,
+            if ((id - 12) % 3 == 0) "audio" else "image")
+          base(12 + 5) = (base(12 + 5) ^ 0x41).toByte
+          base(12 + 40) = (base(12 + 40) ^ 0x13).toByte
+          base
+        } else BinaryPipeline.StubCodec.encode(id, modality)
+      (id, modality, phashOf(payload))
+    }
+    def band(ph: Long, b: Int): Long = (ph >> (16 * b)) & 0xffffL
+    val expected = (for {
+      (ia, ma, pa) <- media
+      (ib, mb, pb) <- media
+      if ia < ib && ma == mb
+      if (0 until 4).exists(b => band(pa, b) == band(pb, b))
+      d = java.lang.Long.bitCount(pa ^ pb)
+      if d <= 6
+    } yield (ma, ia, ib, d.toLong))
+    // every planted (id−12, id) pair must survive banding + verify: ≤2
+    // flipped body bytes ⇒ ≤2 flipped bits ⇒ ≥2 clean bands (pigeonhole)
+    val plants = media.collect { case (id, m, _)
+      if id % 10 == 7 && id >= 12 => (m, id - 12, id) }
+    plants.foreach { case (m, a, b) =>
+      assert(expected.exists(e => e._1 == m && e._2 == a && e._3 == b),
+        s"planted pair ($a,$b) missing from kernel expectation")
+    }
+    val want = expected.groupBy(_._1).map { case (m, ps) =>
+      m -> ((ps.size.toLong, ps.map(_._3).distinct.size.toLong,
+        ps.map(_._4).sum))
+    }
+    val got = BinaryPipeline.m04(spark).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, s"m04 $got != expected $want")
+  }
 }
