@@ -260,11 +260,54 @@ object GraphOps {
       .orderBy("community")
   }
 
+  /** g05 — multi-source BFS hop distance (min-plus propagation): every
+    * node's distance to the nearest seed (suppliers 1..5) after
+    * [[Iters]] synchronous rounds — the reachability/diameter primitive
+    * (influence radius, contamination blast-radius, "how far is every
+    * vendor from a flagged one").
+    *
+    * The min-plus trick that keeps the plan linear: a "keep your own
+    * distance" term normally references the previous frontier TWICE per
+    * round (min(old, via-neighbors)) — the g02-documented 2^k plan
+    * blowup. WEIGHTED self-loops fold it into the one join: edges carry
+    * w=1, self-loops w=0, and dist'(v) = min over (neighbors ∪ self) of
+    * (dist(u) + w) — one join, one aggregate, per round. Unreached
+    * nodes are ABSENT (relational +∞), appearing the round they're
+    * first reached; after k rounds the relation holds exactly the ≤k-hop
+    * ball, and every distance is final the round it appears (min is
+    * monotone, weights are 1). Same Pregel layout: edges partitioned +
+    * persisted once, each round shuffles only the O(reached) frontier.
+    * Output is the bounded per-distance histogram (count + id checksum).
+    * Oracle: the identical unrolled min-plus in DuckDB. */
+  def g05(t: Tables): DataFrame = {
+    val und = undirectedTradeEdges(t)
+    val edges = und.withColumn("w", lit(1L))
+      .unionByName(und.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // seeds: suppliers 1..5 (node ids 2..10 even) at distance 0
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 0 && col("node") <= 10)
+      .withColumn("d", lit(0L))
+    for (_ <- 1 to Iters) {
+      dist = edges.join(dist.hint("SHUFFLE_HASH"),
+          edges("src") === dist("node"))
+        .groupBy(col("dst"))
+        .agg(min(col("d") + col("w")).as("d"))
+        .select(col("dst").as("node"), col("d"))
+    }
+    dist.groupBy(col("d").as("hops"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("nodes_sum"))
+      .orderBy("hops")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "g01_pagerank" -> g01,
     "g02_connected_components" -> g02,
     "g03_triangle_count" -> g03,
-    "g04_label_propagation" -> g04)
+    "g04_label_propagation" -> g04,
+    "g05_bfs_hops" -> g05)
 
   /** 8 unrolled iteration CTEs — DuckDB's recursive CTE restricts
     * aggregation over the recursive relation, and a fixed unroll is the
@@ -291,6 +334,12 @@ object GraphOps {
       .map(i => ccStep(s"l${i - 1}", s"l$i")).mkString(",\n")
     val lpaSteps = (1 to LpaIters)
       .map(i => lpaStep(s"l${i - 1}", s"l$i")).mkString(",\n")
+    def bfsStep(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.dst AS node, min(r.d + e.w) AS d
+         |  FROM edges_w e JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    val bfsSteps = (1 to Iters)
+      .map(i => bfsStep(s"d${i - 1}", s"d$i")).mkString(",\n")
     val steps = (1 to Iters)
       .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
     Map(
@@ -315,6 +364,23 @@ object GraphOps {
           |  UNION ALL SELECT c FROM tri)
           |SELECT node AS part_key, count(*) AS n_triangles
           |FROM n GROUP BY node ORDER BY part_key""".stripMargin,
+      // identical unrolled min-plus rounds over the weighted edge set
+      "g05_bfs_hops" ->
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT src, dst FROM pairs
+           |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+           |edges_w AS (
+           |  SELECT src, dst, 1 AS w FROM edges
+           |  UNION ALL SELECT DISTINCT src, src AS dst, 0 AS w FROM edges),
+           |d0 AS (SELECT DISTINCT src AS node, 0 AS d FROM edges
+           |       WHERE src % 2 = 0 AND src <= 10),
+           |$bfsSteps
+           |SELECT CAST(d AS BIGINT) AS hops, count(*) AS n_nodes,
+           |  CAST(sum(node) AS BIGINT) AS nodes_sum
+           |FROM d$Iters GROUP BY d ORDER BY hops""".stripMargin,
       // same synchronous rounds, the argmax spelled as a window rank —
       // identical (count desc, label asc) tie order
       "g04_label_propagation" ->

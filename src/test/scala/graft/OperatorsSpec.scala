@@ -657,6 +657,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size <= l.size)
   }
 
+  test("g05 equals a driver-side 8-round multi-source BFS, hop for hop") {
+    import org.apache.spark.sql.functions.expr
+    val pairs = t.lineitem.select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        expr("l_orderkey = o_orderkey"))
+      .select(expr("l_suppkey * 2").as("src"),
+        expr("o_custkey * 2 + 1").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = adj.keys.filter(n => n % 2 == 0 && n <= 10).toSet
+    assert(seeds.nonEmpty, "fixture must contain seed suppliers 1..5")
+    // textbook frontier BFS as the independent ground truth (a different
+    // algorithm than the engine's synchronous min-plus rounds)
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    var hop = 0L
+    while (frontier.nonEmpty && hop < 8) {
+      hop += 1
+      val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      next.foreach(n => dist += n -> hop)
+      frontier = next
+    }
+    val expected = dist.groupBy(_._2).map { case (d, m) =>
+      d -> ((m.size.toLong, m.keys.sum))
+    }
+    val got = operators.GraphOps.g05(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"g05 $got != BFS ground truth $expected")
+  }
+
   test("t25 covers every document, bounds n_boiler by n_grams, and " +
     "reports the exact half-up basis-point ratio") {
     val rows = text.TextOps.t25(t).collect()
