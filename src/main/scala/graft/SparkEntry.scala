@@ -92,6 +92,32 @@ object SparkEntry {
              |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
              |    AS BIGINT) AS n_unique
              |FROM q GROUP BY source ORDER BY source""".stripMargin,
+        // the streaming sampler must keep EXACTLY the batch sampler's
+        // documents (p03's composition minus packing): the keep decision
+        // is a pure doc_id hash, so order/batching cannot move it
+        "st11_stream_mix_sample" ->
+          raw"""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             |      AS n_tokens,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             |      AS BIGINT) AS h32
+             |  FROM documents),
+             |per_src AS (
+             |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+             |  FROM docs GROUP BY source),
+             |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+             |               count(*) AS n_sources FROM per_src),
+             |weights AS (
+             |  SELECT source, least(10000,
+             |    (tot_tokens // (2 * n_sources)) * 10000 // src_tokens)
+             |    AS weight_bp
+             |  FROM per_src, tot)
+             |SELECT d.source, count(*) AS n_kept,
+             |  CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+             |FROM docs d JOIN weights w USING (source)
+             |WHERE d.h32 * 10000 < w.weight_bp * 4294967296
+             |GROUP BY d.source ORDER BY d.source""".stripMargin,
         // streaming dedup+count must equal the batch DISTINCT exactly
         "st03_stream_dedup" ->
           """SELECT event_type,

@@ -501,7 +501,51 @@ object StreamQueries {
       .orderBy("source")
   }
 
+  /** st11 — the training-mix sampler at INGEST: p03's deterministic
+    * rate sampling as a streaming stage. The mixture PLAN (per-source
+    * weight_bp, t24 semantics) is computed batch-side over the corpus
+    * snapshot — exactly how production mixes work: weights are a
+    * planning artifact, re-derived per snapshot, while the sampler
+    * APPLIES them continuously — and rides the stream as a broadcast
+    * stream-static join (20 rows; never a shuffle of the stream). The
+    * keep decision is the same pure doc_id hash cross-multiply as p03
+    * (h32·10⁴ < weight_bp·2³²), so it is STATELESS — arrival order,
+    * micro-batch boundaries, and replays cannot change any decision,
+    * which is both why the finite-replay gate is exact and why the
+    * operator needs no dedup state at unbounded scale (an at-least-once
+    * source re-delivering a doc re-makes the identical decision; the
+    * downstream exact-dedup stage (st10) absorbs the duplicate). Only
+    * the final per-source counter holds state: O(sources) rows. Oracle:
+    * the p03 composition minus packing — the streaming sampler must
+    * keep EXACTLY the batch sampler's documents. */
+  def st11(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val docsBatch = t.documents.select(col("source"),
+      graft.functions.exprs.quality_scan(col("text"))
+        .getField("n_tokens").cast("bigint").as("n_tokens"))
+    val perSrc = docsBatch.groupBy("source")
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    val weights = perSrc.crossJoin(broadcast(tot))
+      .withColumn("weight_bp", least(lit(10000L),
+        expr("(tot_tokens DIV (2 * n_sources)) * 10000 DIV src_tokens")))
+      .select(col("source"), col("weight_bp"))
+    val kept = documentsStream(spark, dir)
+      .select(col("source"),
+        graft.functions.exprs.quality_scan(col("text"))
+          .getField("n_tokens").cast("bigint").as("n_tokens"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8)," +
+          " 16, 10) as bigint)").as("h32"))
+      .join(broadcast(weights), "source")
+      .filter(col("h32") * lit(10000L) < col("weight_bp") * lit(4294967296L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    runComplete(spark, kept, "st11_sample").orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_stream_mix_sample" -> ((s, dir) => st11(s, dir)),
     "st10_stream_curation" -> ((s, dir) => st10(s, dir)),
     "st09_stream_observe" -> ((s, dir) => st09(s, dir)),
     "st08_stateful_sessionize" -> ((s, dir) => st08(s, dir)),
