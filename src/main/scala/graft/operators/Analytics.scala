@@ -746,7 +746,64 @@ object Analytics {
     perType.unionByName(ix).orderBy("grp")
   }
 
+  /** q100 — peak concurrency per day (interval-overlap aggregation):
+    * every event opens a 10-minute session; the answer is each day's
+    * maximum number of simultaneously-open sessions and the first
+    * minute it occurs — the load-sizing query behind "how many
+    * concurrent sessions must this system hold".
+    *
+    * The scale hazard is the textbook one: concurrency is a RUNNING SUM
+    * over +1/−1 boundary events in global time order — naively a global
+    * ORDER BY window funneling the corpus through one task (the q94
+    * hazard as an algorithm, not a plan accident). Two exact coarsenings
+    * restore distribution:
+    *  1. minute-bucket the boundary deltas first — shuffle ∝ distinct
+    *     minutes, CALENDAR-bounded (525k/year), not corpus-bounded;
+    *  2. two-level prefix sum — per-day delta totals roll up to a carry
+    *     via a window over #days rows (the q25-class ≤1-row-per-day
+    *     exception), then each day's minutes prefix-sum independently
+    *     (partitioned window) offset by the carry.
+    * Integer arithmetic throughout; the decomposition is provably equal
+    * to the global running sum, which is exactly what the oracle
+    * computes — one global DuckDB window, a genuinely different
+    * evaluation shape converging on the same values. */
+  def q100(t: Tables): DataFrame = {
+    // integer floor arithmetic on both engines: unix_timestamp floors to
+    // seconds, `div` floors to minutes (the DuckDB twin must spell
+    // floor() explicitly — its `//` on DOUBLE is plain division and a
+    // BIGINT cast would then ROUND half-up, shifting boundary events
+    // into the next minute)
+    val starts = t.events
+      .select(expr("unix_timestamp(ts) div 60").as("m"))
+    val deltas = starts.select(col("m"), lit(1L).as("d"))
+      .unionAll(starts.select((col("m") + 10).as("m"), lit(-1L).as("d")))
+      .groupBy("m").agg(sum(col("d")).as("delta"))
+      .withColumn("day", expr("m div 1440"))
+    val wDays = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = deltas.groupBy("day")
+      .agg(sum(col("delta")).as("day_delta"))
+      .withColumn("carry",
+        coalesce(sum(col("day_delta")).over(wDays), lit(0L)))
+      .select(col("day"), col("carry"))
+    val wMin = Window.partitionBy("day").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = deltas.join(broadcast(carries), "day")
+      .withColumn("run", sum(col("delta")).over(wMin) + col("carry"))
+    val peaks = conc.groupBy("day")
+      .agg(max(col("run")).as("max_concurrency"))
+    conc.join(broadcast(peaks), "day")
+      .filter(col("run") === col("max_concurrency"))
+      .groupBy("day")
+      .agg(max(col("run")).as("max_concurrency"),
+        min(col("m")).as("peak_minute"))
+      .select(col("day").cast("long").as("day"),
+        col("max_concurrency"), col("peak_minute"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q100_concurrency" -> q100,
     "q99_theta_sketch" -> q99,
     "q98_window_distinct" -> q98,
     "q97_map_hof_suite" -> q97,
@@ -777,6 +834,29 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // ONE global running sum — the evaluation shape the Spark side
+    // deliberately decomposes; equality proves the two-level prefix sum
+    "q100_concurrency" ->
+      """WITH starts AS (
+        |  SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m FROM events),
+        |deltas AS (
+        |  SELECT m, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT m, 1 AS d FROM starts
+        |    UNION ALL SELECT m + 10 AS m, -1 AS d FROM starts)
+        |  GROUP BY m),
+        |run AS (
+        |  SELECT m, m // 1440 AS day,
+        |    sum(delta) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM deltas),
+        |peaks AS (
+        |  SELECT day, max(run) AS max_concurrency FROM run GROUP BY day)
+        |SELECT CAST(r.day AS BIGINT) AS day,
+        |  CAST(p.max_concurrency AS BIGINT) AS max_concurrency,
+        |  CAST(min(r.m) AS BIGINT) AS peak_minute
+        |FROM run r JOIN peaks p ON r.day = p.day
+        |  AND r.run = p.max_concurrency
+        |GROUP BY r.day, p.max_concurrency
+        |ORDER BY day""".stripMargin,
     // the same KMV sketches rebuilt via a window rank over distinct
     // hashes — estimates must match the custom aggregate to the digit
     "q99_theta_sketch" ->
