@@ -768,7 +768,80 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** s15 — MMR diversified top-k (Maximal Marginal Relevance, Carbonell
+    * & Goldstein 1998): relevance-only top-k returns near-duplicates of
+    * one best answer (this corpus's replicated embeddings make that
+    * literal); MMR greedily re-ranks a bounded shortlist by
+    * λ·sim(q,d) − (1−λ)·max_{s∈Selected} sim(d,s), trading relevance
+    * against redundancy — the standard diversity re-rank in RAG
+    * retrieval.
+    *
+    * Scale split, explicitly: the CORPUS-sized work — exact shortlist
+    * ranking (WindowGroupLimit heap) and the within-shortlist pairwise
+    * sims — is distributed, O(corpus) + O(Q·S²) with S=50 FIXED, so the
+    * pair stage is corpus-independent by construction. The greedy
+    * selection itself is inherently sequential (step t+1 depends on the
+    * argmax at step t) over Q·S ≤ 500 rows — it runs driver-side on the
+    * collected shortlist, the s06-codebook pattern ("how any re-ranker
+    * holds its candidate set"): unrolling it as k DataFrame iterations
+    * would reference the tiny selected-set plan 3× per step (the
+    * g02-documented blowup) to move <25k rows. All sims 4dp-rounded
+    * with vec_id tie-breaks; λ arithmetic is identical IEEE ops on both
+    * the engine and the spec's independent kernel recomputation.
+    * Rows-only; SimilarityFixtureSpec pins the full greedy trace. */
+  def s15(t: Tables): DataFrame = {
+    val Lambda = 0.7
+    val Shortlist = 50
+    val corpus = prepped(t)
+    val queries10 = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"))
+    val wS = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val shortlist = corpus.crossJoin(broadcast(queries10))
+      .select(col("q_id"), col("vec_id"), col("vec"), col("norm"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4)
+          .as("sim"))
+      .withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= Shortlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairRows = shortlist.as("a").join(shortlist.as("b"), Seq("q_id"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("q_id"), col("a.vec_id").as("ca"),
+        col("b.vec_id").as("cb"),
+        round(dot_d(col("a.vec"), col("b.vec"))
+          / (col("a.norm") * col("b.norm")), 4).as("psim"))
+      .collect()
+    val psim = pairRows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val cands = shortlist.select(col("q_id"), col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val picked = cands.toSeq.sortBy(_._1).flatMap { case (q, cs) =>
+      val bySim = cs.map(c => (c._2, c._3)).toMap
+      var selected = Vector.empty[Long]
+      (1 to TopK).foreach { _ =>
+        val remaining = bySim.keys.filterNot(selected.contains)
+        if (remaining.nonEmpty) {
+          val best = remaining.minBy { d =>
+            val pen = if (selected.isEmpty) 0.0
+              else selected.map(s => psim((q, d, s))).max
+            (-(Lambda * bySim(d) - (1 - Lambda) * pen), d)
+          }
+          selected :+= best
+        }
+      }
+      selected.zipWithIndex.map { case (d, i) =>
+        (q, d, bySim(d), (i + 1).toLong)
+      }
+    }
+    import t.spark.implicits._
+    picked.toDF("q_id", "vec_id", "sim", "mmr_rank")
+      .orderBy("q_id", "mmr_rank")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s15_mmr_diversify" -> s15,
     "s14_sq8_ann" -> s14,
     "s13_matryoshka_topk" -> s13,
     "s12_mips_topk" -> s12,

@@ -158,6 +158,44 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     assert(collect4(Similarity.s14(t)) == expected)
   }
 
+  test("s15 MMR equals the kernel-computed greedy trace and actually " +
+    "diversifies: no selected pair exceeds the relevance-only top-k's " +
+    "max pairwise sim") {
+    val live = vids.filter(norm(_) > 0)
+    val expected = qids.flatMap { q =>
+      val short = live.map(c => (c, sim(c, q)))
+        .sortBy { case (c, s) => (-s, c) }.take(50)
+      val bySim = short.toMap
+      var selected = Vector.empty[Long]
+      (1 to 5).foreach { _ =>
+        val remaining = bySim.keys.toSeq.filterNot(selected.contains)
+        if (remaining.nonEmpty) {
+          val best = remaining.minBy { d =>
+            val pen = if (selected.isEmpty) 0.0
+              else selected.map(s => sim(d, s)).max
+            (-(0.7 * bySim(d) - 0.3 * pen), d)
+          }
+          selected :+= best
+        }
+      }
+      selected.zipWithIndex.map { case (d, i) => (q, d, bySim(d), i + 1L) }
+    }
+    val got = collect4(Similarity.s15(t))
+    assert(got == expected, s"s15 trace mismatch:\n$got\nvs\n$expected")
+    // diversity property: on this fixture the greedy must not pick a
+    // pair MORE similar than the most similar pair relevance-only top-5
+    // would pick (it may tie when relevance dominates)
+    qids.foreach { q =>
+      def maxPair(ids: Seq[Long]): Double =
+        (for { a <- ids; b <- ids if a < b } yield sim(a, b))
+          .foldLeft(-1.0)(math.max)
+      val mmrIds = expected.filter(_._1 == q).map(_._2)
+      val topIds = top5(q, live).map(_._2)
+      assert(maxPair(mmrIds) <= maxPair(topIds) + 1e-9,
+        s"query $q: MMR picked a tighter cluster than plain top-5")
+    }
+  }
+
   test("s07 radius search equals the kernel-computed threshold set") {
     val live = vids.filter(norm(_) > 0)
     val expected = (for {
