@@ -439,6 +439,67 @@ class PlanAuditSpec extends AnyFunSuite {
       s"w10 scan should still read payload.who.props_len:\n$plan")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime " +
+    "(skew=true in the finalized adaptive plan)") {
+    import org.apache.spark.sql.functions._
+    // q53 is the MANUAL skew answer (salting); this pins the ENGINE's:
+    // AQE detects the oversized shuffle partition at runtime and splits
+    // it across tasks. Thresholds are lowered so the rewrite is
+    // observable at fixture scale — production sizes gate the same code
+    // path at MBs instead of KBs.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t = TestSpark.tables
+      // 90%-hot key with a fat LOW-REDUNDANCY payload (hex digests —
+      // shuffle sizes are measured COMPRESSED, so a repetitive pad
+      // would vanish under LZ4 and dodge the byte threshold)
+      // repartition(8) first: a skewed REDUCE partition splits by MAPPER
+      // block ranges, so a single-split file (one mapper) is
+      // unsplittable no matter how skewed — production tables always
+      // have many input splits; the fixture's single parquet file needs
+      // the explicit fan-out
+      val fact = t.events.repartition(8).select(
+        when(col("user_id") % 10 =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("k"),
+        expr("concat(md5(cast(event_id as string))," +
+          " md5(cast(event_id + 1 as string))," +
+          " md5(cast(event_id + 2 as string))," +
+          " md5(cast(event_id + 3 as string)))").as("payload"))
+      // customer keys are unique already: a `distinct` dim would leave a
+      // post-shuffle HashAggregate between the Sort and the shuffle
+      // stage, and OptimizeSkewedJoin only matches the bare
+      // SMJ(Sort(Shuffle), Sort(Shuffle)) shape
+      val dim = t.customer.select(col("c_custkey").as("k"))
+      // global aggregate downstream: a same-key groupBy would REUSE the
+      // join's hash partitioning, and OptimizeSkewedJoin declines to
+      // split rather than break it (the documented trade; a real
+      // pipeline sets forceOptimizeSkewedJoin or accepts the re-shuffle)
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k") === 0L, 1L).otherwise(0L)).as("hot"),
+          sum(length(col("payload"))).as("b"))
+      val row = joined.collect().head // AQE finalizes during execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the hot join partition skewed:\n$plan")
+      // the split must not change the answer: hot key holds ~90% of rows
+      assert(row.getLong(1) * 10 >= row.getLong(0) * 8,
+        s"hot-key mass lost: ${row.getLong(1)} of ${row.getLong(0)}")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join result equals the plain join") {
     val t = TestSpark.tables
     import org.apache.spark.sql.functions._
