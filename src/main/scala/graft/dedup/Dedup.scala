@@ -575,7 +575,55 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** d14 — quality-aware dedup survivorship: WHICH copy survives a
+    * duplicate group matters (crawl copies differ — truncated mirrors,
+    * ad-stripped rescrapes), and the naive min-id policy (d01/p01's
+    * "first occurrence") silently keeps whatever crawled first. This
+    * operator keeps the HIGHEST-QUALITY member — most tokens, ties to
+    * the smallest id — and AUDITS the policy against naive: per
+    * survivor source, how many groups changed survivor and how many
+    * tokens the quality policy retains vs min-id. The audit is the
+    * point: it is the number a curation team looks at before switching
+    * policies.
+    *
+    * Scale shape: one map pass computes (fp, n_tokens) per doc (the
+    * d01 canonical fingerprint + the t02 token kernel), ONE shuffle on
+    * fp, and both policies evaluate inside the same aggregate — the
+    * quality argmax as a lexicographic struct max (max(struct(ntk,
+    * −id, payload…)): highest tokens, then smallest id — engine-neutral
+    * exactly like g04's vote argmax), the naive survivor as min(id) —
+    * so switching policy costs zero extra passes. Group payloads never
+    * materialize (no collect_list); the rollup is O(groups). Oracle
+    * spells both policies as window ranks — a different evaluation
+    * strategy over the same exact ordering. */
+  def d14(t: Tables): DataFrame = {
+    val docs = t.documentsWide.select(
+      col("doc_id"), col("source"),
+      canon_fp(col("text")).as("fp"),
+      graft.functions.exprs.quality_scan(col("text"))
+        .getField("n_tokens").cast("bigint").as("ntk"))
+    val groups = docs.groupBy("fp").agg(
+      count(lit(1)).as("n_members"),
+      max(struct(col("ntk"), (-col("doc_id")).as("negid"),
+        col("doc_id"), col("source"))).as("best"),
+      min(col("doc_id")).as("naive_id"),
+      max(struct(col("ntk"), (-col("doc_id")).as("negid")))
+        .getField("ntk").as("best_ntk"),
+      min(struct(col("doc_id"), col("ntk"))).getField("ntk")
+        .as("naive_ntk"))
+    groups
+      .groupBy(col("best.source").as("source"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_members")).as("n_docs"),
+        sum(when(col("best.doc_id") =!= col("naive_id"), 1L)
+          .otherwise(0L)).as("changed_survivors"),
+        sum(col("best_ntk")).as("survivor_tokens"),
+        sum(col("naive_ntk")).as("naive_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d14_quality_survivor" -> d14,
     "d13_cross_source_overlap" -> d13,
     "d10_semantic_dedup" -> d10,
     "d09_containment" -> d09,
@@ -620,6 +668,34 @@ object Dedup {
        |WHERE n_shared * 10 >= n_union * 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // both survivorship policies as window ranks over the same exact
+    // orderings the struct min/max aggregates implement
+    "d14_quality_survivor" ->
+      raw"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS ntk
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY fp
+         |      ORDER BY ntk DESC, doc_id) AS q_rn,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS n_rn,
+         |    count(*) OVER (PARTITION BY fp) AS n_members
+         |  FROM docs),
+         |best AS (SELECT fp, doc_id, source, ntk, n_members
+         |         FROM ranked WHERE q_rn = 1),
+         |naive AS (SELECT fp, doc_id AS naive_id, ntk AS naive_ntk
+         |          FROM ranked WHERE n_rn = 1)
+         |SELECT b.source, count(*) AS n_groups,
+         |  CAST(sum(b.n_members) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN b.doc_id <> n.naive_id THEN 1 END)
+         |    AS BIGINT) AS changed_survivors,
+         |  CAST(sum(b.ntk) AS BIGINT) AS survivor_tokens,
+         |  CAST(sum(n.naive_ntk) AS BIGINT) AS naive_tokens
+         |FROM best b JOIN naive n USING (fp)
+         |GROUP BY b.source ORDER BY b.source""".stripMargin,
     // string 5-grams with the kernel's whole-text fallback (t25's twin),
     // the pair matrix rebuilt by a plain self-join — a different pair
     // enumeration than the HOF combination expansion
