@@ -935,7 +935,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t28 — tokenizer fertility audit per (source, lang): how many
+    * subword tokens the tokenizer spends per whitespace word
+    * (fertility) and per byte — the compression-budget number that
+    * decides how much COMPUTE a corpus slice actually costs per unit of
+    * text and which languages the tokenizer penalizes (high-fertility
+    * languages get fewer effective context words; the Gopher/Chinchilla
+    * accounting line). Subword counts come from the one-pass `bpe_scan`
+    * kernel (t05's), word counts from `quality_scan` — ONE map pass
+    * computing both, one rollup to ≤ sources×langs rows. Ratios in
+    * exact half-up basis points (the t19/t25 integer idiom): fertility
+    * = bpe·10⁴/words, bytes_per_token = bytes·10⁴/bpe — engine-stable
+    * at any magnitude. Oracle recomputes both counts from their
+    * published regex twins. */
+  def t28(t: Tables): DataFrame =
+    t.documentsWide
+      .select(col("source"), col("lang"),
+        graft.functions.exprs.bpe_scan(col("text"))
+          .getField("n_bpe_tokens").cast("bigint").as("bpe"),
+        graft.functions.exprs.quality_scan(col("text"))
+          .getField("n_tokens").cast("bigint").as("words"),
+        length(col("text")).cast("bigint").as("chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("n_words"),
+        sum(col("bpe")).as("n_bpe"),
+        sum(col("chars")).as("n_chars"))
+      .withColumn("fertility_bp",
+        expr("(20000 * n_bpe + n_words) div (2 * n_words)"))
+      .withColumn("chars_per_token_bp",
+        expr("(20000 * n_chars + n_bpe) div (2 * n_bpe)"))
+      .orderBy("source", "lang")
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t28_fertility" -> t28,
     "t27_bloom_decontaminate" -> t27,
     "t26_importance_weights" -> t26,
     "t25_boilerplate_ngrams" -> t25,
@@ -977,6 +1010,25 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // both counts from their published regex twins (t05's BPE-ish class
+    // split, the shared ws tokenizer), ratios in half-up basis points
+    "t28_fertility" ->
+      raw"""SELECT source, lang, count(*) AS n_docs,
+         | CAST(sum(len($dTokens)) AS BIGINT) AS n_words,
+         | CAST(sum(len(regexp_extract_all(lower(text),
+         |   '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe,
+         | CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         | CAST((20000 * sum(len(regexp_extract_all(lower(text),
+         |     '[a-z]+|[0-9]+|[^a-z0-9\s]'))) + sum(len($dTokens)))
+         |   // (2 * sum(len($dTokens))) AS BIGINT) AS fertility_bp,
+         | CAST((20000 * sum(length(text))
+         |     + sum(len(regexp_extract_all(lower(text),
+         |         '[a-z]+|[0-9]+|[^a-z0-9\s]'))))
+         |   // (2 * sum(len(regexp_extract_all(lower(text),
+         |         '[a-z]+|[0-9]+|[^a-z0-9\s]')))) AS BIGINT)
+         |   AS chars_per_token_bp
+         |FROM documents GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
     // the bloom prefilter must be invisible in the answer: exact
     // 6-gram overlap accounting recomputed with string grams (t10's
     // oracle pattern), rolled up per source in half-up basis points
