@@ -151,10 +151,83 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p04 — the curation ABLATION matrix: p01 composes the gates
+    * sequentially (each stage sees only prior survivors), so its counts
+    * cannot say which gate does the work or how much the gates overlap
+    * — the question every filtering paper answers with an ablation
+    * table. p04 evaluates the four oracle-expressible gates
+    * INDEPENDENTLY over the same scrubbed corpus (quality rule, exact-
+    * dup survivorship, LM fluency, benchmark contamination) and
+    * reports, per source: docs failing each gate alone, docs failing
+    * any, and docs failing ≥2 (the overlap mass — high overlap means a
+    * cheap gate can run first and spare the expensive one).
+    *
+    * The one semantic delta vs p01 is deliberate and documented: the
+    * ablation LM trains on the full scrubbed corpus (each gate must be
+    * independent), while p01's trains post-dedup; the threshold
+    * constant is shared. Scale shape: one persisted corpus scan feeds
+    * four flag relations (map-only quality flag; one fp shuffle; the
+    * t17 SHUFFLE_HASH LM probe; broadcast bench grams) joined back by
+    * doc_id — LEFT joins so a doc missing from a gate relation is a
+    * fail, never a dropped row — then one rollup to 20 source rows. */
+  def p04(t: Tables): DataFrame = {
+    import TrainingDataPipeline._
+    import graft.functions.exprs.{canon_fp, ngram_hashes, quality_scan}
+    val input = t.documents
+    val corpus = scrub(input.filter(col("doc_id") % 50 =!= 0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bench = input.filter(col("doc_id") % 50 === 0)
+    val qs = quality_scan(col("text"))
+    val qFlag = corpus.select(col("doc_id"),
+      (qs.getField("n_tokens").between(10, 1000) &&
+        qs.getField("n_punct") * 1.0 / length(col("text")) < 0.2)
+        .as("q_ok"))
+    val dSurvivors = corpus.select(col("doc_id"), canon_fp(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("d_ok"))
+    val lPass = graft.text.TextOps.lmScoredDocs(corpus)
+      .filter(col("sum_logp_q4") >=
+        lit(graft.text.TextOps.LmKeepThresholdQ4) * col("n_bigrams"))
+      .select(col("doc_id"), lit(true).as("l_ok"))
+    def grams(df: DataFrame) = df
+      .withColumn("toks", expr(graft.functions.exprs.wsTokensSql))
+      .select(col("doc_id"), explode(ngram_hashes(col("toks"), 8)).as("g"))
+    val contaminated = grams(corpus)
+      .join(broadcast(grams(bench).select("g").distinct()), Seq("g"))
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(false).as("c_ok"))
+    val flags = corpus.select(col("doc_id"), col("source"))
+      .join(qFlag, Seq("doc_id"), "left")
+      .join(dSurvivors, Seq("doc_id"), "left")
+      .join(lPass, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("q_ok"), lit(false)).as("q_ok"),
+        coalesce(col("d_ok"), lit(false)).as("d_ok"),
+        coalesce(col("l_ok"), lit(false)).as("l_ok"),
+        coalesce(col("c_ok"), lit(true)).as("c_ok"))
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("q_ok"), 1L).otherwise(0L)).as("q_fail"),
+        sum(when(!col("d_ok"), 1L).otherwise(0L)).as("d_fail"),
+        sum(when(!col("l_ok"), 1L).otherwise(0L)).as("l_fail"),
+        sum(when(!col("c_ok"), 1L).otherwise(0L)).as("c_fail"),
+        sum(when(!(col("q_ok") && col("d_ok") && col("l_ok") &&
+          col("c_ok")), 1L).otherwise(0L)).as("fail_any"),
+        sum(when(
+          (when(!col("q_ok"), 1).otherwise(0) +
+            when(!col("d_ok"), 1).otherwise(0) +
+            when(!col("l_ok"), 1).otherwise(0) +
+            when(!col("c_ok"), 1).otherwise(0)) >= 2, 1L)
+          .otherwise(0L)).as("fail_multi"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "p01_curation_pipeline" -> p01,
     "p02_observe_metrics" -> p02,
-    "p03_mixture_builder" -> p03)
+    "p03_mixture_builder" -> p03,
+    "p04_ablation_matrix" -> p04)
 
   // The composed oracle: each CTE is the DuckDB twin of one stage's
   // already-oracled semantics, chained on the previous stage's survivors.
@@ -264,6 +337,87 @@ object PipelineQueries {
          |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT)
          |    AS null_texts
          |FROM e""".stripMargin,
+    // each gate's already-oracled twin evaluated INDEPENDENTLY over the
+    // same scrubbed corpus, left-joined back as flags
+    "p04_ablation_matrix" ->
+      raw"""WITH corpus AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$IpRe', '<IP>', 'g'),
+         |      '\d{6,}', '<ID>', 'g') AS text
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |        AS ntk,
+         |      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS npunct,
+         |      length(text) AS nch
+         |    FROM corpus)
+         |  WHERE ntk BETWEEN 10 AND 1000 AND npunct * 1.0 / nch < 0.2),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         |    FROM corpus)
+         |  GROUP BY fp),
+         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+         |         FROM corpus),
+         |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |       FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+         |       WHERE len(tk) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |lpass AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, count(*) AS nb,
+         |      sum(CAST(round(ln(c12 * 1.0 / c1) * 10000) AS BIGINT)) AS slp
+         |    FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+         |    GROUP BY doc_id)
+         |  WHERE slp >= ${graft.text.TextOps.LmKeepThresholdQ4} * nb),
+         |pg AS (SELECT DISTINCT doc_id, g FROM (
+         |   SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+         |   FROM toks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |   WHERE len(tk) >= 8
+         |   UNION ALL
+         |   SELECT doc_id, array_to_string(tk, ' ') FROM toks
+         |   WHERE len(tk) < 8)),
+         |btoks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+         |          FROM documents WHERE doc_id % 50 = 0),
+         |bgrams AS (SELECT DISTINCT g FROM (
+         |   SELECT array_to_string(tk[i:i+7], ' ') AS g
+         |   FROM btoks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |   WHERE len(tk) >= 8
+         |   UNION ALL
+         |   SELECT array_to_string(tk, ' ') FROM btoks WHERE len(tk) < 8)),
+         |contaminated AS (SELECT DISTINCT doc_id FROM pg
+         |                 JOIN bgrams USING (g)),
+         |flags AS (
+         |  SELECT c.source,
+         |    (q.doc_id IS NOT NULL) AS q_ok,
+         |    (s.doc_id IS NOT NULL) AS d_ok,
+         |    (l.doc_id IS NOT NULL) AS l_ok,
+         |    (x.doc_id IS NULL) AS c_ok
+         |  FROM corpus c
+         |  LEFT JOIN q ON c.doc_id = q.doc_id
+         |  LEFT JOIN surv s ON c.doc_id = s.doc_id
+         |  LEFT JOIN lpass l ON c.doc_id = l.doc_id
+         |  LEFT JOIN contaminated x ON c.doc_id = x.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(CASE WHEN NOT q_ok THEN 1 END) AS BIGINT) AS q_fail,
+         |  CAST(count(CASE WHEN NOT d_ok THEN 1 END) AS BIGINT) AS d_fail,
+         |  CAST(count(CASE WHEN NOT l_ok THEN 1 END) AS BIGINT) AS l_fail,
+         |  CAST(count(CASE WHEN NOT c_ok THEN 1 END) AS BIGINT) AS c_fail,
+         |  CAST(count(CASE WHEN NOT (q_ok AND d_ok AND l_ok AND c_ok)
+         |    THEN 1 END) AS BIGINT) AS fail_any,
+         |  CAST(count(CASE WHEN
+         |      (CASE WHEN q_ok THEN 0 ELSE 1 END) +
+         |      (CASE WHEN d_ok THEN 0 ELSE 1 END) +
+         |      (CASE WHEN l_ok THEN 0 ELSE 1 END) +
+         |      (CASE WHEN c_ok THEN 0 ELSE 1 END) >= 2
+         |    THEN 1 END) AS BIGINT) AS fail_multi
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin,
     // weight → rate-sample → pack, each CTE the DuckDB twin of the
     // already-oracled t24 / t23-hash / t16 semantics; the sample filter
     // is the identical exact int64 cross-multiply
