@@ -302,7 +302,47 @@ object GraphOps {
       .orderBy("hops")
   }
 
+  /** g06 — common-neighbor link prediction over the supplier
+    * co-customer projection: two suppliers sharing many customers are
+    * likely future partners (the classic CN/Jaccard link-prediction
+    * baseline, Liben-Nowell & Kleinberg) — the graph-ML feature a
+    * recommender trains on. Output is the top-20 predicted pairs by
+    * (common desc, ids) plus exact Jaccard in half-up basis points —
+    * TakeOrderedAndProject keeps the global top-k heap-merged, never a
+    * full sort.
+    *
+    * Scale shape: candidate pairs come from per-customer supplier
+    * wedges — Σ_c deg(c)² rows, the g03 wedge class with the same
+    * bound discipline: deg(c) = distinct suppliers per customer is
+    * order-bounded (≈ orders·lines/orders per customer), and at true
+    * hub scale the production mitigation is the same degree-ordered
+    * orientation g03 uses (or per-hub sampling); the pair aggregation
+    * itself is ONE shuffle on (a, b). Degrees join back broadcast
+    * (O(suppliers) rows). Oracle recomputes the projection naively. */
+  def g06(t: Tables): DataFrame = {
+    val sc = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+      .distinct()
+    val deg = sc.groupBy("s").agg(count(lit(1)).as("d"))
+    val common = sc.as("x").join(sc.as("y"), "c")
+      .where(col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(deg.select(col("s").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("s").as("b"), col("d").as("db"))), "b")
+      .withColumn("jaccard_bp", expr(
+        "(20000 * common + (da + db - common)) div (2 * (da + db - common))"))
+      .select(col("a"), col("b"), col("common"), col("da"), col("db"),
+        col("jaccard_bp"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "g06_link_prediction" -> g06,
     "g01_pagerank" -> g01,
     "g02_connected_components" -> g02,
     "g03_triangle_count" -> g03,
@@ -364,6 +404,23 @@ object GraphOps {
           |  UNION ALL SELECT c FROM tri)
           |SELECT node AS part_key, count(*) AS n_triangles
           |FROM n GROUP BY node ORDER BY part_key""".stripMargin,
+      "g06_link_prediction" ->
+        """WITH sc AS (
+          |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |deg AS (SELECT s, count(*) AS d FROM sc GROUP BY s),
+          |cn AS (
+          |  SELECT x.s AS a, y.s AS b, count(*) AS common
+          |  FROM sc x JOIN sc y ON x.c = y.c AND x.s < y.s
+          |  GROUP BY 1, 2)
+          |SELECT a, b, common,
+          |  da.d AS da, db.d AS db,
+          |  CAST((20000 * common + (da.d + db.d - common))
+          |    // (2 * (da.d + db.d - common)) AS BIGINT) AS jaccard_bp
+          |FROM cn
+          |JOIN deg da ON cn.a = da.s
+          |JOIN deg db ON cn.b = db.s
+          |ORDER BY common DESC, a, b LIMIT 20""".stripMargin,
       // identical unrolled min-plus rounds over the weighted edge set
       "g05_bfs_hops" ->
         s"""WITH pairs AS (
