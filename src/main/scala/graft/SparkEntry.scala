@@ -118,6 +118,25 @@ object SparkEntry {
              |FROM docs d JOIN weights w USING (source)
              |WHERE d.h32 * 10000 < w.weight_bp * 4294967296
              |GROUP BY d.source ORDER BY d.source""".stripMargin,
+        // the stateful first-crossing alert must equal the batch
+        // running-sum first crossing (event-time order, integer cents)
+        "st12_stream_threshold_alert" ->
+          """WITH r AS (
+            |  SELECT user_id,
+            |    sum(CAST(round(value * 100) AS BIGINT)) OVER (
+            |      PARTITION BY user_id ORDER BY ts, event_id
+            |      ROWS UNBOUNDED PRECEDING) AS cum,
+            |    row_number() OVER (
+            |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            |  FROM events),
+            |c AS (SELECT user_id, min(rn) AS n_events_at_cross
+            |      FROM r WHERE cum >= 100000 GROUP BY user_id)
+            |SELECT c.user_id,
+            |  CAST(c.n_events_at_cross AS BIGINT) AS n_events_at_cross,
+            |  CAST(r.cum AS BIGINT) AS cents_at_cross
+            |FROM c JOIN r ON r.user_id = c.user_id
+            |  AND r.rn = c.n_events_at_cross
+            |ORDER BY c.user_id""".stripMargin,
         // streaming dedup+count must equal the batch DISTINCT exactly
         "st03_stream_dedup" ->
           """SELECT event_type,

@@ -544,7 +544,80 @@ object StreamQueries {
     runComplete(spark, kept, "st11_sample").orderBy("source")
   }
 
+  case class CrossState(cum: Long, n: Long, crossed: Boolean)
+  case class Crossing(user_id: Long, n_events_at_cross: Long,
+      cents_at_cross: Long)
+
+  /** st12 — stateful threshold alerting: emit EXACTLY ONE row per user
+    * at the first moment their running spend crosses the threshold —
+    * the fraud/budget-alert state machine (fire once, never re-fire,
+    * however long the stream runs). mapGroups-style state
+    * (`flatMapGroupsWithState`, Append) holds three longs per user:
+    * running cents, event count, fired?.
+    *
+    * Exactness contract: "first crossing" is an EVENT-TIME-order
+    * property and values can be negative (the running sum is not
+    * monotone), so each batch's group iterator is sorted by full-
+    * precision (ts, event_id) before folding — and cross-batch
+    * correctness rides the same single-batch file-replay assumption
+    * st04 documents (a production deployment pairs the state fn with a
+    * watermark-bounded reorder buffer). Cents fold via BigDecimal
+    * HALF_UP on Double.toString — bit-identical to SQL `round(value *
+    * 100)` on BOTH engines, the q81/st06 integer-cents discipline, so
+    * the crossing index cannot drift on float representation. Oracle:
+    * the batch running-sum first crossing (min rn with cum ≥ T, cum
+    * joined back at that rn). */
+  def st12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = 100000L
+    val ev = eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val crossings = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CrossState, Crossing](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventsStream.Event],
+         state: org.apache.spark.sql.streaming.GroupState[CrossState]) =>
+          val st0 = state.getOption.getOrElse(CrossState(0L, 0L, false))
+          val evs = it.toArray.sortBy(e =>
+            (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
+          var cum = st0.cum
+          var n = st0.n
+          var fired = st0.crossed
+          var out: Option[Crossing] = None
+          evs.foreach { e =>
+            cum += java.math.BigDecimal
+              .valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            n += 1
+            if (!fired && cum >= T) {
+              fired = true
+              out = Some(Crossing(uid, n, cum))
+            }
+          }
+          state.update(CrossState(cum, n, fired))
+          out.iterator
+      }
+    val out = graft.TempDirs.create("graft_st12_alerts")
+    val q = crossings.toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .select(col("user_id"), col("n_events_at_cross"),
+        col("cents_at_cross"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_stream_threshold_alert" -> ((s, dir) => st12(s, dir)),
     "st11_stream_mix_sample" -> ((s, dir) => st11(s, dir)),
     "st10_stream_curation" -> ((s, dir) => st10(s, dir)),
     "st09_stream_observe" -> ((s, dir) => st09(s, dir)),
