@@ -223,11 +223,58 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** p05 — dedup-aware mixture weights: t24 budgets sources by RAW
+    * token mass, but duplicated mass shouldn't buy a source budget
+    * (weighting on raw counts lets a source inflate its share by
+    * shipping copies — and over-weights boilerplate-heavy crawls).
+    * p05 recomputes the same token-budget weighting on UNIQUE token
+    * mass (exact-dup survivors only, d01/d14 fingerprint semantics)
+    * and reports both weightings side by side with the shift — the
+    * audit that decides whether a mixture needs the dedup-aware
+    * correction at all (big deltas ⇒ yes).
+    *
+    * Scale shape: one corpus scan computes (fp, n_tokens) per doc; the
+    * survivor filter is the d14 fp shuffle; both weightings aggregate
+    * the same per-source rows and the grand totals ride broadcast
+    * scalars (t24's q02 pattern). All arithmetic exact basis points. */
+  def p05(t: Tables): DataFrame = {
+    import graft.functions.exprs.{canon_fp, quality_scan}
+    val docs = t.documentsWide.select(col("doc_id"), col("source"),
+        canon_fp(col("text")).as("fp"),
+        quality_scan(col("text")).getField("n_tokens").cast("bigint")
+          .as("ntk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val survivors = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val perSrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntk")).as("raw_tokens"))
+    val uniqSrc = docs.join(survivors, Seq("doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unique_docs"),
+        sum(col("ntk")).as("unique_tokens"))
+    val joined = perSrc.join(uniqSrc, "source")
+    val tot = joined.agg(
+      sum(col("raw_tokens")).as("tot_raw"),
+      sum(col("unique_tokens")).as("tot_unique"),
+      count(lit(1)).as("n_sources"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("weight_raw_bp", least(lit(10000L),
+        expr("(tot_raw DIV (2 * n_sources)) * 10000 DIV raw_tokens")))
+      .withColumn("weight_unique_bp", least(lit(10000L),
+        expr("(tot_unique DIV (2 * n_sources)) * 10000 DIV unique_tokens")))
+      .select(col("source"), col("n_docs"), col("n_unique_docs"),
+        col("raw_tokens"), col("unique_tokens"),
+        col("weight_raw_bp"), col("weight_unique_bp"),
+        (col("weight_unique_bp") - col("weight_raw_bp")).as("shift_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "p01_curation_pipeline" -> p01,
     "p02_observe_metrics" -> p02,
     "p03_mixture_builder" -> p03,
-    "p04_ablation_matrix" -> p04)
+    "p04_ablation_matrix" -> p04,
+    "p05_dedup_aware_mixture" -> p05)
 
   // The composed oracle: each CTE is the DuckDB twin of one stage's
   // already-oracled semantics, chained on the previous stage's survivors.
@@ -418,6 +465,37 @@ object PipelineQueries {
          |      (CASE WHEN c_ok THEN 0 ELSE 1 END) >= 2
          |    THEN 1 END) AS BIGINT) AS fail_multi
          |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+    // both weightings from the d01 fingerprint + shared tokenizer twins
+    "p05_dedup_aware_mixture" ->
+      raw"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS ntk
+         |  FROM documents),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY fp),
+         |per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(ntk) AS BIGINT) AS raw_tokens
+         |  FROM docs GROUP BY source),
+         |uniq AS (
+         |  SELECT d.source, count(*) AS n_unique_docs,
+         |    CAST(sum(d.ntk) AS BIGINT) AS unique_tokens
+         |  FROM docs d JOIN surv USING (doc_id) GROUP BY d.source),
+         |j AS (SELECT * FROM per JOIN uniq USING (source)),
+         |tot AS (SELECT CAST(sum(raw_tokens) AS BIGINT) AS tot_raw,
+         |               CAST(sum(unique_tokens) AS BIGINT) AS tot_unique,
+         |               count(*) AS n_sources FROM j)
+         |SELECT source, n_docs, n_unique_docs, raw_tokens, unique_tokens,
+         |  least(10000, (tot_raw // (2 * n_sources)) * 10000
+         |    // raw_tokens) AS weight_raw_bp,
+         |  least(10000, (tot_unique // (2 * n_sources)) * 10000
+         |    // unique_tokens) AS weight_unique_bp,
+         |  least(10000, (tot_unique // (2 * n_sources)) * 10000
+         |    // unique_tokens)
+         |  - least(10000, (tot_raw // (2 * n_sources)) * 10000
+         |    // raw_tokens) AS shift_bp
+         |FROM j, tot ORDER BY source""".stripMargin,
     // weight → rate-sample → pack, each CTE the DuckDB twin of the
     // already-oracled t24 / t23-hash / t16 semantics; the sample filter
     // is the identical exact int64 cross-multiply
