@@ -500,6 +500,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("w11 migrated-layout scan prunes on the NEW partition key") {
+    val plan = operators.CatalogOps.w11(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // the migration's entire point: the type-selective query must read
+    // 1/|types| of the data via a static PartitionFilter on event_type
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"w11 scan should carry an event_type partition filter:\n$plan")
+    assert(plan.contains("(event_type#") && plan.contains("= purchase)"),
+      s"w11 partition filter should pin event_type = purchase:\n$plan")
+  }
+
   test("salted join result equals the plain join") {
     val t = TestSpark.tables
     import org.apache.spark.sql.functions._
