@@ -840,7 +840,64 @@ object Similarity {
       .orderBy("q_id", "mmr_rank")
   }
 
+  /** s16 — the ANN probe-budget tuning curve: recall@5 and candidate
+    * volume for multi-probe budgets P ∈ {1,3,5,9} over the SAME LSH
+    * index (P=1 is s02's single bucket; P=9 is s04's full single-flip
+    * set) — the operating-point sweep an ANN deployment runs before
+    * fixing its latency/recall trade (d12's threshold-curve idea
+    * applied to the index knob instead of the dedup knob). Probe order
+    * is the deterministic (self, flip bit 0, flip bit 1, …) sequence,
+    * so each budget is a strict prefix — recall is provably monotone in
+    * P and the spec pins it. Ground truth is the exact ranking computed
+    * in-query (the s01 brute-force pass — the audit costs one extra
+    * O(corpus·Q) scan exactly like s09, amortized over every future
+    * probe-budget decision). Counts exact integers, recall in half-up
+    * percent. Rows-only (rh_bucket kernel); SimilarityFixtureSpec pins
+    * the full per-budget expectation. */
+  def s16(t: Tables): DataFrame = {
+    val Budgets = Seq(1, 3, 5, 9)
+    val corpus = prepped(t)
+      .withColumn("bucket", rh_bucket(col("vec"), Planes, Seed))
+    val queries10 = corpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("norm").as("q_norm"), col("bucket"))
+    val probes = queries10
+      .select(col("q_id"), posexplode(array((-1 until Planes).map {
+        case -1 => col("bucket")
+        case i  => col("bucket").bitwiseXOR(lit(1 << i))
+      }: _*)).as(Seq("ord", "bucket")))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val truth = corpus.crossJoin(broadcast(
+        queries10.select(col("q_id"), col("q_vec"), col("q_norm"))))
+      .select(col("q_id"), col("vec_id"),
+        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = corpus.select(col("bucket"), col("vec_id"))
+    val perBudget = Budgets.map { p =>
+      val cands = bucketed
+        .join(probes.filter(col("ord") < p).hint("SHUFFLE_HASH"), "bucket")
+        .select(col("q_id"), col("vec_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cands
+        .join(truth.withColumn("hit", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("total_candidates"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(lit(p.toLong).as("n_probes"), col("total_candidates"),
+          col("n_hits"),
+          expr(s"(200 * n_hits + $NQueries * $TopK) div " +
+            s"(2 * $NQueries * $TopK)").as("recall_pct"))
+    }
+    perBudget.reduce(_ unionByName _).orderBy("n_probes")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "s16_probe_curve" -> s16,
     "s15_mmr_diversify" -> s15,
     "s14_sq8_ann" -> s14,
     "s13_matryoshka_topk" -> s13,

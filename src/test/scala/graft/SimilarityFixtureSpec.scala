@@ -196,6 +196,36 @@ class SimilarityFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("s16 probe curve equals the kernel-computed per-budget " +
+    "expectation and recall is monotone in the probe budget") {
+    val bucket = dvecs.map { case (id, v) =>
+      id -> HashImpls.rhBucket(new GenericArrayData(v), 8, 7L)
+    }
+    val live = vids.filter(norm(_) > 0)
+    val truth: Map[Long, Set[Long]] = qids.map { q =>
+      q -> top5(q, live).map(_._2).toSet
+    }.toMap
+    val expected = Seq(1, 3, 5, 9).map { p =>
+      val rows = qids.map { q =>
+        val bs = (Seq(bucket(q)) ++
+          (0 until 8).map(i => bucket(q) ^ (1 << i))).take(p).toSet
+        live.filter(c => bs.contains(bucket(c))).toSet
+      }
+      val total = rows.map(_.size.toLong).sum
+      val hits = qids.zip(rows).map { case (q, cs) =>
+        cs.intersect(truth(q)).size.toLong }.sum
+      (p.toLong, total, hits, (200 * hits + 50) / 100)
+    }
+    val got = Similarity.s16(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"s16 $got != $expected")
+    // prefix-probe monotonicity: more probes never lose recall or
+    // candidates
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
   test("s07 radius search equals the kernel-computed threshold set") {
     val live = vids.filter(norm(_) > 0)
     val expected = (for {
