@@ -118,6 +118,8 @@ object SparkEntry {
              |FROM docs d JOIN weights w USING (source)
              |WHERE d.h32 * 10000 < w.weight_bp * 4294967296
              |GROUP BY d.source ORDER BY d.source""".stripMargin,
+        // the end-of-stream leaderboard must equal the batch top-10
+        "st13_stream_leaderboard" -> Analytics.oracles("q88_global_topk"),
         // the stateful first-crossing alert must equal the batch
         // running-sum first crossing (event-time order, integer cents)
         "st12_stream_threshold_alert" ->

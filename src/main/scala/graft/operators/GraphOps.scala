@@ -341,7 +341,56 @@ object GraphOps {
       .limit(20)
   }
 
+  private val KcoreK = 30
+  private val KcoreRounds = 4
+
+  /** g07 — k-core peeling (graph degeneracy): iteratively remove nodes
+    * with degree < k in the SURVIVING subgraph — the densest-region
+    * extraction behind spam-ring mining and community cores (the k-core
+    * is where coordinated behavior concentrates; peeling cascades,
+    * which is the whole point — removing a fringe node can doom its
+    * neighbor). Fixed [[KcoreRounds]] synchronous rounds on both
+    * engines, so the gate is exact whether or not the peel has
+    * converged (the g02/g04 fixed-round discipline).
+    *
+    * Plan management — the THIRD fixed-point idiom in this file: each
+    * round references the survivor set TWICE (once per edge endpoint),
+    * which is exactly the 2^k logical-plan doubling g02's self-loops
+    * exist to avoid — but peeling has no self-loop trick (aliveness is
+    * a property of BOTH endpoints). Instead each round's survivor set
+    * is PERSISTED, so the next round's two references are two scans of
+    * one cached O(nodes) relation and plan depth stays constant per
+    * round. Per-round cost: one O(edges) semi-join pass + an O(nodes)
+    * degree aggregate. */
+  def g07(t: Tables): DataFrame = {
+    val edges = undirectedTradeEdges(t)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nodes = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to KcoreRounds) {
+      nodes = edges
+        .join(nodes.hint("SHUFFLE_HASH"), edges("src") === nodes("node"))
+        .drop("node")
+        .join(nodes.withColumnRenamed("node", "dst_alive")
+            .hint("SHUFFLE_HASH"),
+          col("dst") === col("dst_alive"))
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK)
+        .select("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    nodes
+      .select(when(col("node") % 2 === 0, "supplier").otherwise("customer")
+        .as("entity"), col("node"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_core_nodes"), sum(col("node")).as("nodes_sum"))
+      .orderBy("entity")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "g07_kcore" -> g07,
     "g06_link_prediction" -> g06,
     "g01_pagerank" -> g01,
     "g02_connected_components" -> g02,
@@ -380,6 +429,13 @@ object GraphOps {
          |  GROUP BY e.dst)""".stripMargin
     val bfsSteps = (1 to Iters)
       .map(i => bfsStep(s"d${i - 1}", s"d$i")).mkString(",\n")
+    def coreStep(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.src AS node
+         |  FROM edges e JOIN $prev a ON e.src = a.node
+         |  JOIN $prev b ON e.dst = b.node
+         |  GROUP BY e.src HAVING count(*) >= $KcoreK)""".stripMargin
+    val coreSteps = (1 to KcoreRounds)
+      .map(i => coreStep(s"n${i - 1}", s"n$i")).mkString(",\n")
     val steps = (1 to Iters)
       .map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
     Map(
@@ -404,6 +460,21 @@ object GraphOps {
           |  UNION ALL SELECT c FROM tri)
           |SELECT node AS part_key, count(*) AS n_triangles
           |FROM n GROUP BY node ORDER BY part_key""".stripMargin,
+      // identical unrolled peel rounds over the undirected edge set
+      "g07_kcore" ->
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (
+           |  SELECT src, dst FROM pairs
+           |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+           |n0 AS (SELECT DISTINCT src AS node FROM edges),
+           |$coreSteps
+           |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer'
+           |    END AS entity,
+           |  count(*) AS n_core_nodes,
+           |  CAST(sum(node) AS BIGINT) AS nodes_sum
+           |FROM n$KcoreRounds GROUP BY 1 ORDER BY entity""".stripMargin,
       "g06_link_prediction" ->
         """WITH sc AS (
           |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c

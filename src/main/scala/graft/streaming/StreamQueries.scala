@@ -616,7 +616,30 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** st13 — the continuously-maintained leaderboard (q88's streaming
+    * twin): per-user running totals in exact integer cents with the
+    * global top-10 re-derived per micro-batch — complete-mode
+    * aggregation feeding sort+limit, the one place a global ORDER BY is
+    * legitimate in this library's streaming surface because it runs
+    * over the AGGREGATED O(users) state, never the event stream, and
+    * the limit keeps the sink at 10 rows however long the stream runs.
+    * Integer cents in the state store make cross-batch merges exact
+    * (the st06 discipline), so the end-of-stream leaderboard must equal
+    * the batch q88 verbatim — which is the oracle. */
+  def st13(spark: SparkSession, dir: String): DataFrame = {
+    val totals = eventsStream(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)"))
+          .as("sum_value_cents"))
+      .orderBy(col("sum_value_cents").desc, col("user_id"))
+      .limit(10)
+    runComplete(spark, totals, "st13_leaderboard")
+      .orderBy(col("sum_value_cents").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_leaderboard" -> ((s, dir) => st13(s, dir)),
     "st12_stream_threshold_alert" -> ((s, dir) => st12(s, dir)),
     "st11_stream_mix_sample" -> ((s, dir) => st11(s, dir)),
     "st10_stream_curation" -> ((s, dir) => st10(s, dir)),
