@@ -802,7 +802,41 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** q101 — EXACT equi-depth histogram (the CBO statistics primitive:
+    * q71 buckets by equal VALUE ranges, this buckets by equal ROW
+    * counts — what selectivity estimation actually wants, since skewed
+    * data makes equi-width bins useless). Exactness is normally the
+    * blocker at scale: true equi-depth needs global order statistics
+    * (a corpus sort, or sampling as percentile_approx does — q34's
+    * trade). The q100 coarsening applies: collapse to per-VALUE counts
+    * first (shuffle ∝ distinct values — domain-bounded for key-like and
+    * quantized columns; l_quantity is 1..50), then a #values-row
+    * running sum assigns each value its bucket as `cum_before·B div N`
+    * — a deterministic integer rule both engines share, with the
+    * documented property that a value never splits across buckets (so
+    * bucket depths are equal only up to value multiplicity — exactly
+    * the "boundary value" caveat real histogram builders document).
+    * Output: per bucket lo/hi/n_rows/n_values. */
+  def q101(t: Tables): DataFrame = {
+    val B = 5
+    val counts = t.lineitem
+      .select(col("l_quantity").cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .crossJoin(broadcast(
+        counts.agg(sum(col("c")).as("n_total"))))
+      .withColumn("bucket", expr(s"(cum_before * $B) div n_total"))
+      .groupBy("bucket")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n_rows"), count(lit(1)).as("n_values"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "q101_equi_depth_histogram" -> q101,
     "q100_concurrency" -> q100,
     "q99_theta_sketch" -> q99,
     "q98_window_distinct" -> q98,
@@ -834,6 +868,23 @@ object Analytics {
     "q72_regression_agg" -> q72)
 
   val oracles: Map[String, String] = Map(
+    // same integer bucket rule over the value-count relation
+    "q101_equi_depth_histogram" ->
+      """WITH counts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+        |cum AS (
+        |  SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM counts)
+        |SELECT CAST((cum_before * 5) // n_total AS BIGINT) AS bucket,
+        |  CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_values
+        |FROM cum, tot GROUP BY 1 ORDER BY bucket""".stripMargin,
     // ONE global running sum — the evaluation shape the Spark side
     // deliberately decomposes; equality proves the two-level prefix sum
     "q100_concurrency" ->
