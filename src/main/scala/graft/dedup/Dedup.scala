@@ -548,10 +548,14 @@ object Dedup {
     * the DuckDB twin uses string grams — identical sets up to ~2⁻⁶⁴
     * collision odds (the t10/t25 equivalence). */
   def d13(t: Tables): DataFrame = {
+    // persisted: both the per-source totals and the pair matrix consume
+    // the distinct gram relation — without it the gram explode +
+    // distinct shuffle runs twice (self-review catch; halves the query)
     val grams = t.documentsWide
       .withColumn("toks", expr(graft.functions.exprs.wsTokensSql))
       .select(col("source"), explode(ngram_hashes(col("toks"), 5)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perSrc = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val pairs = grams.groupBy("g")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
