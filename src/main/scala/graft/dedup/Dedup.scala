@@ -626,7 +626,45 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** d15 — quality survivorship for NEAR-dup clusters (d14's policy
+    * lifted from exact-dup groups to d06's LSH-banded MinHash
+    * clusters): within each near-dup cluster keep the highest-quality
+    * member (most tokens, ties to smallest id) and audit against the
+    * naive min-id survivor. This is the decision that actually differs
+    * at crawl scale: near-dup clusters hold truncated mirrors and
+    * ad-stripped rescrapes of the SAME content at different lengths,
+    * so quality survivorship routinely changes the answer where
+    * exact-dup groups (byte-identical members) rarely do — the
+    * exact-vs-near delta between d14's and d15's `changed_survivors`
+    * columns is itself the audit. Cluster labels come from the shared
+    * minLabelPropagation (ONE definition with d06/the pipeline);
+    * quality joins in by doc_id (labels are O(near-dup mass), the join
+    * is never corpus-sized); both policies evaluate in one aggregate
+    * exactly like d14. Rows-only (banding kernels upstream);
+    * DedupFixtureSpec pins survivor choice on the planted cluster. */
+  def d15(t: Tables): DataFrame = {
+    val (labels, _) = minLabelPropagation(candidatePairs(t))
+    val quality = t.documentsWide.select(col("doc_id").as("id"),
+      graft.functions.exprs.quality_scan(col("text"))
+        .getField("n_tokens").cast("bigint").as("ntk"))
+    labels.join(quality.hint("SHUFFLE_HASH"), Seq("id"))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("ntk"), (-col("id")).as("negid"), col("id")))
+          .as("best"),
+        min(col("id")).as("naive_id"),
+        min(struct(col("id"), col("ntk"))).getField("ntk")
+          .as("naive_ntk"))
+      .select(col("cluster_id"), col("n_members"),
+        col("best.id").as("survivor_id"), col("naive_id"),
+        when(col("best.id") =!= col("naive_id"), 1L).otherwise(0L)
+          .as("changed"),
+        col("best.ntk").as("survivor_ntk"), col("naive_ntk"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "d15_neardup_survivor" -> d15,
     "d14_quality_survivor" -> d14,
     "d13_cross_source_overlap" -> d13,
     "d10_semantic_dedup" -> d10,

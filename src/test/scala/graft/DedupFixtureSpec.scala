@@ -161,6 +161,38 @@ class DedupFixtureSpec extends AnyFunSuite {
       root == 1L && members.split(",").length >= 3 && n >= 3 })
   }
 
+  test("d15 near-dup survivorship picks the (ntk desc, id asc) argmax " +
+    "per d06 cluster and audits against min-id") {
+    val clusters = Dedup.d06(t).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSeq)
+      .toMap
+    val ntk: Map[Long, Long] = t.documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong).toMap
+    val expected = clusters.toSeq.map { case (cid, members) =>
+      val best = members.minBy(id => (-ntk(id), id))
+      val naive = members.min
+      (cid, members.size.toLong, best, naive,
+        if (best != naive) 1L else 0L, ntk(best), ntk(naive))
+    }.sortBy(_._1)
+    val got = Dedup.d15(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"d15 $got != $expected")
+    // fixture near-dups are equal-length plants, so every survivor is a
+    // TIE — which must break to min id, i.e. equal the naive survivor
+    // exactly (the changed-survivor case is exercised value-for-value by
+    // the argmax equality above and structurally identical to d14's,
+    // whose sf-corpus oracle covers unequal-length groups)
+    expected.filter { case (cid, _, _, naive, _, _, _) =>
+      clusters(cid).forall(m => ntk(m) == ntk(naive))
+    }.foreach { case (cid, _, best, naive, changed, _, _) =>
+      assert(best == naive && changed == 0L,
+        s"cluster $cid: equal-quality tie must keep min id")
+    }
+  }
+
   test("min-label propagation: diameter > cap throws; raised cap converges on a path graph") {
     val spark = t.spark
     import spark.implicits._
