@@ -967,7 +967,53 @@ object TextOps {
         expr("(20000 * n_chars + n_bpe) div (2 * n_bpe)"))
       .orderBy("source", "lang")
 
+  /** t29 — Zipf-fit corpus health check: the least-squares slope of
+    * log-frequency vs log-rank over each source's top-200 tokens —
+    * natural text tracks slope ≈ −1 (Zipf's law), and deviation is the
+    * classic cheap detector for OCR garbage, spam keyword stuffing, or
+    * machine-generated word salad (whose frequency curves flatten).
+    *
+    * Exactness discipline: a regr_slope over doubles is summation-
+    * order-dependent across engines (the q59 lesson applied to
+    * regression), so both log terms quantize to 1e-4 per ROW
+    * (`round(ln(x)·10⁴)` — t17's empirically-engine-stable ln
+    * quantization) and the slope assembles from pure int64 moment sums;
+    * the reported value is steepness = −slope in half-truncated basis
+    * points with the numerator clamped at 0 first — num ≥ 0 makes
+    * Spark's truncating `div` and DuckDB's flooring `//` agree (the
+    * q97-documented negative-division trap, designed out). Overflow
+    * headroom: qx ≤ ln(200)·10⁴ ≈ 5.3e4, n·Σqxqy ≲ 3e14 ≪ 2⁶³.
+    *
+    * Scale shape: token counts shuffle ∝ vocabulary (Heaps-sublinear,
+    * Zipf head collapses map-side — the t21 story); the per-source
+    * top-200 rank compiles to the two-phase WindowGroupLimit heap, so
+    * only ≤200·sources rows reach the moment aggregation. */
+  def t29(t: Tables): DataFrame = {
+    val Top = 200
+    val counts = t.documentsWide
+      .withColumn("toks", expr(tokensExpr))
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("tok"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Top)
+      .select(col("source"),
+        expr("cast(round(ln(rn) * 10000) as bigint)").as("qx"),
+        expr("cast(round(ln(c) * 10000) as bigint)").as("qy"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+        sum(col("qx") * col("qx")).as("sxx"),
+        sum(col("qx") * col("qy")).as("sxy"))
+      .select(col("source"), col("n_top"),
+        expr("greatest(0L, sx * sy - n_top * sxy) * 10000" +
+          " div (n_top * sxx - sx * sx)").as("zipf_steepness_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
+    "t29_zipf_fit" -> t29,
     "t28_fertility" -> t28,
     "t27_bloom_decontaminate" -> t27,
     "t26_importance_weights" -> t26,
@@ -1010,6 +1056,33 @@ object TextOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // identical quantized-moment arithmetic; QUALIFY rank = the window
+    // spelling of the Spark side's group-limit heap
+    "t29_zipf_fit" ->
+      raw"""WITH toks AS (
+         |  SELECT source, unnest($dTokens) AS tok FROM documents),
+         |counts AS (
+         |  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         |top AS (
+         |  SELECT source, c,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY c DESC, tok) AS rn
+         |  FROM counts QUALIFY rn <= 200),
+         |q AS (
+         |  SELECT source,
+         |    CAST(round(ln(rn) * 10000) AS BIGINT) AS qx,
+         |    CAST(round(ln(c) * 10000) AS BIGINT) AS qy
+         |  FROM top),
+         |m AS (
+         |  SELECT source, count(*) AS n_top,
+         |    CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         |    CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         |    CAST(sum(qx * qy) AS BIGINT) AS sxy
+         |  FROM q GROUP BY source)
+         |SELECT source, n_top,
+         |  CAST(greatest(0, sx * sy - n_top * sxy) * 10000
+         |    // (n_top * sxx - sx * sx) AS BIGINT) AS zipf_steepness_bp
+         |FROM m ORDER BY source""".stripMargin,
     // both counts from their published regex twins (t05's BPE-ish class
     // split, the shared ws tokenizer), ratios in half-up basis points
     "t28_fertility" ->
