@@ -37,7 +37,9 @@ object SparkEntry {
         "m03_media_fingerprint" -> ((s: SparkSession, dir: String) =>
           graft.multimodal.BinaryPipeline.m03(Tables(s, dir))),
         "m04_phash_neardup" -> ((s: SparkSession, _: String) =>
-          graft.multimodal.BinaryPipeline.m04(s)))
+          graft.multimodal.BinaryPipeline.m04(s)),
+        "m05_cross_modal_blast" -> ((s: SparkSession, _: String) =>
+          graft.multimodal.BinaryPipeline.m05(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -259,13 +259,16 @@ object BinaryPipeline {
     * the self-join is an equi-join on (band_idx, band_val), O(bucket²)
     * only within buckets. Rows-only (binary payloads + stub codec);
     * MultimodalSpec pins the exact expected pair set driver-side. */
-  def m04(spark: SparkSession): DataFrame = {
+  /** Verified pHash near-dup pairs (band-bucketed candidates + exact
+    * Hamming ≤ 6) — shared by m04's pair census and m05's blast-radius
+    * audit. */
+  private def phashPairs(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     val ph = phash(synthesizeNearDups(spark, 2000))
     val bands = ph.select(col("media_id"), col("modality"), col("ph"),
       posexplode(array((0 until 4).map(b =>
         expr(s"(ph >> ${16 * b}) & 65535")): _*)).as(Seq("band_idx", "band")))
-    val cands = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band") === col("b.band") &&
@@ -275,13 +278,40 @@ object BinaryPipeline {
         col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
         col("a.ph").as("ph_a"), col("b.ph").as("ph_b"))
       .distinct()
-    cands
       .filter(expr("bit_count(ph_a ^ ph_b) <= 6"))
+  }
+
+  def m04(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    phashPairs(spark)
       .groupBy("modality")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("id_b")).as("n_dup_media"),
         sum(expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
           .as("hamming_sum"))
+      .orderBy("modality")
+  }
+
+  /** m05 — cross-modal dedup blast radius: media near-dup pairs (m04's
+    * verified pHash pairs) mapped back to the DOCUMENTS that carry the
+    * removable copies — the audit a multimodal curation pass needs
+    * before dropping media (dropping a dup image mutates every document
+    * embedding it; the affected-doc count is the review queue). The
+    * higher id of each pair is the removable copy (min-id survivorship,
+    * d01's rule applied to media); affected docs = distinct source_doc
+    * of removable media. Rows-only (synthesized corpus + stub codec);
+    * MultimodalSpec pins the exact expectation. */
+  def m05(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val owners = synthesizeNearDups(spark, 2000).toDF()
+      .select(col("media_id").as("id_b"), col("modality"),
+        col("source_doc"))
+    phashPairs(spark)
+      .select(col("modality"), col("id_b")).distinct()
+      .join(owners, Seq("modality", "id_b"))
+      .groupBy("modality")
+      .agg(countDistinct(col("id_b")).as("n_removable_media"),
+        countDistinct(col("source_doc")).as("n_affected_docs"))
       .orderBy("modality")
   }
 

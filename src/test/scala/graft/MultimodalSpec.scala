@@ -101,5 +101,16 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got == want, s"m04 $got != expected $want")
+
+    // m05: the same verified pairs mapped to blast radius — removable
+    // media = distinct higher ids, affected docs = their source_doc
+    // (id / 4 per the synthesizer)
+    val wantBlast = expected.groupBy(_._1).map { case (m, ps) =>
+      val removable = ps.map(_._3).distinct
+      m -> ((removable.size.toLong, removable.map(_ / 4).distinct.size.toLong))
+    }
+    val gotBlast = BinaryPipeline.m05(spark).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotBlast == wantBlast, s"m05 $gotBlast != expected $wantBlast")
   }
 }
