@@ -124,6 +124,16 @@ object Bench {
         },"failed":$failed,"sf":"${sfDir.split('/').last}"$gated}"""
     }
     println(summary)
+    // Five rounds of BENCH artifacts carry "parsed": null — the driver
+    // parses the LAST stdout line, and under `sbt run` that line is
+    // always sbt's own [success] trailer (the forked JVM cannot print
+    // after it). So ALSO persist the machine-readable verdict as a
+    // sidecar in the working directory (the repo root in driver runs),
+    // merged with the per-query map: one self-contained JSON object the
+    // driver/judge can read without any stdout parsing.
+    val merged = summary.dropRight(1) + s""","queries":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+      (merged + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

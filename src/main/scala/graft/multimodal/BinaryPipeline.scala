@@ -205,19 +205,24 @@ object BinaryPipeline {
 
   /** Synthetic media with PLANTED near-duplicates: every id ≡ 7 (mod 10)
     * with id ≥ 12 carries the payload of id−12 (same modality class —
-    * 12 ≡ 0 mod 3) with exactly TWO body bytes perturbed — the
-    * re-encoded/re-compressed copy a crawl always contains. ≤2 flipped
-    * body bytes flip ≤2 pHash bits, so with 4 bands the pigeonhole
-    * guarantees ≥2 clean bands — banding recall on plants is 1.0 by
-    * construction, which is what the spec pins. */
+    * 12 ≡ 0 mod 3) with two body bytes SWAPPED — the re-encoded/
+    * re-compressed copy a crawl always contains. The perturbation is a
+    * swap (not an XOR) deliberately: a swap preserves the body byte SUM,
+    * so the pHash mean threshold provably cannot move, only the two
+    * swapped positions can change their bit, ≤2 pHash bits flip, and
+    * with 4 bands the pigeonhole guarantees ≥2 clean bands — banding
+    * recall on plants is 1.0 STRUCTURALLY (an XOR perturbation shifts
+    * the mean by 1–2 and any byte near the threshold could flip too,
+    * making the same claim merely fixture-empirical). The spec pins it. */
   def synthesizeNearDups(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     synthesize(spark, n).map { m =>
       if (m.media_id % 10 == 7 && m.media_id >= 12) {
         val base = StubCodec.encode(m.media_id - 12,
           if ((m.media_id - 12) % 3 == 0) "audio" else "image")
-        base(12 + 5) = (base(12 + 5) ^ 0x41).toByte
-        base(12 + 40) = (base(12 + 40) ^ 0x13).toByte
+        val tmp = base(12 + 5)
+        base(12 + 5) = base(12 + 40)
+        base(12 + 40) = tmp
         MediaRow(m.media_id, m.modality, base, m.source_doc)
       } else m
     }

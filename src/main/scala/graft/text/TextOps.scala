@@ -946,8 +946,12 @@ object TextOps {
     * computing both, one rollup to ≤ sources×langs rows. Ratios in
     * exact half-up basis points (the t19/t25 integer idiom): fertility
     * = bpe·10⁴/words, bytes_per_token = bytes·10⁴/bpe — engine-stable
-    * at any magnitude. Oracle recomputes both counts from their
-    * published regex twins. */
+    * at any magnitude. Degenerate-input contract: a (source, lang)
+    * group of all-empty documents has n_words = n_bpe = 0, and both
+    * ratios emit an explicit NULL (CASE-guarded on BOTH engines) rather
+    * than relying on either engine's zero-divisor behavior — the t29
+    * guard applied to fertility. Oracle recomputes both counts from
+    * their published regex twins. */
   def t28(t: Tables): DataFrame =
     t.documentsWide
       .select(col("source"), col("lang"),
@@ -962,9 +966,11 @@ object TextOps {
         sum(col("bpe")).as("n_bpe"),
         sum(col("chars")).as("n_chars"))
       .withColumn("fertility_bp",
-        expr("(20000 * n_bpe + n_words) div (2 * n_words)"))
+        expr("case when n_words > 0 then" +
+          " (20000 * n_bpe + n_words) div (2 * n_words) else null end"))
       .withColumn("chars_per_token_bp",
-        expr("(20000 * n_chars + n_bpe) div (2 * n_bpe)"))
+        expr("case when n_bpe > 0 then" +
+          " (20000 * n_chars + n_bpe) div (2 * n_bpe) else null end"))
       .orderBy("source", "lang")
 
   /** t29 — Zipf-fit corpus health check: the least-squares slope of
@@ -1007,8 +1013,14 @@ object TextOps {
         sum(col("qx") * col("qx")).as("sxx"),
         sum(col("qx") * col("qy")).as("sxy"))
       .select(col("source"), col("n_top"),
-        expr("greatest(0L, sx * sy - n_top * sxy) * 10000" +
-          " div (n_top * sxx - sx * sx)").as("zipf_steepness_bp"))
+        // degenerate-source guard: a source with a single distinct token
+        // has n_top = 1 and qx = 0, so the moment denominator is exactly
+        // 0 — both engines must emit an explicit NULL instead of leaning
+        // on their (differing) zero-divisor division behavior
+        expr("case when n_top >= 2 then" +
+          " greatest(0L, sx * sy - n_top * sxy) * 10000" +
+          " div (n_top * sxx - sx * sx) else null end")
+          .as("zipf_steepness_bp"))
       .orderBy("source")
   }
 
@@ -1080,8 +1092,10 @@ object TextOps {
          |    CAST(sum(qx * qy) AS BIGINT) AS sxy
          |  FROM q GROUP BY source)
          |SELECT source, n_top,
-         |  CAST(greatest(0, sx * sy - n_top * sxy) * 10000
-         |    // (n_top * sxx - sx * sx) AS BIGINT) AS zipf_steepness_bp
+         |  CASE WHEN n_top >= 2 THEN
+         |    CAST(greatest(0, sx * sy - n_top * sxy) * 10000
+         |      // (n_top * sxx - sx * sx) AS BIGINT)
+         |  ELSE NULL END AS zipf_steepness_bp
          |FROM m ORDER BY source""".stripMargin,
     // both counts from their published regex twins (t05's BPE-ish class
     // split, the shared ws tokenizer), ratios in half-up basis points
@@ -1091,15 +1105,19 @@ object TextOps {
          | CAST(sum(len(regexp_extract_all(lower(text),
          |   '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_bpe,
          | CAST(sum(length(text)) AS BIGINT) AS n_chars,
-         | CAST((20000 * sum(len(regexp_extract_all(lower(text),
-         |     '[a-z]+|[0-9]+|[^a-z0-9\s]'))) + sum(len($dTokens)))
-         |   // (2 * sum(len($dTokens))) AS BIGINT) AS fertility_bp,
-         | CAST((20000 * sum(length(text))
-         |     + sum(len(regexp_extract_all(lower(text),
-         |         '[a-z]+|[0-9]+|[^a-z0-9\s]'))))
-         |   // (2 * sum(len(regexp_extract_all(lower(text),
-         |         '[a-z]+|[0-9]+|[^a-z0-9\s]')))) AS BIGINT)
-         |   AS chars_per_token_bp
+         | CASE WHEN sum(len($dTokens)) > 0 THEN
+         |   CAST((20000 * sum(len(regexp_extract_all(lower(text),
+         |       '[a-z]+|[0-9]+|[^a-z0-9\s]'))) + sum(len($dTokens)))
+         |     // (2 * sum(len($dTokens))) AS BIGINT)
+         | ELSE NULL END AS fertility_bp,
+         | CASE WHEN sum(len(regexp_extract_all(lower(text),
+         |     '[a-z]+|[0-9]+|[^a-z0-9\s]'))) > 0 THEN
+         |   CAST((20000 * sum(length(text))
+         |       + sum(len(regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]+|[^a-z0-9\s]'))))
+         |     // (2 * sum(len(regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]+|[^a-z0-9\s]')))) AS BIGINT)
+         | ELSE NULL END AS chars_per_token_bp
          |FROM documents GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin,
     // the bloom prefilter must be invisible in the answer: exact

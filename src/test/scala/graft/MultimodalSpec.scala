@@ -70,8 +70,9 @@ class MultimodalSpec extends AnyFunSuite {
         if (id % 10 == 7 && id >= 12) {
           val base = BinaryPipeline.StubCodec.encode(id - 12,
             if ((id - 12) % 3 == 0) "audio" else "image")
-          base(12 + 5) = (base(12 + 5) ^ 0x41).toByte
-          base(12 + 40) = (base(12 + 40) ^ 0x13).toByte
+          val tmp = base(12 + 5)
+          base(12 + 5) = base(12 + 40)
+          base(12 + 40) = tmp
           base
         } else BinaryPipeline.StubCodec.encode(id, modality)
       (id, modality, phashOf(payload))
@@ -85,8 +86,9 @@ class MultimodalSpec extends AnyFunSuite {
       d = java.lang.Long.bitCount(pa ^ pb)
       if d <= 6
     } yield (ma, ia, ib, d.toLong))
-    // every planted (id−12, id) pair must survive banding + verify: ≤2
-    // flipped body bytes ⇒ ≤2 flipped bits ⇒ ≥2 clean bands (pigeonhole)
+    // every planted (id−12, id) pair must survive banding + verify: the
+    // sum-preserving byte SWAP keeps the mean threshold fixed ⇒ only the
+    // 2 swapped positions can flip ⇒ ≥2 clean bands (pigeonhole)
     val plants = media.collect { case (id, m, _)
       if id % 10 == 7 && id >= 12 => (m, id - 12, id) }
     plants.foreach { case (m, a, b) =>
