@@ -74,8 +74,15 @@ object Dedup {
     * path (HashPropertySpec proves it). With `withPayload=false` the
     * banded rows carry a zero payload instead of the k-long signature —
     * candidate-only consumers (d04) shuffle ids, not signatures. */
-  private def minhashBanded(t: Tables, withPayload: Boolean = true): DataFrame = {
-    val sigs = t.documentsWide
+  private def minhashBanded(t: Tables, withPayload: Boolean = true): DataFrame =
+    minhashBandedDocs(t.documentsWide, withPayload)
+
+  /** Same banding over an arbitrary (doc_id, text) relation — the shared
+    * entry the pipeline's verified near-dup stage reuses on mid-chain
+    * survivors instead of the raw table. */
+  private def minhashBandedDocs(docs: DataFrame,
+      withPayload: Boolean): DataFrame = {
+    val sigs = docs
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("sig"))
     val bandArr = array((0 until Bands).map(b =>
@@ -121,10 +128,26 @@ object Dedup {
     * EXACT all-pairs answer on string grams, gating recall and the
     * verification math together (see the oracle's comment for the
     * deliberate scale boundary of that compare). */
-  def d04(t: Tables): DataFrame = {
-    val cands = bucketPairs(minhashBanded(t, withPayload = false))
+  def d04(t: Tables): DataFrame =
+    verifiedPairs(t.documentsWide)
+      .withColumn("jaccard_x1e4",
+        expr("(20000L * n_shared + n_union) div (2L * n_union)"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The exact-verified near-dup pair relation over an arbitrary
+    * (doc_id, text) input: MinHash-LSH candidate generation (shuffle ∝
+    * rows × bands, hot buckets capped) followed by exact 3-gram Jaccard
+    * verification at J ≥ 0.3 — LSH recall, exact precision. Columns
+    * (doc_a < doc_b, n_shared, n_union). This is the ONE pair definition
+    * d04/d12 grade, d06/d15 cluster, and the pipeline's verified
+    * near-dup stage drops on — and the reason all of them carry full
+    * DuckDB oracles: the decision is exact set arithmetic a SQL engine
+    * reproduces on string grams, the candidate stage only needs the
+    * documented LSH recall argument (d04's oracle comment). */
+  private[graft] def verifiedPairs(docs: DataFrame): DataFrame = {
+    val cands = bucketPairs(minhashBandedDocs(docs, withPayload = false))
       .select("doc_a", "doc_b").distinct()
-    val sets = t.documentsWide
+    val sets = docs
       .withColumn("toks", tokensCol)
       .select(col("doc_id"), ngram_hashes(col("toks"), 3).as("grams"))
     cands
@@ -139,9 +162,6 @@ object Dedup {
       // round(double, 4) whose HALF_UP-vs-binary rounding can diverge
       // cross-engine on non-dyadic ratios (e.g. 49/160 = 0.30625)
       .filter(col("n_shared") * 10 >= col("n_union") * 3)
-      .withColumn("jaccard_x1e4",
-        expr("(20000L * n_shared + n_union) div (2L * n_union)"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d12 — dedup-rate-vs-threshold curve: the operating-point sweep a
@@ -203,16 +223,21 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** The d02 candidate-pair graph, materialized once per (session, table
-    * content) and reused: d06 consumes the pairs as its edge list, and
-    * re-deriving the whole MinHash banding pipeline on every d06
-    * invocation (bench/verify loops invoke repeatedly) re-paid the most
-    * expensive part of the query for an identical tiny result. This is
-    * the same index-artifact pattern as s03's codebook — a dedup graph is
-    * built once per corpus snapshot, not once per downstream query. The
-    * key carries the Spark application id (a checkpointed DataFrame dies
+  /** The exact-verified pair graph ([[verifiedPairs]] over the documents
+    * table), materialized once per (session, table content) and reused:
+    * d06/d15 consume the pairs as their edge list, and re-deriving the
+    * whole MinHash banding + verification pipeline on every invocation
+    * (bench/verify loops invoke repeatedly) re-paid the most expensive
+    * part of the query for an identical tiny result. This is the same
+    * index-artifact pattern as s03's codebook — a dedup graph is built
+    * once per corpus snapshot, not once per downstream query. The key
+    * carries the Spark application id (a checkpointed DataFrame dies
     * with its context) and the table-file fingerprint (a regenerated
-    * directory can never be served stale pairs). */
+    * directory can never be served stale pairs). Until round 5 the edge
+    * list was d02's ESTIMATED pairs (est ≥ 0.5, rows-only by
+    * construction); clustering the d04-verified pairs instead both
+    * matches the curation policy (decisions on exact Jaccard, never on
+    * an estimate) and gives the cluster family its SQL oracle. */
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
@@ -220,7 +245,8 @@ object Dedup {
     val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:" +
       t.tableFingerprint("documents")
     pairsCache.getOrElseUpdate(key,
-      d02(t).select(col("doc_a"), col("doc_b")).localCheckpoint())
+      verifiedPairs(t.documentsWide).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint())
   }
 
   /** Min-label propagation over an undirected pair list: each round,
@@ -273,10 +299,18 @@ object Dedup {
     (labels, rounds)
   }
 
-  /** d06 — duplicate clusters: connected components over the MinHash
-    * candidate-pair graph (est ≥ threshold), via [[minLabelPropagation]].
-    * Survivor = min doc_id of the cluster (matches d01/pipeline policy).
-    * Rows-only (pairs come from the custom MinHash kernel). */
+  /** d06 — duplicate clusters: connected components over the EXACT-
+    * verified near-dup pair graph ([[verifiedPairs]], J ≥ 0.3), via
+    * [[minLabelPropagation]]. Survivor = min doc_id of the cluster
+    * (matches d01/pipeline policy). Full SQL oracle (round-5 verdict
+    * task 2): DuckDB recomputes the exact all-pairs edge set (the d04
+    * oracle, recall argument verbatim) and clusters it with the g02
+    * unrolled min-label CTE idiom — min over (self ∪ neighbors) per
+    * round is exactly what the left-join + coalesce propagation
+    * computes, and after k ≥ diameter rounds both engines hold the
+    * converged min-id labels (Spark loops to convergence and THROWS
+    * otherwise; the oracle unrolls 16 rounds, comfortably past any
+    * near-dup cluster diameter at the graded SFs). */
   def d06(t: Tables): DataFrame = {
     val (labels, _) = minLabelPropagation(candidatePairs(t))
     labels
@@ -627,7 +661,7 @@ object Dedup {
   }
 
   /** d15 — quality survivorship for NEAR-dup clusters (d14's policy
-    * lifted from exact-dup groups to d06's LSH-banded MinHash
+    * lifted from exact-dup groups to d06's exact-verified near-dup
     * clusters): within each near-dup cluster keep the highest-quality
     * member (most tokens, ties to smallest id) and audit against the
     * naive min-id survivor. This is the decision that actually differs
@@ -640,8 +674,10 @@ object Dedup {
     * minLabelPropagation (ONE definition with d06/the pipeline);
     * quality joins in by doc_id (labels are O(near-dup mass), the join
     * is never corpus-sized); both policies evaluate in one aggregate
-    * exactly like d14. Rows-only (banding kernels upstream);
-    * DedupFixtureSpec pins survivor choice on the planted cluster. */
+    * exactly like d14. Full SQL oracle (round-5 verdict task 2): the
+    * d06 unrolled min-label CTE composed with d14-style window ranks
+    * over the same exact (ntk desc, id asc) ordering; DedupFixtureSpec
+    * additionally pins survivor choice on the planted cluster. */
   def d15(t: Tables): DataFrame = {
     val (labels, _) = minLabelPropagation(candidatePairs(t))
     val quality = t.documentsWide.select(col("doc_id").as("id"),
@@ -709,7 +745,69 @@ object Dedup {
        |              JOIN sizes sb ON sb.doc_id = doc_b)
        |WHERE n_shared * 10 >= n_union * 3""".stripMargin
 
+  /** The g02 unrolled min-label CTE idiom over the exact all-pairs edge
+    * set (verdict task 2's composition): self-loops fold the keep-own
+    * term so each round is one join + one min — identical to what
+    * [[minLabelPropagation]]'s left-join + coalesce computes — and
+    * after k ≥ diameter rounds both engines hold the converged labels.
+    * 16 rounds ≫ any near-dup cluster diameter at the graded SFs
+    * (clusters are ≤MaxBucket mutual near-dups; the fixture's worst
+    * planted chain has diameter 2); a graph that somehow needed more
+    * makes the gate FAIL loudly, never pass wrong. Ends with `lbl` =
+    * the converged (node, l) labeling. */
+  private val MinLabelUnrollRounds = 16
+
+  private def minLabelCteSql: String = {
+    def step(prev: String, cur: String) =
+      s"""$cur AS (SELECT e.dst AS node, min(r.l) AS l
+         |  FROM nd_edges e JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    val steps = (1 to MinLabelUnrollRounds)
+      .map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""nd_pairs AS ($D04PairsSql),
+       |nd_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM nd_pairs
+       |  UNION ALL SELECT DISTINCT src, src AS dst FROM (
+       |    SELECT doc_a AS src FROM nd_pairs
+       |    UNION ALL SELECT doc_b AS src FROM nd_pairs)),
+       |l0 AS (SELECT DISTINCT src AS node, src AS l FROM nd_edges),
+       |$steps,
+       |lbl AS (SELECT node, l FROM l$MinLabelUnrollRounds)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // exact-verified pair graph + unrolled min-label CC + cluster rollup
+    "d06_dup_clusters" ->
+      s"""WITH $minLabelCteSql
+         |SELECT l AS cluster_id, count(*) AS n_members,
+         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+         |FROM lbl GROUP BY l ORDER BY cluster_id""".stripMargin,
+    // the same labels joined to token quality, both survivorship
+    // policies as window ranks over the exact (ntk desc, id) ordering
+    "d15_neardup_survivor" ->
+      raw"""WITH $minLabelCteSql,
+         |qual AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |      AS ntk
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT lbl.l, lbl.node, qual.ntk,
+         |    row_number() OVER (PARTITION BY lbl.l
+         |      ORDER BY qual.ntk DESC, lbl.node) AS q_rn,
+         |    row_number() OVER (PARTITION BY lbl.l ORDER BY lbl.node)
+         |      AS n_rn,
+         |    count(*) OVER (PARTITION BY lbl.l) AS n_members
+         |  FROM lbl JOIN qual ON lbl.node = qual.doc_id)
+         |SELECT b.l AS cluster_id,
+         |  CAST(b.n_members AS BIGINT) AS n_members,
+         |  b.node AS survivor_id, n.node AS naive_id,
+         |  CAST(CASE WHEN b.node <> n.node THEN 1 ELSE 0 END AS BIGINT)
+         |    AS changed,
+         |  b.ntk AS survivor_ntk, n.ntk AS naive_ntk
+         |FROM (SELECT * FROM ranked WHERE q_rn = 1) b
+         |JOIN (SELECT * FROM ranked WHERE n_rn = 1) n ON b.l = n.l
+         |ORDER BY cluster_id""".stripMargin,
     // both survivorship policies as window ranks over the same exact
     // orderings the struct min/max aggregates implement
     "d14_quality_survivor" ->

@@ -8,27 +8,30 @@ import org.apache.spark.storage.StorageLevel
 /** Driver-graded end-to-end curation query (SURVEY §2 p01): the
   * TrainingDataPipeline stage graph as a CORRECTNESS entry, not just a
   * spec. p01 runs the deterministic stage chain — PII scrub → quality
-  * gate → exact dedup → LM-perplexity gate → benchmark decontamination —
-  * through the very same stage functions the pipeline's `run()` composes,
-  * and reports per-source survivor counts at every stage plus the final
-  * kept fraction. The DuckDB oracle recomputes the whole composition from
-  * the already-oracled stage semantics (t14 scrub regexes, t02 quality
-  * rule, d01 canonical fingerprint, t17/t18 quantized bigram LM, t10
-  * 8-gram decontamination — ref analog: the INSERT OVERWRITE ETL
+  * gate → exact dedup → exact-verified near-dup removal → LM-perplexity
+  * gate → benchmark decontamination — through the very same stage
+  * functions the pipeline composes, and reports per-source survivor
+  * counts at every stage plus the final kept fraction. The DuckDB oracle
+  * recomputes the whole composition from the already-oracled stage
+  * semantics (t14 scrub regexes, t02 quality rule, d01 canonical
+  * fingerprint, d04 exact-Jaccard pair drop, t17/t18 quantized bigram
+  * LM, t10 8-gram decontamination — ref analog: the INSERT OVERWRITE ETL
   * workflow, ref lines 261–269, graded as a query).
   *
-  * The ONE stage excluded is MinHash near-dup removal: banding signatures
-  * are custom 64-bit kernels no SQL engine reproduces, so its membership
-  * in a SQL-oracled chain is impossible by construction. It stays
-  * value-gated by PipelineSpec's planted-clique fixtures (and d02's), and
-  * `run()` still executes it — p01 grades every stage an oracle CAN see.
+  * Since round 6 the near-dup stage is INSIDE the oracle (verdict task
+  * 3): the graded chain uses [[TrainingDataPipeline
+  * .nearDupVerifiedRemoval]] — LSH candidates, EXACT 3-gram-Jaccard
+  * drop decisions — whose DuckDB twin is the d04 all-pairs composition
+  * (recall argument verbatim). `run()`'s estimate-based stage remains
+  * spec-gated by PipelineSpec's planted-clique fixtures.
   *
   * Scale shape: identical to the pipeline's (map-only scrub/quality, one
-  * fingerprint shuffle, the t17 SHUFFLE_HASH LM probe, broadcast bench
-  * grams); the five per-source rollups aggregate tiny per-stage survivor
-  * sets. Stages are persisted so each computes once across the five count
-  * branches (the `run()` rationale; the ContextCleaner reclaims blocks
-  * when the plan is released).
+  * fingerprint shuffle, one banding shuffle + candidate-bounded verify
+  * join, the t17 SHUFFLE_HASH LM probe, broadcast bench grams); the six
+  * per-source rollups aggregate tiny per-stage survivor sets. Stages are
+  * persisted so each computes once across the six count branches (the
+  * `run()` rationale; the ContextCleaner reclaims blocks when the plan
+  * is released).
   */
 object PipelineQueries {
 
@@ -40,16 +43,19 @@ object PipelineQueries {
     val bench = input.filter(col("doc_id") % 50 === 0)
     val q = qualityFilter(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     val e = exactDedup(q).persist(StorageLevel.MEMORY_AND_DISK)
-    val p = perplexityFilter(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nearDupVerifiedRemoval(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val p = perplexityFilter(n).persist(StorageLevel.MEMORY_AND_DISK)
     val d = decontaminate(p, bench)
     def cnt(df: DataFrame, name: String) =
       df.groupBy("source").agg(count(lit(1)).as(name))
     cnt(corpus, "n_input")
       .join(cnt(q, "n_quality"), Seq("source"), "left")
       .join(cnt(e, "n_exact"), Seq("source"), "left")
+      .join(cnt(n, "n_neardup"), Seq("source"), "left")
       .join(cnt(p, "n_lm"), Seq("source"), "left")
       .join(cnt(d, "n_final"), Seq("source"), "left")
-      .na.fill(0L, Seq("n_quality", "n_exact", "n_lm", "n_final"))
+      .na.fill(0L,
+        Seq("n_quality", "n_exact", "n_neardup", "n_lm", "n_final"))
       // kept fraction at 4dp via exact integer arithmetic (the t19
       // pattern): float division rounds differently across engines on
       // representation ties
@@ -306,8 +312,28 @@ object PipelineQueries {
          |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
          |      FROM q)
          |    GROUP BY fp) s USING (doc_id)),
+         |ndt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+         |        FROM e),
+         |ndg AS (SELECT DISTINCT doc_id, g FROM (
+         |   SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+         |   FROM ndt, UNNEST(range(1, len(tk) - 1)) AS t(i)
+         |   WHERE len(tk) >= 3
+         |   UNION ALL
+         |   SELECT doc_id, array_to_string(tk, ' ') FROM ndt
+         |   WHERE len(tk) < 3)),
+         |nds AS (SELECT doc_id, count(*) AS ng FROM ndg GROUP BY doc_id),
+         |nd_losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+         |    FROM ndg a JOIN ndg b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY doc_a, doc_b) sh
+         |  JOIN nds sa ON sa.doc_id = sh.doc_a
+         |  JOIN nds sb ON sb.doc_id = sh.doc_b
+         |  WHERE sh.s * 10 >= (sa.ng + sb.ng - sh.s) * 3),
+         |n AS (SELECT * FROM e
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM nd_losers)),
          |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-         |         FROM e),
+         |         FROM n),
          |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
          |       FROM toks, UNNEST(range(1, len(tk))) AS t(i)
          |       WHERE len(tk) >= 2),
@@ -317,7 +343,7 @@ object PipelineQueries {
          |    sum(CAST(round(ln(c12 * 1.0 / c1) * 10000) AS BIGINT)) AS slp
          |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
          |  GROUP BY doc_id),
-         |p AS (SELECT e.* FROM e JOIN scored USING (doc_id)
+         |p AS (SELECT n.* FROM n JOIN scored USING (doc_id)
          |      WHERE slp >= ${graft.text.TextOps.LmKeepThresholdQ4} * nb),
          |ptoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
          |          FROM p),
@@ -343,6 +369,7 @@ object PipelineQueries {
          |SELECT i.source AS source, i.n AS n_input,
          |  CAST(coalesce(qn.n, 0) AS BIGINT) AS n_quality,
          |  CAST(coalesce(en.n, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(nn.n, 0) AS BIGINT) AS n_neardup,
          |  CAST(coalesce(pn.n, 0) AS BIGINT) AS n_lm,
          |  CAST(coalesce(dn.n, 0) AS BIGINT) AS n_final,
          |  ((20000 * CAST(coalesce(dn.n, 0) AS BIGINT) + i.n)
@@ -351,6 +378,8 @@ object PipelineQueries {
          |LEFT JOIN (SELECT source, count(*) AS n FROM q GROUP BY source) qn
          |  USING (source)
          |LEFT JOIN (SELECT source, count(*) AS n FROM e GROUP BY source) en
+         |  USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM n GROUP BY source) nn
          |  USING (source)
          |LEFT JOIN (SELECT source, count(*) AS n FROM p GROUP BY source) pn
          |  USING (source)

@@ -119,6 +119,26 @@ object TrainingDataPipeline {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dup removal with EXACT decisions — the oracle-accountable
+    * variant of [[nearDupRemoval]] (round-5 verdict task 3): the same
+    * LSH banding generates candidates, but the drop test is the exact
+    * 3-gram Jaccard (10·s ≥ 3·u) of `Dedup.verifiedPairs` rather than
+    * the MinHash ESTIMATE — exact set arithmetic a SQL engine
+    * reproduces on string grams, so the stage can sit inside p01's
+    * fully-composed DuckDB oracle (the candidate stage needs only the
+    * documented LSH recall argument, d04's oracle comment). Drop
+    * policy: the higher doc_id of each verified pair loses — the same
+    * pairwise policy as [[nearDupRemoval]]. Production trade-off,
+    * documented: exact verification joins the gram sets back to the
+    * candidates (one extra hash join over O(candidate) rows); the
+    * est-based stage stays available where the signature-only pass is
+    * preferred and ±1/K estimate noise is acceptable. */
+  def nearDupVerifiedRemoval(docs: DataFrame): DataFrame = {
+    val losers = graft.dedup.Dedup.verifiedPairs(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** LM-perplexity gate (the t18 operator as a pipeline stage, CCNet-
     * style): trains the MLE bigram model on the surviving corpus itself
     * and keeps documents whose average transition log-prob clears the

@@ -138,8 +138,17 @@ class DedupFixtureSpec extends AnyFunSuite {
       "near-dups keep most winnow fingerprints through a local edit")
   }
 
-  test("d06 clusters equal union-find over the d02 pair graph") {
-    val pairs = bandPairs.filter { case (i, j) => est(i, j) >= 0.5 }
+  test("d06 clusters equal union-find over the d04 exact-verified pair graph") {
+    // edges are the EXACT-verified pairs (10s >= 3u over 3-gram hash
+    // sets), the same relation d04 grades — not the d02 estimates
+    val grams = FixtureData.docTexts.map { case (id, text) =>
+      id -> HashImpls.ngramHashes(arr(toks(text)), 3).toSet
+    }.toMap
+    val pairs = bandPairs.filter { case (i, j) =>
+      val s = grams(i).intersect(grams(j)).size.toLong
+      val u = grams(i).union(grams(j)).size.toLong
+      s * 10 >= u * 3
+    }
     // reference union-find
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
     def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }

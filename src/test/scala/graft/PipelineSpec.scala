@@ -189,6 +189,26 @@ class PipelineSpec extends AnyFunSuite {
       s"clique must collapse to doc 10 despite dissimilar reps (kept: $kept)")
   }
 
+  test("verified near-dup removal drops on EXACT jaccard, keeps the lower id") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"nv$i").mkString(" ")
+    // J(base, nearCopy) far over 0.3: 2 appended tokens on 40
+    val nearCopy = base + " tailx taily"
+    val distinct = (1 to 40).map(i => s"zq$i").mkString(" ")
+    // J(half1, half2) = 8 shared 3-grams / 48 union ≈ 0.17 < 0.3: a pair
+    // sharing a sub-threshold prefix must BOTH survive — the exact
+    // decision, where a noisy estimate could have crossed the line
+    val half1 = (1 to 30).map(i => s"h$i").mkString(" ")
+    val half2 = ((1 to 10).map(i => s"h$i") ++
+      (11 to 30).map(i => s"k$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, nearCopy), (3L, distinct),
+      (4L, half1), (5L, half2)).toDF("doc_id", "text")
+    val kept = TrainingDataPipeline.nearDupVerifiedRemoval(docs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L),
+      s"only the verified near-copy (higher id) drops (kept: $kept)")
+  }
+
   test("observe metrics accumulate data-quality counters during the job") {
     val df = TrainingDataPipeline.curatedWithMetrics(t)
     // the metrics belong to the QueryExecution that ran the action, so
