@@ -107,6 +107,159 @@ object StreamQueries {
     spark.read.parquet(out)
   }
 
+  /** Multi-micro-batch OUT-OF-ORDER replay (round-5 verdict task 1) —
+    * the harness that makes st04/st07/st12's graded runs exercise real
+    * cross-batch streaming semantics instead of the single-batch
+    * file-replay the round-5 entries rode:
+    *
+    *  - The events table is re-materialized as [[ReplayFiles]] parquet
+    *    chunk files split by JITTERED event time: each event's position
+    *    is its true ts plus a deterministic md5(event_id)-derived offset
+    *    in [0, [[ReplayJitterSec]]), so consecutive chunks overlap by up
+    *    to 30 minutes of true event time — late data genuinely crosses
+    *    micro-batch boundaries, bounded by a known reordering horizon
+    *    (exactly how a production replay of a partially-ordered log
+    *    behaves: disorder is real but bounded, and the consumer sizes
+    *    its watermark to that bound).
+    *  - File modification times increase chunk by chunk and the stream
+    *    reads with `maxFilesPerTrigger=1`, so AvailableNow processes one
+    *    chunk per micro-batch in order (FileStreamSource orders pending
+    *    files by mtime) — ≥[[ReplayFiles]] data batches plus the
+    *    trailing state-cleanup batch.
+    *  - The 1-hour watermarks downstream dominate the 30-minute jitter
+    *    horizon with 2× margin, so NO row is ever late-dropped and the
+    *    batch-twin oracles must still hold EXACTLY — which is the gate:
+    *    join state carried across batches (st04/st07), eviction-driven
+    *    null-side emission (st07), and the st12 reorder buffer all have
+    *    to produce the order-independent answer.
+    *  - End-of-stream flush markers (the st07/st08 sentinel idiom) ride
+    *    INSIDE the final chunk file: with a multi-file source a separate
+    *    sentinel source would be read in the FIRST batch — AvailableNow
+    *    drains each source's listing independently — advancing the
+    *    watermark past the whole corpus and late-dropping everything
+    *    after it; embedding the marker in the last chunk keeps it the
+    *    last event the engine sees.
+    *
+    * The replay dir is built once per (session, dir, table fingerprint,
+    * sentinel set) and cached — bench reruns re-stream the same files. */
+  private val ReplayFiles = 4
+  private val ReplayJitterSec = 1800L
+  private val replayCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def replayDir(spark: SparkSession, dir: String,
+      sentinelTypes: Seq[String]): String = {
+    val key = s"${spark.sparkContext.applicationId}:$dir:" +
+      graft.Tables.fingerprint(s"$dir/events.parquet") + ":" +
+      sentinelTypes.mkString(",")
+    replayCache.getOrElseUpdate(key, {
+      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+            .forall(_ != "true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val cols = raw.columns.map(col)
+      // ordering position + jitter in the SOURCE ts unit (raw nanos for
+      // the TIMESTAMP(NANOS) generation, micros for native timestamps)
+      val (ordCol, unitPerSec) = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          (col("ts"), 1000000000L)
+        case _ => (unix_micros(col("ts").cast("timestamp")), 1000000L)
+      }
+      val jit = (expr("cast(conv(substring(md5(cast(event_id as string))," +
+        " 1, 8), 16, 10) as bigint)") % ReplayJitterSec) * unitPerSec
+      val jordered = raw.withColumn("_jord", ordCol + jit)
+      val mm = jordered.agg(min(col("_jord")).as("lo"),
+        max(col("_jord")).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = math.max(1L, hi - lo + 1)
+      val out = graft.TempDirs.create("graft_replay_events")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      def place(df: DataFrame, idx: Int): Unit = {
+        val tmp = graft.TempDirs.create(s"graft_replay_chunk_$idx")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"replay chunk $idx: no parquet part"))
+        val dst = new java.io.File(out, f"chunk_$idx%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // 60 s spacing: far past any FS mtime granularity, so the
+        // FileStreamSource mtime order is the chunk order
+        dst.setLastModified(base + idx * 60000L)
+        ()
+      }
+      (0 until ReplayFiles).foreach { i =>
+        place(jordered
+          .filter(((col("_jord") - lit(lo)) * ReplayFiles / lit(span))
+            .cast("int") === i)
+          .select(cols: _*), i)
+      }
+      if (sentinelTypes.nonEmpty) {
+        // the st07/st08 flush marker, 30 days past max(ts), as the LAST
+        // chunk: sentinel users −1, −2, … carry one event per type
+        val thirtyDays = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            col("mx") + lit(30L * 24 * 3600 * 1000 * 1000 * 1000)
+          case _ => col("mx") + expr("INTERVAL 30 DAYS")
+        }
+        val mx = raw.agg(max(col("ts")).as("mx"))
+        import spark.implicits._
+        val sentinels = sentinelTypes.zipWithIndex
+          .map { case (tpe, i) => (-(i + 1).toLong, tpe) }
+          .toDF("sid", "stype")
+          .crossJoin(mx)
+          .select(
+            col("sid").as("event_id"),
+            thirtyDays.cast(raw.schema("ts").dataType).as("ts"),
+            col("sid").as("user_id"),
+            col("stype").as("event_type"),
+            lit(0.0).as("value"),
+            lit("{}").as("props"))
+          .select(cols: _*)
+        place(sentinels, ReplayFiles)
+      }
+      out
+    })
+  }
+
+  /** Run `f` (which must START AND DRAIN its streaming query inside)
+    * with `spark.sql.shuffle.partitions` scoped down to `n` — the
+    * state-store sizing knob for the multi-batch queries. Every
+    * stateful operator instantiates one state store PER shuffle
+    * partition PER micro-batch, and each store's commit writes+fsyncs a
+    * delta file: at 32 partitions the st04 profile showed ~70–180 s of
+    * aggregate state-commit time per batch against ~10 K state rows —
+    * pure per-instance overhead, 0.3 MB of actual state. Production
+    * sizes this to state volume (state rows / target rows-per-store);
+    * the graded corpus carries O(users)=O(10⁴) state rows, for which 8
+    * stores are already more parallelism than data. The override is
+    * scoped: the conf is read at query START, and the surrounding batch
+    * plans (sink post-aggregations, oracles) still run at the session's
+    * 32. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** The normalized event stream over the shuffled multi-file replay:
+    * one chunk per micro-batch, out-of-order across batches within the
+    * documented jitter horizon. Sentinel rows (if requested) arrive in
+    * the final batch; callers filter `user_id >= 0`. */
+  private[graft] def replayedEventsStream(spark: SparkSession, dir: String,
+      sentinelTypes: Seq[String]): DataFrame = {
+    val rd = replayDir(spark, dir, sentinelTypes)
+    val schema = spark.read.parquet(rd).schema
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(rd))
+  }
+
   /** st01 — tumbling-window aggregation through the streaming engine:
     * q30's exact result (hour_ts, event_type, cnt, sum_value) computed by
     * FileStreamSource + streaming state store instead of a batch scan.
@@ -177,11 +330,12 @@ object StreamQueries {
     * hour-bucket expansion — at 100 TB/day the streaming spelling is
     * strictly cheaper because state holds only the 10-minute horizon. */
   def st04(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventsStream(spark, dir)
+    val ev = replayedEventsStream(spark, dir, Nil)
+    val clicks = ev
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val purchases = eventsStream(spark, dir)
+    val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
@@ -189,21 +343,26 @@ object StreamQueries {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
-    // EXACTNESS CAVEAT (unlike the state-retaining st01–st03): inner
-    // matches emit eagerly, but an input row arriving in a LATER
-    // micro-batch more than the 1 h watermark behind the stream's max
-    // event time is dropped as late before joining. The gate is exact
-    // here because the single-file source yields one AvailableNow batch
-    // (no rate limits configured); a multi-batch replay of out-of-order
-    // history needs the watermark sized to the reordering horizon.
+    // MULTI-BATCH EXACTNESS (the round-5 caveat, now closed): the
+    // shuffled replay delivers ≥4 out-of-order micro-batches, so a
+    // click and its purchase routinely land in DIFFERENT batches and
+    // the match is made against buffered join STATE, not within one
+    // batch. Exactness holds because the 1 h watermark dominates the
+    // 30 min reordering horizon: no row is late-dropped, and a side's
+    // state is evicted only once the watermark proves no future match
+    // can exist (wm − 1 h exceeds every future row's ts by more than
+    // the 10 min join window) — so append-mode output must equal the
+    // batch self-join whatever the batch boundaries.
     val name = s"st04_join_${sinkId.incrementAndGet()}"
-    val q = joined.writeStream
-      .queryName(name)
-      .outputMode("append")
-      .format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -288,17 +447,24 @@ object StreamQueries {
     * purchase side) — the funnel-abandonment query, st04's other half.
     * Null-side emission IS join-state eviction, which only happens when
     * the watermark passes a click's horizon — so over a finite corpus
-    * the trailing clicks would never flush. The source therefore unions
-    * a sentinel click+purchase pair 30 days past max(ts) (user −1,
-    * filtered from the result): after the data batch the watermark jumps
-    * past every real click's horizon, and the trailing no-data
-    * micro-batch (the state-cleanup batch AvailableNow exists to run,
-    * unlike the retired Trigger.Once) evicts and emits every unmatched
-    * click. This is the standard end-of-stream flush marker a bounded
-    * replay of unbounded history uses. Sink: distributed append parquet
-    * — the join output is O(clicks), it grows with the corpus and must
-    * not funnel through the driver. Oracle: the batch LEFT JOIN with
-    * identical predicates. */
+    * the trailing clicks would never flush. The replay therefore embeds
+    * a sentinel click+purchase pair 30 days past max(ts) (users −1/−2,
+    * filtered from the result) in its FINAL chunk: after that batch the
+    * watermark jumps past every real click's horizon, and the trailing
+    * no-data micro-batch (the state-cleanup batch AvailableNow exists
+    * to run, unlike the retired Trigger.Once) evicts and emits every
+    * unmatched click. This is the standard end-of-stream flush marker a
+    * bounded replay of unbounded history uses. Since round 6 the source
+    * is the SHUFFLED MULTI-BATCH replay (verdict task 1): null-side
+    * rows now flush from state built across ≥4 out-of-order batches —
+    * a click may sit in state for several batches before either its
+    * cross-batch match arrives or eviction proves none will — and the
+    * batch LEFT JOIN oracle still must hold exactly (watermark ≥ 2× the
+    * jitter horizon, so nothing is late-dropped and eviction is never
+    * premature). Sink: distributed append parquet — the join output is
+    * O(clicks), it grows with the corpus and must not funnel through
+    * the driver. Oracle: the batch LEFT JOIN with identical
+    * predicates. */
   /** End-of-stream flush marker: a streamed source of one event per
     * requested type, stamped 30 days past the corpus max(ts) under
     * sentinel users (−1, −2, …). Unioned into a finite replay it
@@ -345,9 +511,10 @@ object StreamQueries {
   }
 
   def st07(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsStream(spark, dir)
-      .unionByName(sentinelStream(spark, dir, "st07",
-        Seq("click", "purchase")))
+    // multi-batch shuffled replay with the flush marker INSIDE the last
+    // chunk (see replayDir: a separate sentinel source would be drained
+    // in batch 1 and late-drop the whole corpus)
+    val ev = replayedEventsStream(spark, dir, Seq("click", "purchase"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
@@ -360,14 +527,16 @@ object StreamQueries {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
       "left_outer")
     val out = graft.TempDirs.create("graft_st07_rows")
-    val q = joined.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .filter(col("user_id") >= 0) // drop the sentinel pair
       .groupBy(col("user_id"))
@@ -544,73 +713,144 @@ object StreamQueries {
     runComplete(spark, kept, "st11_sample").orderBy("source")
   }
 
-  case class CrossState(cum: Long, n: Long, crossed: Boolean)
+  /** One buffered event awaiting finality: epoch millis + sub-second
+    * nanos reconstruct the full-precision event-time order key
+    * ((sec, nanos-in-sec, id) — micros on disk, so lossless). */
+  case class BufEvent(tsMs: Long, tsNs: Int, eventId: Long, cents: Long)
+  case class AlertState(cum: Long, n: Long, crossed: Boolean,
+      maxSeenMs: Long, buf: List[BufEvent])
   case class Crossing(user_id: Long, n_events_at_cross: Long,
       cents_at_cross: Long)
 
   /** st12 — stateful threshold alerting: emit EXACTLY ONE row per user
     * at the first moment their running spend crosses the threshold —
     * the fraud/budget-alert state machine (fire once, never re-fire,
-    * however long the stream runs). mapGroups-style state
-    * (`flatMapGroupsWithState`, Append) holds three longs per user:
-    * running cents, event count, fired?.
+    * however long the stream runs).
     *
-    * Exactness contract: "first crossing" is an EVENT-TIME-order
-    * property and values can be negative (the running sum is not
-    * monotone), so each batch's group iterator is sorted by full-
-    * precision (ts, event_id) before folding — and cross-batch
-    * correctness rides the same single-batch file-replay assumption
-    * st04 documents (a production deployment pairs the state fn with a
-    * watermark-bounded reorder buffer). Cents fold via BigDecimal
-    * HALF_UP on Double.toString — bit-identical to SQL `round(value *
-    * 100)` on BOTH engines, the q81/st06 integer-cents discipline, so
-    * the crossing index cannot drift on float representation. Oracle:
-    * the batch running-sum first crossing (min rn with cum ≥ T, cum
-    * joined back at that rn). */
-  def st12(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val T = 100000L
-    val ev = eventsStream(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .as[EventsStream.Event]
-    val crossings = ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState[CrossState, Crossing](
+    * "First crossing" is an EVENT-TIME-order property and values can
+    * be negative (the running sum is not monotone), so out-of-order
+    * arrival across micro-batches — which the round-6 shuffled replay
+    * (verdict task 1) forces for real — would corrupt a naive
+    * arrival-order fold. The state function therefore carries the
+    * WATERMARK-BOUNDED REORDER BUFFER the round-5 doc promised: per
+    * user, events above the current watermark wait in state; events at
+    * or below it are FINAL (the 1 h watermark delay dominates the
+    * replay's 30 min disorder bound, so nothing older can still
+    * arrive) and fold in full-precision (ts, event_id) order into the
+    * running cents. An EventTimeTimeout re-invokes the group once the
+    * watermark passes its oldest buffered event, and the end-of-stream
+    * sentinel (final replay chunk, user −1, filtered) pushes the
+    * watermark past every real event so the last buffers flush in the
+    * cleanup batch. Buffer size is bounded by per-user arrivals inside
+    * one watermark horizon — O(rate × horizon), the standard bound any
+    * production reorder buffer carries. Cents fold via BigDecimal
+    * HALF_UP on the double — bit-identical to SQL `round(value * 100)`
+    * on BOTH engines (the q81/st06 integer-cents discipline), so the
+    * crossing index cannot drift on float representation. Oracle: the
+    * batch running-sum first crossing (min rn with cum ≥ T, cum joined
+    * back at that rn) — now proven independent of batch boundaries. */
+  /** The st12 state machine over an already-watermarked event stream —
+    * exposed so the spec can drive crafted out-of-order micro-batches
+    * through it (a MemoryStream delivers a later-ts event FIRST and the
+    * reorder buffer must still fold in event-time order).
+    *
+    * TWO finality signals bound the buffer, and both are needed:
+    *  - `disorderBoundMs` — the source's documented reordering horizon
+    *    (the replay's jitter bound): an event is final once the group
+    *    has seen any event more than the horizon PAST it, because no
+    *    future arrival can be more than the horizon out of order. This
+    *    signal works WITHIN a batch, which matters enormously for
+    *    historical replay: a micro-batch spans days of event time while
+    *    the watermark only advances BETWEEN batches, so watermark-only
+    *    buffering would hold every batch's full input in state once
+    *    (measured: ~25 K buffered rows/batch → ~2.5 s/batch of state
+    *    encode/decode; with the horizon fold the buffer holds only each
+    *    group's trailing horizon — a handful of rows).
+    *  - the watermark — the engine's cross-group guarantee, which
+    *    flushes the trailing holds when the end-of-stream sentinel
+    *    pushes it past max(ts) (EventTimeTimeout re-invokes groups the
+    *    sentinel batch didn't touch).
+    * Proof of the horizon rule for the replay: a future event f obeys
+    * jord(f) > B (its chunk starts after this one ends) ≥ jord(m) ≥
+    * ts(m) for every already-seen m, so ts(f) = jord(f) − jit(f) >
+    * ts(m) − horizon — an event e with ts(e) ≤ maxSeen − horizon can
+    * never be preceded by a future arrival. */
+  private[graft] def thresholdCrossings(
+      ev: org.apache.spark.sql.Dataset[EventsStream.Event],
+      threshold: Long,
+      disorderBoundMs: Long = ReplayJitterSec * 1000)
+      : org.apache.spark.sql.Dataset[Crossing] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AlertState, Crossing](
         org.apache.spark.sql.streaming.OutputMode.Append,
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[EventsStream.Event],
-         state: org.apache.spark.sql.streaming.GroupState[CrossState]) =>
-          val st0 = state.getOption.getOrElse(CrossState(0L, 0L, false))
-          val evs = it.toArray.sortBy(e =>
-            (e.ts.getTime / 1000, e.ts.getNanos, e.event_id))
+         state: org.apache.spark.sql.streaming.GroupState[AlertState]) =>
+          val st0 = state.getOption
+            .getOrElse(AlertState(0L, 0L, false, Long.MinValue, Nil))
+          val incoming = it.map { e =>
+            BufEvent(e.ts.getTime, e.ts.getNanos, e.event_id,
+              java.math.BigDecimal.valueOf(e.value * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+          }.toList
+          // an event is final once (a) the watermark passed it, or (b)
+          // the group has seen an event a full disorder horizon past it
+          val wm = state.getCurrentWatermarkMs()
+          val maxSeen = (st0.maxSeenMs :: incoming.map(_.tsMs)).max
+          // the extra 1 s absorbs ms-flooring of the stored epoch and
+          // keeps the fold boundary clear of the (sec, nanos) order
+          // key's second granularity — no second is ever split across
+          // a fold
+          val cut = math.max(wm,
+            if (maxSeen == Long.MinValue) Long.MinValue
+            else maxSeen - disorderBoundMs - 1000)
+          val (ready, hold) = (st0.buf ++ incoming).partition(_.tsMs <= cut)
+          val ordered = ready.sortBy(e =>
+            (e.tsMs / 1000, e.tsNs, e.eventId))
           var cum = st0.cum
           var n = st0.n
           var fired = st0.crossed
           var out: Option[Crossing] = None
-          evs.foreach { e =>
-            cum += java.math.BigDecimal
-              .valueOf(e.value * 100)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          ordered.foreach { e =>
+            cum += e.cents
             n += 1
-            if (!fired && cum >= T) {
+            if (!fired && cum >= threshold) {
               fired = true
               out = Some(Crossing(uid, n, cum))
             }
           }
-          state.update(CrossState(cum, n, fired))
+          state.update(AlertState(cum, n, fired, maxSeen, hold))
+          if (hold.nonEmpty)
+            // re-invoke once the watermark passes the oldest held event
+            // (must be > wm; holds are, by the partition above)
+            state.setTimeoutTimestamp(hold.map(_.tsMs).min)
           out.iterator
       }
+  }
+
+  def st12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = replayedEventsStream(spark, dir, Seq("click"))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val crossings = thresholdCrossings(ev, 100000L)
     val out = graft.TempDirs.create("graft_st12_alerts")
-    val q = crossings.toDF()
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = crossings.toDF()
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
+      .filter(col("user_id") >= 0) // drop the sentinel user
       .select(col("user_id"), col("n_events_at_cross"),
         col("cents_at_cross"))
       .orderBy("user_id")

