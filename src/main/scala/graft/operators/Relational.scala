@@ -264,6 +264,50 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q102 — COMPOSITE-key as-of with right-payload passthrough, through
+    * the generalized native operator (round-5 verdict task 6;
+    * [[graft.plans.AsOfJoin]]'s round-6 scope): each event probes the
+    * latest order of the same customer IN THE EVENT'S URGENCY CLASS —
+    * event types map to the tier their campaign targets (purchase→2,
+    * view→1, other→0) and order priorities to the tier they ship at
+    * (1-URGENT→2, 2-HIGH→1, rest→0) — the (entity, category) as-of a
+    * multi-tenant attribution pipeline runs — and carries the matched
+    * date's order value (integer cents) out of the reference side,
+    * proving payload columns ride the one-pass merge. The reference is
+    * pre-aggregated to one row per (customer, class, date) so
+    * (key, time) is UNIQUE — the engine-portable determinism contract
+    * for as-of WITH payloads (DuckDB's ASOF leaves tied winners
+    * unspecified exactly like the merge does; unique times make the
+    * question moot on both engines). Same one-pass merge plan shape as
+    * q95: two sorted co-partitioned exchanges, reference side never
+    * buffered, payload carried as O(1) copied values per key. Oracle:
+    * DuckDB ASOF JOIN with the extra key equality; OperatorsSpec pins
+    * row-identity against the q33 window composition lifted to the
+    * composite key. */
+  def q102(t: Tables): DataFrame = {
+    val events = t.events.select(col("user_id"), col("ts"),
+      when(col("event_type") === "purchase", 2L)
+        .when(col("event_type") === "view", 1L).otherwise(0L).as("klass"))
+    val orders = t.orders
+      .groupBy(col("o_custkey"),
+        when(col("o_orderpriority").startsWith("1"), 2L)
+          .when(col("o_orderpriority").startsWith("2"), 1L)
+          .otherwise(0L).as("klass"),
+        col("o_orderdate"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("day_cents"))
+      .select(col("o_custkey"), col("klass"),
+        col("o_orderdate").cast("timestamp").as("ots"), col("day_cents"))
+    graft.plans.AsOfJoin.asofJoin(events, orders,
+        Seq("user_id", "klass"), Seq("o_custkey", "klass"), "ts", "ots",
+        Seq("day_cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("asof_ts")).as("asof_date"),
+        sum(col("day_cents")).as("sum_asof_cents"))
+      .orderBy("user_id")
+  }
+
   /** q36 — INTERSECT / EXCEPT set operations across dimension paths. */
   def q36(t: Tables): DataFrame = {
     val supNations = t.supplier
@@ -384,6 +428,7 @@ object Relational {
     "q32_json_extract" -> q32,
     "q33_asof_join" -> q33,
     "q95_native_asof" -> q95,
+    "q102_asof_composite" -> q102,
     "q21_star_join" -> q21,
     "q22_semi_join" -> q22,
     "q23_anti_join" -> q23,
@@ -449,6 +494,29 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // composite-key + payload as-of: DuckDB's native ASOF with the extra
+    // key equality, reference pre-aggregated to unique (key, time)
+    "q102_asof_composite" ->
+      """WITH mo AS (
+        |  SELECT o_custkey,
+        |    CAST(CASE WHEN o_orderpriority LIKE '1%' THEN 2
+        |         WHEN o_orderpriority LIKE '2%' THEN 1
+        |         ELSE 0 END AS BIGINT) AS klass,
+        |    o_orderdate AS ots,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS day_cents
+        |  FROM orders GROUP BY 1, 2, 3),
+        |ev AS (SELECT user_id, ts,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 2
+        |         WHEN event_type = 'view' THEN 1
+        |         ELSE 0 END AS BIGINT) AS klass
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, max(a.ots) AS asof_date,
+        |  CAST(sum(a.day_cents) AS BIGINT) AS sum_asof_cents
+        |FROM ev e ASOF JOIN mo a
+        |  ON a.o_custkey = e.user_id AND a.klass = e.klass
+        |  AND e.ts >= a.ots
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the native operator must reproduce the composition's oracle verbatim
     "q95_native_asof" ->
       """SELECT user_id, count(*) AS n_events, max(asof_date) AS asof_date,

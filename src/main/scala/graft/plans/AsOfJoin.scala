@@ -16,49 +16,59 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * itself lack natively: for every left (probe) row, find the single
   * right (reference) row with the same key and the LARGEST right time
   * ≤ the left time (backward as-of, inclusive — DuckDB `ASOF JOIN ...
-  * ON l.ts >= r.ts` semantics; ties on the max time are value-identical
-  * because only the matched TIME is emitted).
+  * ON l.ts >= r.ts` semantics).
   *
   * Why a physical operator when q33 already composes the same semantics
   * from union + window: the compositional plan materializes the merged
   * stream through a window sort and carries every probe column through
   * it; this exec is the textbook ONE-PASS merge — both sides hash-
   * partitioned on the key (ClusteredDistribution → EnsureRequirements
-  * co-partitions), partition-locally sorted by (key, time) (declared
+  * co-partitions), partition-locally sorted by (keys…, time) (declared
   * requiredChildOrdering → SortExec), then a two-pointer scan holding
   * O(1) state per key: the reference side is read ONCE, never buffered,
   * never re-scanned, and nothing but the join's own shuffle moves. At
   * 100 TB that is the as-of plan you want: shuffle ∝ inputs, memory O(1)
-  * per partition beyond the sorts. q95 grades it against DuckDB's native
-  * ASOF JOIN; PlanAuditSpec pins the exec + its sorted-exchange children;
-  * RelationalSpec (AsOfJoinExec parity test) pins row-identity with the
-  * q33 composition on the same inputs.
+  * per partition beyond the sorts. q95 grades the single-key form
+  * against DuckDB's native ASOF JOIN; q102 grades the composite-key +
+  * payload form; PlanAuditSpec pins the exec + its sorted-exchange
+  * children; RelationalSpec pins row-identity with the window
+  * composition on the same inputs.
   *
-  * Scope (documented, not discovered): single int64 key, timestamp
-  * times, INNER backward join emitting left columns + `asof_ts`; null
-  * keys/times never match (standard join-key semantics). Generalizing
-  * to composite keys/payload passthrough is mechanical (bind more
-  * ordinals); the graded surface keeps the contract minimal.
+  * Scope (round-6 generalization of the round-5 single-key contract):
+  * COMPOSITE int64 keys (lexicographic merge order), timestamp times,
+  * INNER backward join emitting left columns + `asof_ts` + any
+  * requested RIGHT-side payload columns (the matched row's values —
+  * carried through the merge as O(#payload) copied values per key,
+  * still never a buffered row). Null keys/times never match (standard
+  * join-key semantics). Ties on the max reference time resolve to the
+  * LAST row in sort order — callers wanting determinism with payloads
+  * pre-aggregate the reference to unique (key, time), exactly as q102
+  * does (and as any engine-portable as-of must: DuckDB leaves the tied
+  * winner unspecified too).
   */
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Attribute,
-    rightKey: Attribute,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
+    rightPayload: Seq[Attribute],
     // a constructor FIELD, not a body val: optimizer transforms copy()
     // the node, and a body-val attribute would mint a fresh exprId on
     // every copy while parent plans still reference the original
     asofAttr: AttributeReference =
       AttributeReference("asof_ts", TimestampType, nullable = false)())
     extends BinaryNode {
-  require(leftKey.dataType == LongType && rightKey.dataType == LongType,
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    "AsOfJoin: key lists must be non-empty and same-length")
+  require((leftKeys ++ rightKeys).forall(_.dataType == LongType),
     "AsOfJoin: keys must be BIGINT")
   require(leftTime.dataType == TimestampType &&
     rightTime.dataType == TimestampType,
     "AsOfJoin: times must be TIMESTAMP")
-  override def output: Seq[Attribute] = left.output :+ asofAttr
+  override def output: Seq[Attribute] =
+    left.output ++ (asofAttr +: rightPayload)
   override def producedAttributes
       : org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(asofAttr)
@@ -68,13 +78,22 @@ case class AsOfJoin(
 }
 
 object AsOfJoin {
-  /** Public API: `asofJoin(probe, reference, key, key, ts, ts)` —
-    * resolves the named columns on the analyzed inputs, installs the
-    * strategy on the session (idempotent), and wraps the logical node
-    * as a DataFrame. */
+  /** Public API: `asofJoin(probe, reference, key, key, ts, ts)` — the
+    * single-key, no-payload form (q95's contract). */
   def asofJoin(probe: DataFrame, reference: DataFrame,
       probeKey: String, refKey: String,
-      probeTime: String, refTime: String): DataFrame = {
+      probeTime: String, refTime: String): DataFrame =
+    asofJoin(probe, reference, Seq(probeKey), Seq(refKey),
+      probeTime, refTime, Nil)
+
+  /** General form: composite keys (positionally paired) and right-side
+    * payload columns emitted alongside `asof_ts`. Resolves the named
+    * columns on the analyzed inputs, installs the strategy on the
+    * session (idempotent), and wraps the logical node as a DataFrame. */
+  def asofJoin(probe: DataFrame, reference: DataFrame,
+      probeKeys: Seq[String], refKeys: Seq[String],
+      probeTime: String, refTime: String,
+      payload: Seq[String]): DataFrame = {
     val spark = probe.sparkSession
     install(spark)
     val lp = probe.queryExecution.analyzed
@@ -83,8 +102,10 @@ object AsOfJoin {
       p.output.find(_.name == name).getOrElse(
         sys.error(s"asofJoin: no column '$name' in ${p.output.map(_.name)}"))
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
-      AsOfJoin(lp, rp, attr(lp, probeKey), attr(rp, refKey),
-        attr(lp, probeTime), attr(rp, refTime)))
+      AsOfJoin(lp, rp,
+        probeKeys.map(attr(lp, _)), refKeys.map(attr(rp, _)),
+        attr(lp, probeTime), attr(rp, refTime),
+        payload.map(attr(rp, _))))
   }
 
   /** Idempotently register the planner strategy on a live session. */
@@ -100,7 +121,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftKey, j.rightKey, j.leftTime, j.rightTime, j.asofAttr) :: Nil
+        j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        j.rightPayload, j.asofAttr) :: Nil
     case _ => Nil
   }
 }
@@ -109,30 +131,32 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    leftKey: Attribute,
-    rightKey: Attribute,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
+    rightPayload: Seq[Attribute],
     asofAttr: AttributeReference) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output :+ asofAttr
+  override def output: Seq[Attribute] =
+    left.output ++ (asofAttr +: rightPayload)
 
   override def producedAttributes
       : org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(asofAttr)
 
-  // co-partition both sides on the key; EnsureRequirements inserts the
-  // exchanges (and reuses existing compatible partitioning)
+  // co-partition both sides on the key columns; EnsureRequirements
+  // inserts the exchanges (and reuses existing compatible partitioning)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) ::
-      ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
 
-  // partition-local (key, time) sort on both sides — the merge contract
+  // partition-local (keys…, time) sort on both sides — the merge contract
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder.apply(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder.apply(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    Seq(SortOrder.apply(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder.apply(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    (leftKeys :+ leftTime).map(a => SortOrder.apply(a,
+      org.apache.spark.sql.catalyst.expressions.Ascending)),
+    (rightKeys :+ rightTime).map(a => SortOrder.apply(a,
+      org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -144,47 +168,99 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = left.output.indexWhere(_.exprId == leftKey.exprId)
-    val lt = left.output.indexWhere(_.exprId == leftTime.exprId)
-    val rk = right.output.indexWhere(_.exprId == rightKey.exprId)
-    val rt = right.output.indexWhere(_.exprId == rightTime.exprId)
-    require(lk >= 0 && lt >= 0 && rk >= 0 && rt >= 0,
-      "AsOfJoinExec: join columns must be child outputs")
+    def ordinals(child: SparkPlan, attrs: Seq[Attribute]): Array[Int] = {
+      val out = attrs.map(a =>
+        child.output.indexWhere(_.exprId == a.exprId)).toArray
+      require(out.forall(_ >= 0),
+        "AsOfJoinExec: join columns must be child outputs")
+      out
+    }
+    val lk = ordinals(left, leftKeys)
+    val rk = ordinals(right, rightKeys)
+    val lt = ordinals(left, Seq(leftTime)).head
+    val rt = ordinals(right, Seq(rightTime)).head
+    val pOrds = ordinals(right, rightPayload)
+    val pTypes = rightPayload.map(_.dataType).toArray
+    val nKeys = lk.length
+    val nPay = pOrds.length
     val out = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(out, out)
       val joined = new JoinedRow
-      val tsRow = new GenericInternalRow(1)
+      // carried columns: asof_ts + the matched row's payload values
+      val extra = new GenericInternalRow(1 + nPay)
       val rBuf = rIter.buffered
-      // O(1) merge state: the best (largest ≤) reference time seen for
-      // the key currently under the right pointer
+      // O(keys + payload) merge state: the best (largest ≤) reference
+      // time seen for the key currently under the right pointer, plus
+      // that row's payload values (copied — the iterator reuses rows)
       var haveMatch = false
-      var matchKey = 0L
+      val matchKey = new Array[Long](nKeys)
       var matchTs = 0L
+      val matchPay = new Array[Any](nPay)
+      def keyCmpRightLeft(r: InternalRow, l: InternalRow): Int = {
+        var i = 0
+        while (i < nKeys) {
+          val rv = r.getLong(rk(i)); val lv = l.getLong(lk(i))
+          if (rv < lv) return -1
+          if (rv > lv) return 1
+          i += 1
+        }
+        0
+      }
+      def anyNullKey(row: InternalRow, ords: Array[Int]): Boolean = {
+        var i = 0
+        while (i < ords.length) {
+          if (row.isNullAt(ords(i))) return true
+          i += 1
+        }
+        false
+      }
+      def matchEqualsLeft(l: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKeys) {
+          if (matchKey(i) != l.getLong(lk(i))) return false
+          i += 1
+        }
+        true
+      }
       lIter.flatMap { l =>
-        if (l.isNullAt(lk) || l.isNullAt(lt)) None
+        if (anyNullKey(l, lk) || l.isNullAt(lt)) None
         else {
-          val lKeyV = l.getLong(lk)
           val lTsV = l.getLong(lt)
           var scan = true
           while (scan && rBuf.hasNext) {
             val r = rBuf.head
-            if (r.isNullAt(rk) || r.isNullAt(rt)) { rBuf.next(); () }
+            if (anyNullKey(r, rk) || r.isNullAt(rt)) { rBuf.next(); () }
             else {
-              val rKeyV = r.getLong(rk)
-              if (rKeyV < lKeyV ||
-                  (rKeyV == lKeyV && r.getLong(rt) <= lTsV)) {
-                if (rKeyV == lKeyV) {
-                  haveMatch = true; matchKey = rKeyV
+              val cmp = keyCmpRightLeft(r, l)
+              if (cmp < 0 || (cmp == 0 && r.getLong(rt) <= lTsV)) {
+                if (cmp == 0) {
+                  haveMatch = true
+                  var i = 0
+                  while (i < nKeys) {
+                    matchKey(i) = r.getLong(rk(i)); i += 1
+                  }
                   matchTs = r.getLong(rt)
+                  i = 0
+                  while (i < nPay) {
+                    // copyValue: UTF8String/struct/array values returned
+                    // from an UnsafeRow alias its (reused) buffer
+                    matchPay(i) = InternalRow.copyValue(
+                      r.get(pOrds(i), pTypes(i)))
+                    i += 1
+                  }
                 }
                 rBuf.next(); ()
               } else scan = false
             }
           }
-          if (haveMatch && matchKey == lKeyV) {
-            tsRow.setLong(0, matchTs)
-            Some(proj(joined(l, tsRow)))
+          if (haveMatch && matchEqualsLeft(l)) {
+            extra.setLong(0, matchTs)
+            var i = 0
+            while (i < nPay) {
+              extra.update(i + 1, matchPay(i)); i += 1
+            }
+            Some(proj(joined(l, extra)))
           } else None
         }
       }

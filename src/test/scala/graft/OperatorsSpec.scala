@@ -42,6 +42,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == composed)
   }
 
+  test("q102 composite-key as-of with payload is row-identical to the " +
+    "window composition") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val native = operators.Relational.q102(t).collect().toSeq
+    // the q33 union + last-ignoreNulls composition lifted to the
+    // composite (uid, class) key, payload carried inside the struct
+    val mo = t.orders
+      .groupBy(col("o_custkey").as("uid"),
+        when(col("o_orderpriority").startsWith("1"), 2L)
+          .when(col("o_orderpriority").startsWith("2"), 1L)
+          .otherwise(0L).as("mkey"),
+        col("o_orderdate").cast("timestamp").as("ots"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("day_cents"))
+      .select(col("uid"), col("mkey"), col("ots").as("ts"),
+        struct(col("ots"), col("day_cents")).as("ref"),
+        lit(false).as("is_probe"))
+    val ev = t.events.select(col("user_id").as("uid"), col("ts"),
+        when(col("event_type") === "purchase", 2L)
+          .when(col("event_type") === "view", 1L).otherwise(0L).as("mkey"))
+      .select(col("uid"), col("mkey"), col("ts"),
+        lit(null).cast(mo.schema("ref").dataType).as("ref"),
+        lit(true).as("is_probe"))
+    val w = Window.partitionBy(col("uid"), col("mkey"))
+      .orderBy(col("ts"), col("is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = mo.unionByName(ev)
+      .withColumn("m", last(col("ref"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") && col("m").isNotNull)
+      .groupBy(col("uid").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("m.ots")).as("asof_date"),
+        sum(col("m.day_cents")).as("sum_asof_cents"))
+      .orderBy("user_id")
+      .collect().toSeq
+    assert(native.nonEmpty && native == composed)
+  }
+
+  test("q102 plans the AsOfJoinExec (no window fallback)") {
+    val plan = operators.Relational.q102(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin") && !plan.contains("Window"),
+      s"q102 must plan the generalized exec:\n$plan")
+  }
+
   test("q01 counts partition the table") {
     val total = operators.Reference.q01(t)
       .agg(org.apache.spark.sql.functions.sum("total")).head().getLong(0)
