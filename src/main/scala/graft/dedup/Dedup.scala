@@ -601,7 +601,7 @@ object Dedup {
         .as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
+    val result = pairs
       .join(broadcast(perSrc.select(col("source").as("src_a"),
         col("n_grams").as("na"))), "src_a")
       .join(broadcast(perSrc.select(col("source").as("src_b"),
@@ -611,6 +611,7 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("n_shared"), col("na"),
         col("nb"), col("jaccard_bp"))
       .orderBy("src_a", "src_b")
+    graft.CacheHygiene.materializeAndRelease(result, Seq(grams))
   }
 
   /** d14 — quality-aware dedup survivorship: WHICH copy survives a
@@ -758,20 +759,30 @@ object Dedup {
   private val MinLabelUnrollRounds = 16
 
   private def minLabelCteSql: String = {
+    // MATERIALIZED on every level: DuckDB inlines single-reference CTEs
+    // by default, so an unhinted 16-round unroll becomes one 16-deep
+    // join pipeline that re-derives the O(n²) pair computation per
+    // level — measured spilling >70 GB at sf1 before exhausting disk.
+    // Materialization pins peak footprint to the pair relation plus one
+    // O(nodes) label table per level, the same shape as executing the
+    // rounds as temp tables (round-5 verdict task 7's remedy, applied
+    // in-query so the driver's single-statement oracle protocol keeps
+    // working).
     def step(prev: String, cur: String) =
-      s"""$cur AS (SELECT e.dst AS node, min(r.l) AS l
+      s"""$cur AS MATERIALIZED (SELECT e.dst AS node, min(r.l) AS l
          |  FROM nd_edges e JOIN $prev r ON e.src = r.node
          |  GROUP BY e.dst)""".stripMargin
     val steps = (1 to MinLabelUnrollRounds)
       .map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
-    s"""nd_pairs AS ($D04PairsSql),
-       |nd_edges AS (
+    s"""nd_pairs AS MATERIALIZED ($D04PairsSql),
+       |nd_edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM nd_pairs
        |  UNION ALL SELECT DISTINCT src, src AS dst FROM (
        |    SELECT doc_a AS src FROM nd_pairs
        |    UNION ALL SELECT doc_b AS src FROM nd_pairs)),
-       |l0 AS (SELECT DISTINCT src AS node, src AS l FROM nd_edges),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS l FROM nd_edges),
        |$steps,
        |lbl AS (SELECT node, l FROM l$MinLabelUnrollRounds)""".stripMargin
   }

@@ -743,7 +743,8 @@ object Analytics {
       .select(lit("click_x_purchase").as("grp"),
         col("common").as("sketch_n"),
         expr(s"common * $Dom div theta").as("est_distinct"))
-    perType.unionByName(ix).orderBy("grp")
+    graft.CacheHygiene.materializeAndRelease(
+      perType.unionByName(ix).orderBy("grp"), Seq(sk))
   }
 
   /** q100 — peak concurrency per day (interval-overlap aggregation):

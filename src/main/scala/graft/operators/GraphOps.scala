@@ -59,6 +59,15 @@ object GraphOps {
   }
 
   def g01(t: Tables): DataFrame = {
+    val (plan, caches) = g01Plan(t)
+    graft.CacheHygiene.materializeAndRelease(plan, caches)
+  }
+
+  /** The g01 plan + its internal caches — split out so PlanAuditSpec
+    * audits the plan that executes under the checkpoint, and the public
+    * wrapper can release the caches after eager materialization
+    * (CacheHygiene). */
+  private[graft] def g01Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
     val undirected = undirectedTradeEdges(t)
     val deg = undirected.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // partition the (src, dst, outdeg) edge relation by src once; every
@@ -88,7 +97,7 @@ object GraphOps {
           .as("entity"),
         expr("node div 2").as("entity_key"),
         col("r").as("rank_u"))
-      .orderBy("node")
+      .orderBy("node") -> Seq(edges)
   }
 
   /** g02 — connected components by min-label propagation, the graph twin
@@ -105,6 +114,11 @@ object GraphOps {
     * g01: edges partitioned+persisted once, each round shuffles only the
     * O(nodes) label vector. */
   def g02(t: Tables): DataFrame = {
+    val (plan, caches) = g02Plan(t)
+    graft.CacheHygiene.materializeAndRelease(plan, caches)
+  }
+
+  private[graft] def g02Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
     val und = undirectedTradeEdges(t)
     // self-loops fold the "keep your own label" term into the one join:
     // label' = min over (neighbors ∪ self) — WITHOUT them the natural
@@ -133,7 +147,7 @@ object GraphOps {
           .as("entity"),
         expr("node div 2").as("entity_key"),
         col("l").as("component"))
-      .orderBy("node")
+      .orderBy("node") -> Seq(edges)
   }
 
   /** g03 — triangle counting over the part co-order graph (market-basket
@@ -172,6 +186,11 @@ object GraphOps {
     * the boundary is the test host, and the scaling slope is proven on
     * the three SFs that fit. */
   def g03(t: Tables): DataFrame = {
+    val (plan, caches) = g03Plan(t)
+    graft.CacheHygiene.materializeAndRelease(plan, caches)
+  }
+
+  private[graft] def g03Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
     val items = t.lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val e = items.as("x").join(items.as("y"), "l_orderkey")
@@ -211,7 +230,7 @@ object GraphOps {
       .unionAll(tri.select(col("w").as("node")))
       .groupBy(col("node").as("part_key"))
       .agg(count(lit(1)).as("n_triangles"))
-      .orderBy("part_key")
+      .orderBy("part_key") -> Seq(oriented)
   }
 
   /** g04 — community detection by synchronous label propagation (LPA,
@@ -234,6 +253,11 @@ object GraphOps {
     * is the bounded community histogram (size + member-id checksum),
     * never asserted on raw per-node rows. */
   def g04(t: Tables): DataFrame = {
+    val (plan, caches) = g04Plan(t)
+    graft.CacheHygiene.materializeAndRelease(plan, caches)
+  }
+
+  private[graft] def g04Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
     val und = undirectedTradeEdges(t)
     // self-loop = "my own label votes once", folded into the single join
     // (the g02 restructure: referencing labels twice per round doubles
@@ -257,7 +281,7 @@ object GraphOps {
     labels.groupBy(col("l").as("community"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("node")).as("members_sum"))
-      .orderBy("community")
+      .orderBy("community") -> Seq(edges)
   }
 
   /** g05 — multi-source BFS hop distance (min-plus propagation): every
@@ -280,6 +304,11 @@ object GraphOps {
     * Output is the bounded per-distance histogram (count + id checksum).
     * Oracle: the identical unrolled min-plus in DuckDB. */
   def g05(t: Tables): DataFrame = {
+    val (plan, caches) = g05Plan(t)
+    graft.CacheHygiene.materializeAndRelease(plan, caches)
+  }
+
+  private[graft] def g05Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
     val und = undirectedTradeEdges(t)
     val edges = und.withColumn("w", lit(1L))
       .unionByName(und.select(col("src")).distinct()
@@ -299,7 +328,7 @@ object GraphOps {
     }
     dist.groupBy(col("d").as("hops"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("nodes_sum"))
-      .orderBy("hops")
+      .orderBy("hops") -> Seq(edges)
   }
 
   /** g06 — common-neighbor link prediction over the supplier
@@ -363,11 +392,21 @@ object GraphOps {
     * round. Per-round cost: one O(edges) semi-join pass + an O(nodes)
     * degree aggregate. */
   def g07(t: Tables): DataFrame = {
+    val (plan, caches) = g07Plan(t)
+    graft.CacheHygiene.materializeAndRelease(plan, caches)
+  }
+
+  private[graft] def g07Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
     val edges = undirectedTradeEdges(t)
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var nodes = edges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // every round's survivor set is tracked and released by the wrapper
+    // once the final rollup materializes (round-5 advice: the peel loop
+    // used to leak one CacheManager entry per round per invocation);
+    // in-flight accumulation is bounded at rounds × O(nodes)
+    val caches = scala.collection.mutable.Buffer[DataFrame](edges, nodes)
     for (_ <- 1 to KcoreRounds) {
       nodes = edges
         .join(nodes.hint("SHUFFLE_HASH"), edges("src") === nodes("node"))
@@ -380,13 +419,14 @@ object GraphOps {
         .filter(col("d") >= KcoreK)
         .select("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      caches += nodes
     }
     nodes
       .select(when(col("node") % 2 === 0, "supplier").otherwise("customer")
         .as("entity"), col("node"))
       .groupBy("entity")
       .agg(count(lit(1)).as("n_core_nodes"), sum(col("node")).as("nodes_sum"))
-      .orderBy("entity")
+      .orderBy("entity") -> caches.toSeq
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(
@@ -400,20 +440,27 @@ object GraphOps {
 
   /** 8 unrolled iteration CTEs — DuckDB's recursive CTE restricts
     * aggregation over the recursive relation, and a fixed unroll is the
-    * exact twin of the Spark loop anyway. */
+    * exact twin of the Spark loop anyway. Every level is MATERIALIZED:
+    * DuckDB inlines single-reference CTEs by default, turning the
+    * unroll into one N-deep join pipeline whose intermediate state
+    * spilled past this box's disk at sf10 (the round-5 documented
+    * boundary, closed by round-5 verdict task 7) — materialization
+    * executes round by round with ONE O(nodes) relation live at a
+    * time, exactly like the per-round temp tables the verdict
+    * prescribed, while keeping the driver's single-statement oracle. */
   val oracles: Map[String, String] = {
     def step(prev: String, cur: String) =
-      s"""$cur AS (SELECT e.dst AS node,
+      s"""$cur AS MATERIALIZED (SELECT e.dst AS node,
          |  CAST(150000 + (850 * sum(r.r // e.outdeg)) // 1000 AS BIGINT)
          |    AS r
          |  FROM edges e JOIN $prev r ON e.src = r.node GROUP BY e.dst)"""
         .stripMargin
     def ccStep(prev: String, cur: String) =
-      s"""$cur AS (SELECT e.dst AS node, min(r.l) AS l
+      s"""$cur AS MATERIALIZED (SELECT e.dst AS node, min(r.l) AS l
          |  FROM edges_cc e JOIN $prev r ON e.src = r.node
          |  GROUP BY e.dst)""".stripMargin
     def lpaStep(prev: String, cur: String) =
-      s"""$cur AS (SELECT dst AS node, l FROM (
+      s"""$cur AS MATERIALIZED (SELECT dst AS node, l FROM (
          |  SELECT e.dst, r.l, count(*) AS c,
          |    row_number() OVER (PARTITION BY e.dst
          |      ORDER BY count(*) DESC, r.l) AS rn
@@ -424,13 +471,13 @@ object GraphOps {
     val lpaSteps = (1 to LpaIters)
       .map(i => lpaStep(s"l${i - 1}", s"l$i")).mkString(",\n")
     def bfsStep(prev: String, cur: String) =
-      s"""$cur AS (SELECT e.dst AS node, min(r.d + e.w) AS d
+      s"""$cur AS MATERIALIZED (SELECT e.dst AS node, min(r.d + e.w) AS d
          |  FROM edges_w e JOIN $prev r ON e.src = r.node
          |  GROUP BY e.dst)""".stripMargin
     val bfsSteps = (1 to Iters)
       .map(i => bfsStep(s"d${i - 1}", s"d$i")).mkString(",\n")
     def coreStep(prev: String, cur: String) =
-      s"""$cur AS (SELECT e.src AS node
+      s"""$cur AS MATERIALIZED (SELECT e.src AS node
          |  FROM edges e JOIN $prev a ON e.src = a.node
          |  JOIN $prev b ON e.dst = b.node
          |  GROUP BY e.src HAVING count(*) >= $KcoreK)""".stripMargin
@@ -462,10 +509,10 @@ object GraphOps {
           |FROM n GROUP BY node ORDER BY part_key""".stripMargin,
       // identical unrolled peel rounds over the undirected edge set
       "g07_kcore" ->
-        s"""WITH pairs AS (
+        s"""WITH pairs AS MATERIALIZED (
            |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT src, dst FROM pairs
            |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
            |n0 AS (SELECT DISTINCT src AS node FROM edges),
@@ -494,13 +541,13 @@ object GraphOps {
           |ORDER BY common DESC, a, b LIMIT 20""".stripMargin,
       // identical unrolled min-plus rounds over the weighted edge set
       "g05_bfs_hops" ->
-        s"""WITH pairs AS (
+        s"""WITH pairs AS MATERIALIZED (
            |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT src, dst FROM pairs
            |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
-           |edges_w AS (
+           |edges_w AS MATERIALIZED (
            |  SELECT src, dst, 1 AS w FROM edges
            |  UNION ALL SELECT DISTINCT src, src AS dst, 0 AS w FROM edges),
            |d0 AS (SELECT DISTINCT src AS node, 0 AS d FROM edges
@@ -512,13 +559,13 @@ object GraphOps {
       // same synchronous rounds, the argmax spelled as a window rank —
       // identical (count desc, label asc) tie order
       "g04_label_propagation" ->
-        s"""WITH pairs AS (
+        s"""WITH pairs AS MATERIALIZED (
            |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT src, dst FROM pairs
            |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
-           |edges_cc AS (
+           |edges_cc AS MATERIALIZED (
            |  SELECT src, dst FROM edges
            |  UNION ALL SELECT DISTINCT src, src AS dst FROM edges),
            |l0 AS (SELECT DISTINCT src AS node, src AS l FROM edges),
@@ -527,13 +574,13 @@ object GraphOps {
            |  CAST(sum(node) AS BIGINT) AS members_sum
            |FROM l$LpaIters GROUP BY l ORDER BY community""".stripMargin,
       "g02_connected_components" ->
-        s"""WITH pairs AS (
+        s"""WITH pairs AS MATERIALIZED (
            |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |edges AS (
+           |edges AS MATERIALIZED (
            |  SELECT src, dst FROM pairs
            |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
-           |edges_cc AS (
+           |edges_cc AS MATERIALIZED (
            |  SELECT src, dst FROM edges
            |  UNION ALL SELECT DISTINCT src, src AS dst FROM edges),
            |l0 AS (SELECT DISTINCT src AS node, src AS l FROM edges),
@@ -545,7 +592,7 @@ object GraphOps {
            |  l AS component
            |FROM l$Iters ORDER BY node""".stripMargin,
       "g01_pagerank" ->
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |undirected AS (
@@ -553,7 +600,7 @@ object GraphOps {
          |  UNION ALL SELECT dst AS src, src AS dst FROM pairs),
          |deg AS (SELECT src, count(*) AS outdeg
          |        FROM undirected GROUP BY src),
-         |edges AS (SELECT u.src, u.dst, deg.outdeg
+         |edges AS MATERIALIZED (SELECT u.src, u.dst, deg.outdeg
          |          FROM undirected u JOIN deg USING (src)),
          |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r
          |       FROM undirected),

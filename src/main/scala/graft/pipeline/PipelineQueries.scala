@@ -48,7 +48,7 @@ object PipelineQueries {
     val d = decontaminate(p, bench)
     def cnt(df: DataFrame, name: String) =
       df.groupBy("source").agg(count(lit(1)).as(name))
-    cnt(corpus, "n_input")
+    val result = cnt(corpus, "n_input")
       .join(cnt(q, "n_quality"), Seq("source"), "left")
       .join(cnt(e, "n_exact"), Seq("source"), "left")
       .join(cnt(n, "n_neardup"), Seq("source"), "left")
@@ -56,12 +56,13 @@ object PipelineQueries {
       .join(cnt(d, "n_final"), Seq("source"), "left")
       .na.fill(0L,
         Seq("n_quality", "n_exact", "n_neardup", "n_lm", "n_final"))
-      // kept fraction at 4dp via exact integer arithmetic (the t19
-      // pattern): float division rounds differently across engines on
-      // representation ties
-      .withColumn("kept_frac", expr(
+    // kept fraction at 4dp via exact integer arithmetic (the t19
+    // pattern): float division rounds differently across engines on
+    // representation ties
+    val result2 = result.withColumn("kept_frac", expr(
         "((20000 * n_final + n_input) div (2 * n_input)) / cast(10000 as double)"))
       .orderBy("source")
+    graft.CacheHygiene.materializeAndRelease(result2, Seq(corpus, q, e, n, p))
   }
 
   /** p02 — the `observe` data-quality counters as a GRADED query: the
@@ -152,9 +153,10 @@ object PipelineQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"),
         countDistinct(col("pack_id")).as("n_packs"))
-    weights.join(achieved, Seq("source"), "left")
-      .na.fill(0L, Seq("n_kept", "kept_tokens", "n_packs"))
-      .orderBy("source")
+    graft.CacheHygiene.materializeAndRelease(
+      weights.join(achieved, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept", "kept_tokens", "n_packs"))
+        .orderBy("source"), Seq(docs))
   }
 
   /** p04 — the curation ABLATION matrix: p01 composes the gates
@@ -212,7 +214,7 @@ object PipelineQueries {
         coalesce(col("d_ok"), lit(false)).as("d_ok"),
         coalesce(col("l_ok"), lit(false)).as("l_ok"),
         coalesce(col("c_ok"), lit(true)).as("c_ok"))
-    flags.groupBy("source")
+    val rollup = flags.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("q_ok"), 1L).otherwise(0L)).as("q_fail"),
         sum(when(!col("d_ok"), 1L).otherwise(0L)).as("d_fail"),
@@ -227,6 +229,7 @@ object PipelineQueries {
             when(!col("c_ok"), 1).otherwise(0)) >= 2, 1L)
           .otherwise(0L)).as("fail_multi"))
       .orderBy("source")
+    graft.CacheHygiene.materializeAndRelease(rollup, Seq(corpus))
   }
 
   /** p05 — dedup-aware mixture weights: t24 budgets sources by RAW
@@ -263,7 +266,7 @@ object PipelineQueries {
       sum(col("raw_tokens")).as("tot_raw"),
       sum(col("unique_tokens")).as("tot_unique"),
       count(lit(1)).as("n_sources"))
-    joined.crossJoin(broadcast(tot))
+    val out = joined.crossJoin(broadcast(tot))
       .withColumn("weight_raw_bp", least(lit(10000L),
         expr("(tot_raw DIV (2 * n_sources)) * 10000 DIV raw_tokens")))
       .withColumn("weight_unique_bp", least(lit(10000L),
@@ -273,6 +276,7 @@ object PipelineQueries {
         col("weight_raw_bp"), col("weight_unique_bp"),
         (col("weight_unique_bp") - col("weight_raw_bp")).as("shift_bp"))
       .orderBy("source")
+    graft.CacheHygiene.materializeAndRelease(out, Seq(docs))
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(

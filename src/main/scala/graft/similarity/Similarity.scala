@@ -836,6 +836,9 @@ object Similarity {
       }
     }
     import t.spark.implicits._
+    // both shortlist consumers have collected by now — release the cache
+    // (round-5 advice: per-query caches outlived their operator)
+    shortlist.unpersist(false)
     picked.toDF("q_id", "vec_id", "sim", "mmr_rank")
       .orderBy("q_id", "mmr_rank")
   }
@@ -878,11 +881,13 @@ object Similarity {
       .select(col("q_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = corpus.select(col("bucket"), col("vec_id"))
+    val budgetCaches = scala.collection.mutable.Buffer[DataFrame](truth)
     val perBudget = Budgets.map { p =>
       val cands = bucketed
         .join(probes.filter(col("ord") < p).hint("SHUFFLE_HASH"), "bucket")
         .select(col("q_id"), col("vec_id")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      budgetCaches += cands
       cands
         .join(truth.withColumn("hit", lit(1L)),
           Seq("q_id", "vec_id"), "left")
@@ -893,7 +898,9 @@ object Similarity {
           expr(s"(200 * n_hits + $NQueries * $TopK) div " +
             s"(2 * $NQueries * $TopK)").as("recall_pct"))
     }
-    perBudget.reduce(_ unionByName _).orderBy("n_probes")
+    graft.CacheHygiene.materializeAndRelease(
+      perBudget.reduce(_ unionByName _).orderBy("n_probes"),
+      budgetCaches.toSeq)
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(

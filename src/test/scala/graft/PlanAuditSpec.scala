@@ -105,8 +105,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("g01/g02 build their edge relation once: a single persisted scan " +
     "feeds all 8 iterations") {
-    Seq("g01" -> operators.GraphOps.g01(TestSpark.tables),
-        "g02" -> operators.GraphOps.g02(TestSpark.tables)).foreach {
+    // audit the internal builder: the public wrapper eagerly checkpoints
+    // and releases the cache (CacheHygiene), so its returned plan is a
+    // checkpoint scan — the plan below is the one that executes under it
+    Seq("g01" -> operators.GraphOps.g01Plan(TestSpark.tables)._1,
+        "g02" -> operators.GraphOps.g02Plan(TestSpark.tables)._1).foreach {
       case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString
         // every iteration must read the InMemoryRelation, not re-derive
