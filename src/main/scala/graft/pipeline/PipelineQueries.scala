@@ -163,12 +163,17 @@ object PipelineQueries {
     * sequentially (each stage sees only prior survivors), so its counts
     * cannot say which gate does the work or how much the gates overlap
     * — the question every filtering paper answers with an ablation
-    * table. p04 evaluates the four oracle-expressible gates
+    * table. p04 evaluates the five oracle-expressible gates
     * INDEPENDENTLY over the same scrubbed corpus (quality rule, exact-
-    * dup survivorship, LM fluency, benchmark contamination) and
+    * dup survivorship, verified near-dup loserhood, LM fluency,
+    * benchmark contamination) and
     * reports, per source: docs failing each gate alone, docs failing
     * any, and docs failing ≥2 (the overlap mass — high overlap means a
-    * cheap gate can run first and spare the expensive one).
+    * cheap gate can run first and spare the expensive one). Round 6
+    * adds the fifth gate the family was missing: exact-verified
+    * NEAR-dup loserhood (the d04 pair relation over the scrubbed
+    * corpus — oracle-expressible since the verified rebase), evaluated
+    * independently like the rest.
     *
     * The one semantic delta vs p01 is deliberate and documented: the
     * ablation LM trains on the full scrubbed corpus (each gate must be
@@ -193,6 +198,9 @@ object PipelineQueries {
     val dSurvivors = corpus.select(col("doc_id"), canon_fp(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(true).as("d_ok"))
+    val ndLosers = graft.dedup.Dedup.verifiedPairs(corpus)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(false).as("nd_ok"))
     val lPass = graft.text.TextOps.lmScoredDocs(corpus)
       .filter(col("sum_logp_q4") >=
         lit(graft.text.TextOps.LmKeepThresholdQ4) * col("n_bigrams"))
@@ -207,24 +215,28 @@ object PipelineQueries {
     val flags = corpus.select(col("doc_id"), col("source"))
       .join(qFlag, Seq("doc_id"), "left")
       .join(dSurvivors, Seq("doc_id"), "left")
+      .join(ndLosers, Seq("doc_id"), "left")
       .join(lPass, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .select(col("source"),
         coalesce(col("q_ok"), lit(false)).as("q_ok"),
         coalesce(col("d_ok"), lit(false)).as("d_ok"),
+        coalesce(col("nd_ok"), lit(true)).as("nd_ok"),
         coalesce(col("l_ok"), lit(false)).as("l_ok"),
         coalesce(col("c_ok"), lit(true)).as("c_ok"))
     val rollup = flags.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("q_ok"), 1L).otherwise(0L)).as("q_fail"),
         sum(when(!col("d_ok"), 1L).otherwise(0L)).as("d_fail"),
+        sum(when(!col("nd_ok"), 1L).otherwise(0L)).as("nd_fail"),
         sum(when(!col("l_ok"), 1L).otherwise(0L)).as("l_fail"),
         sum(when(!col("c_ok"), 1L).otherwise(0L)).as("c_fail"),
-        sum(when(!(col("q_ok") && col("d_ok") && col("l_ok") &&
-          col("c_ok")), 1L).otherwise(0L)).as("fail_any"),
+        sum(when(!(col("q_ok") && col("d_ok") && col("nd_ok") &&
+          col("l_ok") && col("c_ok")), 1L).otherwise(0L)).as("fail_any"),
         sum(when(
           (when(!col("q_ok"), 1).otherwise(0) +
             when(!col("d_ok"), 1).otherwise(0) +
+            when(!col("nd_ok"), 1).otherwise(0) +
             when(!col("l_ok"), 1).otherwise(0) +
             when(!col("c_ok"), 1).otherwise(0)) >= 2, 1L)
           .otherwise(0L)).as("fail_multi"))
@@ -473,27 +485,48 @@ object PipelineQueries {
          |   SELECT array_to_string(tk, ' ') FROM btoks WHERE len(tk) < 8)),
          |contaminated AS (SELECT DISTINCT doc_id FROM pg
          |                 JOIN bgrams USING (g)),
+         |ndg AS (SELECT DISTINCT doc_id, g FROM (
+         |   SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+         |   FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)
+         |   WHERE len(tk) >= 3
+         |   UNION ALL
+         |   SELECT doc_id, array_to_string(tk, ' ') FROM toks
+         |   WHERE len(tk) < 3)),
+         |nds AS (SELECT doc_id, count(*) AS ng FROM ndg GROUP BY doc_id),
+         |nd_losers AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sh
+         |    FROM ndg a JOIN ndg b ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY doc_a, doc_b) shp
+         |  JOIN nds sa ON sa.doc_id = shp.doc_a
+         |  JOIN nds sb ON sb.doc_id = shp.doc_b
+         |  WHERE shp.sh * 10 >= (sa.ng + sb.ng - shp.sh) * 3),
          |flags AS (
          |  SELECT c.source,
          |    (q.doc_id IS NOT NULL) AS q_ok,
          |    (s.doc_id IS NOT NULL) AS d_ok,
+         |    (nl.doc_id IS NULL) AS nd_ok,
          |    (l.doc_id IS NOT NULL) AS l_ok,
          |    (x.doc_id IS NULL) AS c_ok
          |  FROM corpus c
          |  LEFT JOIN q ON c.doc_id = q.doc_id
          |  LEFT JOIN surv s ON c.doc_id = s.doc_id
+         |  LEFT JOIN nd_losers nl ON c.doc_id = nl.doc_id
          |  LEFT JOIN lpass l ON c.doc_id = l.doc_id
          |  LEFT JOIN contaminated x ON c.doc_id = x.doc_id)
          |SELECT source, count(*) AS n_docs,
          |  CAST(count(CASE WHEN NOT q_ok THEN 1 END) AS BIGINT) AS q_fail,
          |  CAST(count(CASE WHEN NOT d_ok THEN 1 END) AS BIGINT) AS d_fail,
+         |  CAST(count(CASE WHEN NOT nd_ok THEN 1 END) AS BIGINT)
+         |    AS nd_fail,
          |  CAST(count(CASE WHEN NOT l_ok THEN 1 END) AS BIGINT) AS l_fail,
          |  CAST(count(CASE WHEN NOT c_ok THEN 1 END) AS BIGINT) AS c_fail,
-         |  CAST(count(CASE WHEN NOT (q_ok AND d_ok AND l_ok AND c_ok)
-         |    THEN 1 END) AS BIGINT) AS fail_any,
+         |  CAST(count(CASE WHEN NOT (q_ok AND d_ok AND nd_ok AND l_ok
+         |    AND c_ok) THEN 1 END) AS BIGINT) AS fail_any,
          |  CAST(count(CASE WHEN
          |      (CASE WHEN q_ok THEN 0 ELSE 1 END) +
          |      (CASE WHEN d_ok THEN 0 ELSE 1 END) +
+         |      (CASE WHEN nd_ok THEN 0 ELSE 1 END) +
          |      (CASE WHEN l_ok THEN 0 ELSE 1 END) +
          |      (CASE WHEN c_ok THEN 0 ELSE 1 END) >= 2
          |    THEN 1 END) AS BIGINT) AS fail_multi
