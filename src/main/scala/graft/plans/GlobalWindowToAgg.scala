@@ -54,6 +54,15 @@ object GlobalWindowToAgg extends Rule[LogicalPlan] {
           WindowExpression(ae: AggregateExpression, _), name) =>
         (orig, Alias(ae, name)())
       }
+      // `child` is referenced TWICE (row stream + aggregate input). The
+      // single-scan claim RELIES on physical exchange/stage reuse: both
+      // references plan to identical subtrees, so the aggregate side
+      // resolves to a ReusedExchange of the row side's shuffle (verified
+      // in plans/q94_global_window_rule_r5.txt). A child whose plan were
+      // nondeterministic-per-copy (rand(), uncorrelated uuid) would break
+      // that identity — whole-frame windows over such children don't
+      // match `rewritable`'s aggregate-only shape in practice, and the
+      // naive Window would be semantically questionable there anyway.
       val agg = Aggregate(Nil, pairs.map(_._2), child)
       val joined = Join(child, agg, Cross, None, JoinHint.NONE)
       // Window's output = child.output ++ windowExpressions; reproduce it

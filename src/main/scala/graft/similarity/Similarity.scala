@@ -682,6 +682,10 @@ object Similarity {
 
   /** Per-dim (min, step) SQ8 quantization grid, cached per table
     * fingerprint like the IVF/PQ codebooks. */
+  /** s16's exact top-k ground truth, once per corpus snapshot. */
+  private val truthCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private val sqCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Double], Array[Double])]
 
@@ -871,17 +875,25 @@ object Similarity {
       }: _*)).as(Seq("ord", "bucket")))
     val wT = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    val truth = corpus.crossJoin(broadcast(
-        queries10.select(col("q_id"), col("q_vec"), col("q_norm"))))
-      .select(col("q_id"), col("vec_id"),
-        round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4)
-          .as("sim"))
-      .withColumn("rn", row_number().over(wT))
-      .filter(col("rn") <= TopK)
-      .select(col("q_id"), col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact ground truth is a ONCE-PER-SNAPSHOT audit artifact (the
+    // codebook pattern): Q×k ids, fingerprint-keyed, reused across the
+    // probe budgets AND across invocations — the brute-force pass is
+    // paid once per corpus, while the per-budget candidate caches stay
+    // per-query (released below)
+    val truth = truthCache.getOrElseUpdate(
+      s"${t.spark.sparkContext.applicationId}:" + codebookKey(t), {
+        corpus.crossJoin(broadcast(
+            queries10.select(col("q_id"), col("q_vec"), col("q_norm"))))
+          .select(col("q_id"), col("vec_id"),
+            round(dot("vec", "q_vec") / (col("norm") * col("q_norm")), 4)
+              .as("sim"))
+          .withColumn("rn", row_number().over(wT))
+          .filter(col("rn") <= TopK)
+          .select(col("q_id"), col("vec_id"))
+          .localCheckpoint()
+      })
     val bucketed = corpus.select(col("bucket"), col("vec_id"))
-    val budgetCaches = scala.collection.mutable.Buffer[DataFrame](truth)
+    val budgetCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     val perBudget = Budgets.map { p =>
       val cands = bucketed
         .join(probes.filter(col("ord") < p).hint("SHUFFLE_HASH"), "bucket")
