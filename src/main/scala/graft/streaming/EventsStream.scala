@@ -20,6 +20,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * able to call the accessors (Janino rejects nested private classes). */
 case class SessionState(start: Long, last: Long, n: Long, acc: Double)
 
+/** One buffered event awaiting finality in the reorder-buffered
+  * sessionizer (top-level for the encoder-codegen reason above). */
+case class SessEv(tsMs: Long, value: Double)
+
+/** Reorder-buffered sessionizer state: the open session (if any), the
+  * group's max event time seen (drives the disorder-horizon finality
+  * rule), and the events still awaiting finality. */
+case class SessBufState(hasOpen: Boolean, start: Long, last: Long,
+    n: Long, acc: Double, maxSeenMs: Long, buf: List[SessEv])
+
 /** Per-user running totals for [[EventsStream.runningStats]] (top-level
   * for the same encoder-codegen reason as [[SessionState]]). */
 case class RunningStats(n: Long, acc: Double)
@@ -210,45 +220,85 @@ object EventsStream {
 
   /** Custom-state sessionization via flatMapGroupsWithState: same gap
     * semantics but with arbitrary per-session state (here: value sums),
-    * emitting a summary when the event-time timeout closes a session.
-    * This is the extension point session_window can't express (e.g.
-    * model-state per user, conditional emission). */
-  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionSummary] = {
+    * emitting a summary when the gap closes a session. This is the
+    * extension point session_window can't express (e.g. model-state per
+    * user, conditional emission).
+    *
+    * Round-6: REORDER-BUFFERED (the st12 pattern) — session boundaries
+    * are an event-time-ORDER property (an out-of-order arrival can both
+    * belong to an already-extended session and rewind its `last`, which
+    * the pre-round-6 fold silently corrupted), so events fold into the
+    * open session only once FINAL: at/below the watermark, or — when the
+    * caller passes the source's documented reordering horizon
+    * (`disorderBoundMs`) — once the group has seen any event a full
+    * horizon past them (the within-batch finality signal a days-long
+    * historical micro-batch needs; proof in StreamQueries
+    * .thresholdCrossings). The rest wait in state; an EventTimeTimeout
+    * re-invokes the group when the watermark reaches the oldest held
+    * event or the open session's gap deadline, whichever is sooner. The
+    * idle-close rule is watermark-sound: once wm ≥ last+gap, every
+    * future arrival AND every held event has ts > wm ≥ last+gap — a gap
+    * break either way, so the close can never be premature. */
+  def sessionizeStateful(events: Dataset[Event],
+      disorderBoundMs: Long = Long.MaxValue): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionSummary](
+      .flatMapGroupsWithState[SessBufState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionSummary(
-              userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.acc))
-          } else {
-            val events = batch.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[SessionSummary]
-            var cur = state.getOption
-            events.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= SessionGapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, acc = s.acc + e.value))
-                case Some(s) =>
-                  closed ::= SessionSummary(
-                    userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.acc)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessBufState]) =>
+          val st0 = state.getOption.getOrElse(
+            SessBufState(false, 0L, 0L, 0L, 0.0, Long.MinValue, Nil))
+          val incoming = batch.map(e => SessEv(e.ts.getTime, e.value)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val maxSeen = incoming.foldLeft(st0.maxSeenMs)((m, e) =>
+            math.max(m, e.tsMs))
+          // 1 s slack for ms flooring, as in thresholdCrossings
+          val horizonCut =
+            if (disorderBoundMs == Long.MaxValue || maxSeen == Long.MinValue)
+              Long.MinValue
+            else maxSeen - disorderBoundMs - 1000
+          val cut = math.max(wm, horizonCut)
+          val (ready, hold) = (st0.buf ++ incoming).partition(_.tsMs <= cut)
+          var closed = List.empty[SessionSummary]
+          var cur: Option[SessionState] =
+            if (st0.hasOpen)
+              Some(SessionState(st0.start, st0.last, st0.n, st0.acc))
+            else None
+          ready.sortBy(_.tsMs).foreach { e =>
+            cur match {
+              // fold is in event-time order over final events, so
+              // e.tsMs >= s.last always — `last` is monotone
+              case Some(s) if e.tsMs - s.last <= SessionGapMs =>
+                cur = Some(s.copy(last = e.tsMs, n = s.n + 1,
+                  acc = s.acc + e.value))
+              case Some(s) =>
+                closed ::= SessionSummary(userId,
+                  new Timestamp(s.start), new Timestamp(s.last), s.n, s.acc)
+                cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.tsMs, e.tsMs, 1, e.value))
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + SessionGapMs)
-            }
-            closed.reverseIterator
           }
+          cur match {
+            case Some(s) if wm >= s.last + SessionGapMs =>
+              closed ::= SessionSummary(userId,
+                new Timestamp(s.start), new Timestamp(s.last), s.n, s.acc)
+              cur = None
+            case _ => ()
+          }
+          if (cur.isEmpty && hold.isEmpty) state.remove()
+          else {
+            state.update(SessBufState(cur.isDefined,
+              cur.map(_.start).getOrElse(0L), cur.map(_.last).getOrElse(0L),
+              cur.map(_.n).getOrElse(0L), cur.map(_.acc).getOrElse(0.0),
+              maxSeen, hold))
+            val wake = (hold.map(_.tsMs) ++
+              cur.map(_.last + SessionGapMs).toList).min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          closed.reverseIterator
       }
   }
 }

@@ -465,51 +465,6 @@ object StreamQueries {
     * O(clicks), it grows with the corpus and must not funnel through
     * the driver. Oracle: the batch LEFT JOIN with identical
     * predicates. */
-  /** End-of-stream flush marker: a streamed source of one event per
-    * requested type, stamped 30 days past the corpus max(ts) under
-    * sentinel users (−1, −2, …). Unioned into a finite replay it
-    * advances the watermark past every real event's horizon, so the
-    * trailing no-data micro-batch (which AvailableNow exists to run,
-    * unlike the retired Trigger.Once) evicts/times-out all remaining
-    * state. Callers filter `user_id >= 0` from results. */
-  private def sentinelStream(spark: SparkSession, dir: String, name: String,
-                             eventTypes: Seq[String]): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = { // probe AFTER the nanosAsLong conf is set
-      if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-            .forall(_ != "true"))
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path).schema
-    }
-    // generation-adaptive ts arithmetic: +30 days in raw nanos for the
-    // LONG generation, interval arithmetic for a native timestamp; the
-    // final cast writes the sentinel file in the SAME physical ts type as
-    // the corpus so one probed schema reads both sources
-    val tsType = schema("ts").dataType
-    val thirtyDays = tsType match {
-      case org.apache.spark.sql.types.LongType =>
-        col("mx") + lit(30L * 24 * 3600 * 1000 * 1000 * 1000)
-      case _ => col("mx") + expr("INTERVAL 30 DAYS")
-    }
-    val mx = spark.read.parquet(path).agg(max(col("ts")).as("mx"))
-    val sentinelDir = graft.TempDirs.create(s"graft_${name}_sentinel")
-    import spark.implicits._
-    eventTypes.zipWithIndex
-      .map { case (tpe, i) => (-(i + 1).toLong, tpe) }
-      .toDF("sid", "event_type")
-      .crossJoin(mx)
-      .select(
-        col("sid").as("event_id"),
-        thirtyDays.cast(tsType).as("ts"),
-        col("sid").as("user_id"),
-        col("event_type"),
-        lit(0.0).as("value"),
-        lit("{}").as("props"))
-      .write.mode("overwrite").parquet(sentinelDir)
-    graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(sentinelDir))
-  }
-
   def st07(spark: SparkSession, dir: String): DataFrame = {
     // multi-batch shuffled replay with the flush marker INSIDE the last
     // chunk (see replayDir: a separate sentinel source would be drained
@@ -553,31 +508,39 @@ object StreamQueries {
     * all three custom-state streaming APIs against the SAME batch
     * semantics. Trailing open sessions only close via timeout, which
     * only fires when the watermark advances — so the finite replay
-    * unions the end-of-stream sentinel (user −1, filtered) and the
-    * cleanup micro-batch flushes every open session. Sink: distributed
-    * append parquet (sessions are O(users×sessions) — never through the
-    * driver). Exactness argument: the corpus arrives in one data batch
-    * (single-file source), inside which the handler sorts each user's
-    * events by ts; a multi-batch replay stays exact as long as
-    * cross-batch arrival respects the 2-hour watermark (the st04/st07
-    * caveat). Oracle: q31's SQL verbatim. */
+    * carries the end-of-stream sentinel (user −1, filtered) in its
+    * final chunk and the cleanup micro-batch flushes every open
+    * session. Sink: distributed append parquet (sessions are
+    * O(users×sessions) — never through the driver). Round-6 exactness:
+    * the source is the forced multi-batch OUT-OF-ORDER replay and the
+    * sessionizer is REORDER-BUFFERED (EventsStream.sessionizeStateful's
+    * round-6 contract — session boundaries are an event-time-order
+    * property the pre-round-6 per-batch fold silently corrupted under
+    * disorder), with the replay's 30 min horizon as the within-batch
+    * finality signal under the 2 h watermark. Oracle: q31's SQL
+    * verbatim, now proven batch-boundary-independent. */
   def st08(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = eventsStream(spark, dir)
-      .unionByName(sentinelStream(spark, dir, "st08", Seq("click")))
+    // round-6: the forced multi-batch out-of-order replay (sentinel in
+    // the final chunk), folded through the REORDER-BUFFERED stateful
+    // sessionizer with the replay's documented disorder horizon
+    val ev = replayedEventsStream(spark, dir, Seq("click"))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[EventsStream.Event]
     val out = graft.TempDirs.create("graft_st08_sessions")
-    val q = EventsStream.sessionizeStateful(ev).toDF()
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = EventsStream
+        .sessionizeStateful(ev, ReplayJitterSec * 1000).toDF()
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .filter(col("user_id") >= 0) // drop the sentinel's own session
       .select(col("user_id"), col("n_events"),

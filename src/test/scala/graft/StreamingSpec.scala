@@ -258,6 +258,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeStateful reorder buffer: a cross-batch LATE arrival " +
+    "folds into its event-time session instead of rewinding it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // arrival order inverts event time: minute 20 arrives a batch BEFORE
+    // minute 0. The pre-round-6 fold would join minute 0 into the open
+    // session and REWIND `last` to it (a corrupt (start=20, end=0)
+    // session); the buffered fold must emit the true (0, 20) session.
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Event(2, ts(20), 9, "view", 2.5))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(0), 9, "click", 1.5))
+    q.processAllAvailable()
+    mem.addData(Event(99, ts(1000), 99, "click", 0.0)) // watermark push
+    runToCompletion(q)
+    val out = spark.table("sess_ooo").as[EventsStream.SessionSummary]
+      .collect().filter(_.user_id == 9L)
+    assert(out.length == 1, s"one session expected: ${out.toSeq}")
+    val s = out.head
+    assert(minuteOf(s.session_start) == 0L && minuteOf(s.session_end) == 20L
+      && s.n_events == 2 && math.abs(s.sum_value - 4.0) < 1e-9,
+      s"event-time session (0,20,n=2) expected: $s")
+  }
+
   test("st12 reorder buffer folds cross-batch OUT-OF-ORDER arrivals in " +
     "event-time order (arrival-order fold would mis-index the crossing)") {
     import spark.implicits._
