@@ -308,6 +308,40 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q103 — LEFT-OUTER as-of through the native exec (the [[q102]]
+    * attribution join's other half, exactly as st07 is st04's): every
+    * event emits whether or not an order of its class precedes it —
+    * unmatched probes carry NULL asof_ts/payload out of the one-pass
+    * merge (the exec's outer mode; same co-partitioned sorted plan, the
+    * unmatched branch costs one null-fill projection). This is the
+    * "coverage" spelling of attribution: n_matched / n_events per
+    * customer is the fraction of activity attributable at all, the
+    * number the inner join silently hides. Oracle: DuckDB's native
+    * `ASOF LEFT JOIN` with identical conditions. */
+  def q103(t: Tables): DataFrame = {
+    val events = t.events.select(col("user_id"), col("ts"),
+      when(col("event_type") === "purchase", 2L)
+        .when(col("event_type") === "view", 1L).otherwise(0L).as("klass"))
+    val orders = t.orders
+      .groupBy(col("o_custkey"),
+        when(col("o_orderpriority").startsWith("1"), 2L)
+          .when(col("o_orderpriority").startsWith("2"), 1L)
+          .otherwise(0L).as("klass"),
+        col("o_orderdate"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("day_cents"))
+      .select(col("o_custkey"), col("klass"),
+        col("o_orderdate").cast("timestamp").as("ots"), col("day_cents"))
+    graft.plans.AsOfJoin.asofJoin(events, orders,
+        Seq("user_id", "klass"), Seq("o_custkey", "klass"), "ts", "ots",
+        Seq("day_cents"), outer = true)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("asof_ts")).as("n_matched"),
+        coalesce(sum(col("day_cents")), lit(0L)).as("sum_asof_cents"))
+      .orderBy("user_id")
+  }
+
   /** q36 — INTERSECT / EXCEPT set operations across dimension paths. */
   def q36(t: Tables): DataFrame = {
     val supNations = t.supplier
@@ -429,6 +463,7 @@ object Relational {
     "q33_asof_join" -> q33,
     "q95_native_asof" -> q95,
     "q102_asof_composite" -> q102,
+    "q103_asof_outer" -> q103,
     "q21_star_join" -> q21,
     "q22_semi_join" -> q22,
     "q23_anti_join" -> q23,
@@ -514,6 +549,29 @@ object Relational {
         |SELECT user_id, count(*) AS n_events, max(a.ots) AS asof_date,
         |  CAST(sum(a.day_cents) AS BIGINT) AS sum_asof_cents
         |FROM ev e ASOF JOIN mo a
+        |  ON a.o_custkey = e.user_id AND a.klass = e.klass
+        |  AND e.ts >= a.ots
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the outer half: unmatched probes kept with null asof/payload
+    "q103_asof_outer" ->
+      """WITH mo AS (
+        |  SELECT o_custkey,
+        |    CAST(CASE WHEN o_orderpriority LIKE '1%' THEN 2
+        |         WHEN o_orderpriority LIKE '2%' THEN 1
+        |         ELSE 0 END AS BIGINT) AS klass,
+        |    o_orderdate AS ots,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS day_cents
+        |  FROM orders GROUP BY 1, 2, 3),
+        |ev AS (SELECT user_id, ts,
+        |    CAST(CASE WHEN event_type = 'purchase' THEN 2
+        |         WHEN event_type = 'view' THEN 1
+        |         ELSE 0 END AS BIGINT) AS klass
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(count(a.ots) AS BIGINT) AS n_matched,
+        |  CAST(coalesce(sum(a.day_cents), 0) AS BIGINT) AS sum_asof_cents
+        |FROM ev e ASOF LEFT JOIN mo a
         |  ON a.o_custkey = e.user_id AND a.klass = e.klass
         |  AND e.ts >= a.ots
         |GROUP BY user_id ORDER BY user_id""".stripMargin,

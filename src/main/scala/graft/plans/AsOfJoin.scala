@@ -36,11 +36,12 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *
   * Scope (round-6 generalization of the round-5 single-key contract):
   * COMPOSITE int64 keys (lexicographic merge order), timestamp times,
-  * INNER backward join emitting left columns + `asof_ts` + any
-  * requested RIGHT-side payload columns (the matched row's values —
-  * carried through the merge as O(#payload) copied values per key,
-  * still never a buffered row). Null keys/times never match (standard
-  * join-key semantics). Ties on the max reference time resolve to the
+  * INNER or LEFT-OUTER backward join emitting left columns + `asof_ts`
+  * + any requested RIGHT-side payload columns (the matched row's
+  * values — carried through the merge as O(#payload) copied values per
+  * key, still never a buffered row; outer mode emits unmatched probes
+  * with null asof/payload, q103). Null keys/times never match
+  * (standard join-key semantics). Ties on the max reference time resolve to the
   * LAST row in sort order — callers wanting determinism with payloads
   * pre-aggregate the reference to unique (key, time), exactly as q102
   * does (and as any engine-portable as-of must: DuckDB leaves the tied
@@ -54,6 +55,9 @@ case class AsOfJoin(
     leftTime: Attribute,
     rightTime: Attribute,
     rightPayload: Seq[Attribute],
+    // LEFT-OUTER backward as-of: unmatched probes emit with null
+    // asof_ts/payload (DuckDB `ASOF LEFT JOIN` semantics)
+    outer: Boolean = false,
     // a constructor FIELD, not a body val: optimizer transforms copy()
     // the node, and a body-val attribute would mint a fresh exprId on
     // every copy while parent plans still reference the original
@@ -68,7 +72,8 @@ case class AsOfJoin(
     rightTime.dataType == TimestampType,
     "AsOfJoin: times must be TIMESTAMP")
   override def output: Seq[Attribute] =
-    left.output ++ (asofAttr +: rightPayload)
+    left.output ++ ((asofAttr +: rightPayload).map(a =>
+      if (outer) a.withNullability(true) else a))
   override def producedAttributes
       : org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(asofAttr)
@@ -93,7 +98,7 @@ object AsOfJoin {
   def asofJoin(probe: DataFrame, reference: DataFrame,
       probeKeys: Seq[String], refKeys: Seq[String],
       probeTime: String, refTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], outer: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
     install(spark)
     val lp = probe.queryExecution.analyzed
@@ -105,7 +110,8 @@ object AsOfJoin {
       AsOfJoin(lp, rp,
         probeKeys.map(attr(lp, _)), refKeys.map(attr(rp, _)),
         attr(lp, probeTime), attr(rp, refTime),
-        payload.map(attr(rp, _))))
+        payload.map(attr(rp, _)), outer,
+        AttributeReference("asof_ts", TimestampType, nullable = outer)()))
   }
 
   /** Idempotently register the planner strategy on a live session. */
@@ -122,7 +128,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
         j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
-        j.rightPayload, j.asofAttr) :: Nil
+        j.rightPayload, j.outer, j.asofAttr) :: Nil
     case _ => Nil
   }
 }
@@ -136,10 +142,12 @@ case class AsOfJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     rightPayload: Seq[Attribute],
+    outer: Boolean,
     asofAttr: AttributeReference) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ (asofAttr +: rightPayload)
+    left.output ++ ((asofAttr +: rightPayload).map(a =>
+      if (outer) a.withNullability(true) else a))
 
   override def producedAttributes
       : org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -259,6 +267,13 @@ case class AsOfJoinExec(
             var i = 0
             while (i < nPay) {
               extra.update(i + 1, matchPay(i)); i += 1
+            }
+            Some(proj(joined(l, extra)))
+          } else if (outer) {
+            // LEFT-OUTER: unmatched probe emits with null asof/payload
+            var i = 0
+            while (i <= nPay) {
+              extra.update(i, null); i += 1
             }
             Some(proj(joined(l, extra)))
           } else None

@@ -81,6 +81,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == composed)
   }
 
+  test("q103 outer as-of: matched rows agree with q102's inner join and " +
+    "unmatched probes survive with zeroed payload") {
+    import org.apache.spark.sql.functions._
+    val inner = operators.Relational.q102(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val outer = operators.Relational.q103(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(outer.nonEmpty)
+    // every inner row's (n, cents) must reappear as the outer row's
+    // (n_matched, cents); users absent from inner must still appear
+    outer.foreach { case (uid, nEvents, nMatched, cents) =>
+      assert(nMatched <= nEvents)
+      inner.get(uid) match {
+        case Some((n, c)) => assert(nMatched == n && cents == c,
+          s"user $uid: outer ($nMatched,$cents) != inner ($n,$c)")
+        case None => assert(nMatched == 0L && cents == 0L,
+          s"user $uid unmatched must zero out: ($nMatched,$cents)")
+      }
+    }
+    // the outer spelling must actually add coverage somewhere
+    assert(outer.exists { case (_, ne, nm, _) => nm < ne },
+      "fixture must contain unmatched probes (else q103 degenerates)")
+    val plan = operators.Relational.q103(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin") && !plan.contains("Window"))
+  }
+
   test("q102 plans the AsOfJoinExec (no window fallback)") {
     val plan = operators.Relational.q102(t)
       .queryExecution.executedPlan.toString
