@@ -34,8 +34,8 @@ object Dedup {
   private val Bands = 8       // LSH bands of 4 rows each
   private val RowsPerBand = K / Bands
   private val Seed = 42L
-  private val MaxBucket = 64  // hot-bucket guard
-  private val MinEstJaccard = 0.5
+  private[graft] val MaxBucket = 64  // hot-bucket guard
+  private[graft] val MinEstJaccard = 0.5
   private val MaxHamming = 8
 
   private def tokensCol = expr(graft.functions.exprs.wsTokensSql)
@@ -80,7 +80,7 @@ object Dedup {
   /** Same banding over an arbitrary (doc_id, text) relation — the shared
     * entry the pipeline's verified near-dup stage reuses on mid-chain
     * survivors instead of the raw table. */
-  private def minhashBandedDocs(docs: DataFrame,
+  private[graft] def minhashBandedDocs(docs: DataFrame,
       withPayload: Boolean): DataFrame = {
     val sigs = docs
       .withColumn("toks", tokensCol)

@@ -643,6 +643,146 @@ object StreamQueries {
       .orderBy("source")
   }
 
+  /** One LSH bucket of the STANDING streaming index (st14): the true
+    * member count plus up to MaxBucket member signatures. */
+  case class BucketState(n: Long, members: List[MemberSig])
+  case class MemberSig(docId: Long, sig: List[Long])
+  /** Emitted candidate pair (or hot-bucket marker: docA = −1). The
+    * bucket key is the EXACT band-signature array (4 longs), never a
+    * re-hash — parity with batch d02's array group-by is structural. */
+  case class PairHit(bandId: Int, bandSig: List[Long], docA: Long,
+      docB: Long, est: Double)
+
+  /** The documents table as a 4-chunk multi-batch stream (split by
+    * doc_id hash, mtime-ordered, one file per trigger): documents carry
+    * no event time, so "out of order" is not a concept here — the
+    * multi-batch point is that the STANDING index built from earlier
+    * batches serves later ones (cross-batch state probes, the thing a
+    * single-batch replay never exercises). Cached per snapshot like the
+    * events replay. */
+  private def replayedDocumentsStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}:$dir:docs:" +
+      graft.Tables.fingerprint(s"$dir/documents.parquet")
+    val rd = replayCache.getOrElseUpdate(key, {
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+      val cols = raw.columns.map(col)
+      val out = graft.TempDirs.create("graft_replay_documents")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (0 until ReplayFiles).foreach { i =>
+        val tmp = graft.TempDirs.create(s"graft_replay_doc_chunk_$i")
+        raw.filter(pmod(col("doc_id"), lit(ReplayFiles)) === i)
+          .select(cols: _*)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"doc replay chunk $i: no parquet part"))
+        val dst = new java.io.File(out, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 60000L)
+      }
+      out
+    })
+    val schema = spark.read.parquet(rd).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(rd)
+  }
+
+  /** st14 — STREAMING near-dup candidate detection: the d02 MinHash-LSH
+    * banding run as a continuous-ingest stage with the LSH index LIVING
+    * IN THE STATE STORE — the near-dup gate st10's exact-dedup chain was
+    * missing (st10's scaladoc points at exactly this hole). Each
+    * document's signature fans out to its 8 band keys; per (band,
+    * signature) bucket the state holds the true member count plus up to
+    * MaxBucket member signatures, and an arriving member emits a
+    * candidate pair against every stored member (O(bucket) work per
+    * arrival, never O(bucket²) re-pairing).
+    *
+    * EXACT batch parity despite arrival-order-dependent internals: the
+    * graded output is the candidate PAIR SET, which is
+    * order-independent by construction —
+    *  - a pair (a, b) is emitted when the later of the two arrives,
+    *    whatever the order, so every pair of a ≤MaxBucket bucket is
+    *    emitted exactly once per shared band;
+    *  - a bucket that ends the stream over the cap emits a MARKER on
+    *    every over-cap arrival, and the sink drops ALL of that bucket's
+    *    pairs — reproducing bucketPairs' drop-the-hot-bucket contract
+    *    even for pairs emitted before the bucket went hot (the
+    *    append-mode retraction problem solved at the sink, where the
+    *    bucket's FINAL size is knowable);
+    *  - est is a pure function of the two signatures.
+    * So the final relation must equal batch d02 row-for-row
+    * (StreamQueriesSpec pins it); the driver entry is rows-only exactly
+    * like d02 (custom MinHash kernels have no SQL twin), value-gated by
+    * that equality. State: O(distinct band signatures) buckets ×
+    * ≤MaxBucket sigs — the same cardinality the batch shuffle keys,
+    * held incrementally; production bounds unbounded ingest with the
+    * d11 snapshot-index rotation. */
+  def st14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val banded = graft.dedup.Dedup.minhashBandedDocs(
+        replayedDocumentsStream(spark, dir), withPayload = true)
+      .select(col("band_id").cast("int").as("bandId"), col("band_sig"),
+        col("doc_id"), col("payload"))
+      .as[(Int, List[Long], Long, List[Long])]
+    val cap = graft.dedup.Dedup.MaxBucket
+    val hits = banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, PairHit](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: (Int, List[Long]),
+         it: Iterator[(Int, List[Long], Long, List[Long])],
+         state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(0L, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[PairHit]
+          // deterministic within-batch order (arrival order across
+          // batches is irrelevant to the pair SET, see scaladoc)
+          it.toList.sortBy(_._3).foreach { case (_, _, docId, sig) =>
+            val n1 = st.n + 1
+            if (n1 > cap) {
+              // over-cap arrival: marker retracts the bucket at the sink
+              out += PairHit(key._1, key._2, -1L, -1L, 0.0)
+              st = BucketState(n1, st.members)
+            } else {
+              st.members.foreach { m =>
+                val matches = m.sig.zip(sig).count { case (x, y) => x == y }
+                out += PairHit(key._1, key._2,
+                  math.min(m.docId, docId), math.max(m.docId, docId),
+                  matches / 32.0)
+              }
+              st = BucketState(n1, MemberSig(docId, sig) :: st.members)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+    val outDir = graft.TempDirs.create("graft_st14_pairs")
+    withStatePartitions(spark, 8) {
+      val q = hits.toDF()
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val all = spark.read.parquet(outDir)
+    val hot = all.filter(col("docA") === -1L)
+      .select(col("bandId"), col("bandSig")).distinct()
+    all.filter(col("docA") >= 0)
+      .join(hot, Seq("bandId", "bandSig"), "left_anti")
+      .select(col("docA").as("doc_a"), col("docB").as("doc_b"),
+        col("est"))
+      .distinct()
+      .filter(col("est") >= graft.dedup.Dedup.MinEstJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est"), 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** st11 — the training-mix sampler at INGEST: p03's deterministic
     * rate sampling as a streaming stage. The mixture PLAN (per-source
     * weight_bp, t24 semantics) is computed batch-side over the corpus
@@ -864,5 +1004,6 @@ object StreamQueries {
     "st02_stream_sessionize" -> ((s, dir) => st02(s, dir)),
     "st03_stream_dedup" -> ((s, dir) => st03(s, dir)),
     "st04_stream_join" -> ((s, dir) => st04(s, dir)),
+    "st14_stream_neardup" -> ((s, dir) => st14(s, dir)),
     "st06_stream_running_totals" -> ((s, dir) => st06(s, dir)))
 }

@@ -113,6 +113,17 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s == b)
   }
 
+  test("st14 streaming LSH index emits EXACTLY the batch d02 candidate " +
+    "pair set across multi-batch ingest (order-independence of the " +
+    "pair relation)") {
+    val streamed = StreamQueries.st14(spark, TestSpark.sfDir)
+    val batch = dedup.Dedup.d02(TestSpark.tables)
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"streaming pair set must equal batch d02 (${s.size} vs ${b.size})")
+  }
+
   test("st10 streaming curation gates equal the batch quality∘dedup " +
     "composition exactly") {
     import org.apache.spark.sql.functions._
