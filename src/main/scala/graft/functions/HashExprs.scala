@@ -351,6 +351,114 @@ object HashImpls {
     InternalRow(h.length.toLong, cnt)
   }
 
+  /** MinHash signature over word n-grams with ENGINE-REPRODUCIBLE
+    * hashes (the q99 KmvSketch discipline lifted to MinHash): per gram,
+    * ONE md5 of the space-joined gram string — byte-identical to
+    * `md5(concat_ws(' ', toks[i..i+n)))` on any engine — whose first 12
+    * hex chars (= first 6 digest bytes, big-endian) form a 48-bit base
+    * hash m; the k permutations are the textbook affine family
+    * h_j = (a_j·m + b_j) mod (2^61−1) with a_j ∈ [1, 2^14] so
+    * a_j·m + b_j < 2^63 — every step is non-overflowing BIGINT
+    * arithmetic a SQL engine replays exactly (DuckDB: CAST('0x'||
+    * substr(md5(g),1,12) AS BIGINT), then (a*m+b) % p with the (a_j,
+    * b_j) constants inlined as a VALUES table). Same streamed-gram
+    * skeleton as [[minhashNgrams]] (short-doc whole-text fallback
+    * included); ~1 md5 + k multiply-adds per gram, so the map-only
+    * single-pass shape survives. */
+  def minhashMd5Ngrams(toks: ArrayData, n: Int,
+      as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val k = as.length
+    val P = Md5MinHash.P
+    val sig = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = toks.numElements()
+    val space = Array[Byte](0x20)
+    def update(digest: Array[Byte]): Unit = {
+      val base = ((digest(0) & 0xffL) << 40) | ((digest(1) & 0xffL) << 32) |
+        ((digest(2) & 0xffL) << 24) | ((digest(3) & 0xffL) << 16) |
+        ((digest(4) & 0xffL) << 8) | (digest(5) & 0xffL)
+      var j = 0
+      while (j < k) {
+        val h = (as(j) * base + bs(j)) % P
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    if (m >= n) {
+      var i = 0
+      while (i <= m - n) {
+        md.reset()
+        var g = 0
+        while (g < n) {
+          if (g > 0) md.update(space)
+          md.update(toks.getUTF8String(i + g).getBytes)
+          g += 1
+        }
+        update(md.digest())
+        i += 1
+      }
+    } else {
+      md.reset()
+      var g = 0
+      while (g < m) {
+        if (g > 0) md.update(space)
+        md.update(toks.getUTF8String(g).getBytes)
+        g += 1
+      }
+      update(md.digest())
+    }
+    sig
+  }
+
+  /** 64-bit SimHash with ENGINE-REPRODUCIBLE per-token hashes: the
+    * ±1-vote-per-bit scheme of [[simhash64]], but the token hash is the
+    * first 8 md5 digest bytes (= first 16 hex chars, big-endian) instead
+    * of FNV — so a SQL engine rebuilds the identical bit pool from
+    * md5(token) (DuckDB: CAST('0x'||substr(md5(t),1,16) AS UBIGINT);
+    * the bit PATTERN is signedness-agnostic). Duplicate tokens vote
+    * once per occurrence, exactly like the FNV kernel. */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(tokens.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Count of positionally-equal signature components — the integer
+    * MinHash agreement statistic (est Jaccard = matches/k, kept as an
+    * exact integer so no float rounding can diverge cross-engine). */
+  def sigMatches(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq
+  }
+
   def jaccardEst(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var eq = 0

@@ -231,9 +231,21 @@ case class AsOfJoinExec(
         }
         true
       }
+      def nullExtended(l: InternalRow): InternalRow = {
+        var i = 0
+        while (i <= nPay) {
+          extra.update(i, null); i += 1
+        }
+        proj(joined(l, extra))
+      }
       lIter.flatMap { l =>
-        if (anyNullKey(l, lk) || l.isNullAt(lt)) None
-        else {
+        if (anyNullKey(l, lk) || l.isNullAt(lt)) {
+          // Null keys/times never MATCH, but LEFT JOIN semantics (and the
+          // DuckDB ASOF LEFT JOIN twin) still EMIT the probe row null-
+          // extended in outer mode — dropping it entirely is inner-join
+          // behavior leaking into the outer path.
+          if (outer) Some(nullExtended(l)) else None
+        } else {
           val lTsV = l.getLong(lt)
           var scan = true
           while (scan && rBuf.hasNext) {
@@ -271,11 +283,7 @@ case class AsOfJoinExec(
             Some(proj(joined(l, extra)))
           } else if (outer) {
             // LEFT-OUTER: unmatched probe emits with null asof/payload
-            var i = 0
-            while (i <= nPay) {
-              extra.update(i, null); i += 1
-            }
-            Some(proj(joined(l, extra)))
+            Some(nullExtended(l))
           } else None
         }
       }

@@ -88,4 +88,32 @@ class AsOfPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("null-key/null-time probes: dropped in inner mode, emitted " +
+    "null-extended in outer mode (SQL LEFT JOIN semantics)") {
+    import spark.implicits._
+    // pid 1: matchable; pid 2: null key; pid 3: null time; pid 4: no match
+    val probe = Seq(
+      (1L, Option(5L), Option(1L), Option(ts(100))),
+      (2L, None: Option[Long], Option(1L), Option(ts(100))),
+      (3L, Option(5L), Option(1L), None: Option[Timestamp]),
+      (4L, Option(9L), Option(9L), Option(ts(100))))
+      .toDF("pid", "k1", "k2", "pts")
+    val ref = Seq((5L, 1L, ts(50), 777L)).toDF("k1", "k2", "rts", "pay")
+    val inner = graft.plans.AsOfJoin.asofJoin(probe, ref,
+      Seq("k1", "k2"), Seq("k1", "k2"), "pts", "rts", Seq("pay"),
+      outer = false)
+    assert(inner.select("pid").as[Long].collect().toSeq == Seq(1L),
+      "inner mode must drop null-key/null-time and unmatched probes")
+    val outer = graft.plans.AsOfJoin.asofJoin(probe, ref,
+      Seq("k1", "k2"), Seq("k1", "k2"), "pts", "rts", Seq("pay"),
+      outer = true)
+    val rows = outer.select(col("pid"), col("asof_ts"), col("pay"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, false, false), (2L, true, true),
+      (3L, true, true), (4L, true, true)),
+      "outer mode must emit ALL probes, null-extending the unmatched " +
+        "AND the null-key/null-time ones")
+  }
 }
