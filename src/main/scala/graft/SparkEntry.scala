@@ -59,6 +59,11 @@ object SparkEntry {
             | CAST(sum(octet_length(encode(text))) AS BIGINT)
             |   AS total_bytes
             |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+        // the real-container frame walk (BMP scanlines without padding,
+        // 256-sample WAV blocks with a short tail) re-derived as pure
+        // integer arithmetic over the synthesis rule — gates the decoder's
+        // structural walk from outside the JVM
+        "m02_frame_sample" -> graft.multimodal.BinaryPipeline.m02OracleSql,
         // the streaming queries must reproduce their batch twins exactly,
         // so they share the twins' oracle SQL verbatim
         "st01_stream_window_agg" -> Relational.oracles("q30_time_bucket_agg"),
@@ -122,6 +127,10 @@ object SparkEntry {
              |GROUP BY d.source ORDER BY d.source""".stripMargin,
         // the end-of-stream leaderboard must equal the batch top-10
         "st13_stream_leaderboard" -> Analytics.oracles("q88_global_topk"),
+        // the streaming LSH near-dup index must land on the bit-identical
+        // pair relation batch d02 computes, so it shares d02's md5-MinHash
+        // oracle verbatim (round-7: the md5 rebase made both oracle-able)
+        "st14_stream_neardup" -> Dedup.oracles("d02_dedup_minhash"),
         // the stateful first-crossing alert must equal the batch
         // running-sum first crossing (event-time order, integer cents)
         "st12_stream_threshold_alert" ->
@@ -169,6 +178,17 @@ object SparkEntry {
             |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
             |WHERE c.event_type = 'click'
+            |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
+        // the crash-and-restart run must land on the SAME batch self-join
+        // answer as the uninterrupted st04 — loss (skipped batch / wrong
+        // state version) and duplication (replayed pairs re-emitted) both
+        // break this equality
+        "st15_checkpoint_recovery" ->
+          """SELECT c.user_id AS user_id, count(*) AS n_pairs
+            |FROM events c JOIN events p
+            |  ON c.user_id = p.user_id
+            | AND c.event_type = 'click' AND p.event_type = 'purchase'
+            | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
             |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
         // the streaming interval join must equal the batch self-join
         "st04_stream_join" ->

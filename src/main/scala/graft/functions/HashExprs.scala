@@ -471,6 +471,34 @@ object HashImpls {
   }
 }
 
+/** The affine-permutation constants behind [[HashImpls.minhashMd5Ngrams]].
+  * They are DATA, not computation: the Scala kernel holds them as arrays
+  * and the DuckDB oracle inlines the identical values as a literal
+  * VALUES table ([[permValuesSql]]) — no cross-engine derivation rule to
+  * keep in sync. Bounds: p = 2^61−1 (Mersenne prime), a_j ∈ [1, 2^14]
+  * and b_j ∈ [0, p) so a_j·m + b_j ≤ 2^62 + 2^61 < 2^63 for any 48-bit
+  * m — plain signed-64 arithmetic on both engines, no overflow, no
+  * 128-bit tricks. */
+object Md5MinHash {
+  val P: Long = (1L << 61) - 1
+
+  /** k (a_j, b_j) pairs from splitmix64 of the seed. */
+  def perms(k: Int, seed: Long): Array[(Long, Long)] =
+    Array.tabulate(k) { j =>
+      val a = (HashImpls.mix64(seed + 2L * j) & 0x3fffL) + 1L
+      val b = java.lang.Long.remainderUnsigned(
+        HashImpls.mix64(seed + 2L * j + 1), P)
+      (a, b)
+    }
+
+  /** The same constants as a SQL VALUES body: `(j, a, b), …` — the
+    * oracle string embeds this, so Scala and SQL can never disagree. */
+  def permValuesSql(k: Int, seed: Long): String =
+    perms(k, seed).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }
+      .mkString(", ")
+}
+
 /** simhash64(tokens: array<string>) → long. Codegen emits a direct static
   * call, so the expression stays inside WholeStageCodegen. */
 case class SimHash64(child: Expression)
@@ -547,6 +575,59 @@ case class MinHashNgrams(child: Expression, n: Int, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): MinHashNgrams =
     copy(child = c)
   override def prettyName: String = "minhash_ngrams"
+}
+
+/** minhash_md5_ngrams(toks, n, k, seed) → array<long>: the ENGINE-
+  * REPRODUCIBLE MinHash signature (md5-derived 48-bit base hash, affine
+  * permutations mod 2^61−1 — see [[HashImpls.minhashMd5Ngrams]] and
+  * [[Md5MinHash]]). The permutation constants are derived once at
+  * construction and carried as reference objects through codegen. */
+case class MinHashMd5Ngrams(child: Expression, n: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+  require(n > 0 && k > 0, "n and k must be positive")
+  private val permAs: Array[Long] = Md5MinHash.perms(k, seed).map(_._1)
+  private val permBs: Array[Long] = Md5MinHash.perms(k, seed).map(_._2)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashImpls.minhashMd5Ngrams(
+      v.asInstanceOf[ArrayData], n, permAs, permBs))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("md5MinhashAs", permAs, "long[]")
+    val bsRef = ctx.addReferenceObj("md5MinhashBs", permBs, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.minhashMd5Ngrams($c, $n, $asRef, $bsRef))")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashMd5Ngrams =
+    copy(child = c)
+  override def prettyName: String = "minhash_md5_ngrams"
+}
+
+/** simhash_md5(tokens: array<string>) → long: SimHash over md5-derived
+  * per-token 64-bit hashes (see [[HashImpls.simhashMd5]]). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HashImpls.simhashMd5(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhashMd5($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 =
+    copy(c)
+  override def prettyName: String = "simhash_md5"
+}
+
+/** sig_matches(sigA, sigB) → bigint: count of equal MinHash components. */
+case class SigMatches(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.sigMatches(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpls.sigMatches($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatches =
+    copy(left = l, right = r)
+  override def prettyName: String = "sig_matches"
 }
 
 /** ngram_hashes(toks, n) → array<long>: distinct sorted FNV hashes of the
@@ -663,6 +744,12 @@ object exprs {
     column(MinHashSigs(expression(shingles), k, seed))
   def minhash_ngrams(toks: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column =
     column(MinHashNgrams(expression(toks), n, k, seed))
+  def minhash_md5_ngrams(toks: Column, n: Int = 3, k: Int = 32, seed: Long = 42L): Column =
+    column(MinHashMd5Ngrams(expression(toks), n, k, seed))
+  def simhash_md5(tokens: Column): Column =
+    column(SimHashMd5(expression(tokens)))
+  def sig_matches(a: Column, b: Column): Column =
+    column(SigMatches(expression(a), expression(b)))
   def ngram_hashes(toks: Column, n: Int = 3): Column =
     column(NgramHashes(expression(toks), n))
   def rh_bucket(vec: Column, planes: Int = 16, seed: Long = 42L): Column =

@@ -58,13 +58,12 @@ object GraphOps {
     * per-round survivor sets) are released when the operator returns;
     * the shared snapshot artifact is the one thing that legitimately
     * outlives them. */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val edgeCache = new graft.SnapshotCache[DataFrame]
 
   private def undirectedTradeEdges(t: Tables): DataFrame = {
-    val key = s"${t.spark.sparkContext.applicationId}:${t.dir}:" +
-      t.tableFingerprint("lineitem") + ":" + t.tableFingerprint("orders")
-    edgeCache.getOrElseUpdate(key, {
+    edgeCache.getOrElseUpdate(
+      s"${t.spark.sparkContext.applicationId}:${t.dir}",
+      t.tableFingerprint("lineitem") + ":" + t.tableFingerprint("orders")) {
       val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
         .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
@@ -74,7 +73,7 @@ object GraphOps {
       pairs
         .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
-    })
+    }
   }
 
   def g01(t: Tables): DataFrame = {

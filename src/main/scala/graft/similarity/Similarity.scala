@@ -98,18 +98,20 @@ object Similarity {
     * codebook trained on deleted data. Entries are a few KB each (C=16
     * centroid vectors). */
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double], Double)]]
+    new graft.SnapshotCache[Array[(Int, Array[Double], Double)]]
 
-  private def codebookKey(t: Tables): String =
-    s"${t.dir}:${t.tableFingerprint("embeddings")}"
+  /** Fingerprint side of every similarity-artifact cache entry: a
+    * regenerated embeddings file EVICTS the scope's stale artifact
+    * (SnapshotCache) instead of leaving it pinned beside the new one. */
+  private def embFp(t: Tables): String = t.tableFingerprint("embeddings")
 
   /** Cached prepped-corpus row count (same fingerprint keying as the
     * codebook): cluster/sub-band knob sizing must see the CLUSTERED
     * population — zero-norm vectors are filtered out of the corpus — and
     * callers must not pay a fresh count job per plan construction. */
-  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val countCache = new graft.SnapshotCache[Long]
   private[graft] def preppedCount(t: Tables): Long =
-    countCache.getOrElseUpdate(codebookKey(t), prepped(t).count())
+    countCache.getOrElseUpdate(s"${t.dir}:count", embFp(t))(prepped(t).count())
 
   /** Argmax-centroid assignment: a MAP-ONLY pass per row against the
     * codebook — no shuffle of the corpus, no groupBy (a crossJoin+max_by
@@ -172,7 +174,7 @@ object Similarity {
   private[graft] def assignedClusters(t: Tables, c: Int): DataFrame = {
     val corpus = prepped(t)
     val cents = codebookCache.getOrElseUpdate(
-      s"${codebookKey(t)}:c$c:l$LloydIters",
+      s"${t.dir}:c$c:l$LloydIters", embFp(t))(
       buildCodebook(t, corpus, c, LloydIters))
     corpus.withColumn("cent_id",
       bestCentroid(cents, "vec", "norm"))
@@ -193,7 +195,7 @@ object Similarity {
     val cents: Array[(Int, Array[Double], Double)] =
       // SAME key format as assignedClusters, so s03 and d10 share the
       // C=16 codebook on a small corpus instead of training it twice
-      codebookCache.getOrElseUpdate(s"${codebookKey(t)}:c$C:l$lloydIters",
+      codebookCache.getOrElseUpdate(s"${t.dir}:c$C:l$lloydIters", embFp(t))(
         buildCodebook(t, corpus, C, lloydIters))
     def bestCent(vecCol: String, normCol: String) =
       bestCentroid(cents, vecCol, normCol)
@@ -277,7 +279,7 @@ object Similarity {
     * k-th sub-centroid. Same fingerprint-keyed caching as the IVF
     * codebook. */
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+    new graft.SnapshotCache[Array[Array[Array[Double]]]]
 
   /** s06 — product-quantization ANN (IVF-PQ's compression half): vectors
     * are encoded as M=8 sub-centroid indices (4 bits each at Ks=16 — a
@@ -299,7 +301,7 @@ object Similarity {
     val corpus = prepped(t)
 
     val cb: Array[Array[Array[Double]]] =
-      pqCache.getOrElseUpdate(s"${codebookKey(t)}:pq$M", {
+      pqCache.getOrElseUpdate(s"${t.dir}:pq$M", embFp(t)) {
         val seeds = corpus
           .filter(col("vec_id") % 37 === 0 && col("vec_id") < 37 * 16)
           .select(col("vec"))
@@ -311,7 +313,7 @@ object Similarity {
         require(d % M == 0, s"s06: dim $d not divisible by M=$M")
         val sub = d / M
         Array.tabulate(M)(m => seeds.map(_.slice(m * sub, m * sub + sub)))
-      })
+      }
     val sub = cb(0)(0).length
     val ks = cb(0).length
 
@@ -683,11 +685,10 @@ object Similarity {
   /** Per-dim (min, step) SQ8 quantization grid, cached per table
     * fingerprint like the IVF/PQ codebooks. */
   /** s16's exact top-k ground truth, once per corpus snapshot. */
-  private val truthCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val truthCache = new graft.SnapshotCache[DataFrame]
 
-  private val sqCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Array[Double], Array[Double])]
+  private val sqCache =
+    new graft.SnapshotCache[(Array[Double], Array[Double])]
 
   /** s14 — scalar-quantized (SQ8) ANN, the memory-compression rung
     * between raw floats and s06's PQ: each dimension quantizes
@@ -716,7 +717,7 @@ object Similarity {
   def s14(t: Tables): DataFrame = {
     val Shortlist = 50
     val corpus = prepped(t)
-    val (mins, steps) = sqCache.getOrElseUpdate(s"${codebookKey(t)}:sq8", {
+    val (mins, steps) = sqCache.getOrElseUpdate(s"${t.dir}:sq8", embFp(t)) {
       val d = corpus.select(size(col("vec"))).first.getInt(0)
       val aggs = (0 until d).flatMap(i => Seq(
         min(element_at(col("vec"), i + 1)), max(element_at(col("vec"), i + 1))))
@@ -727,7 +728,7 @@ object Similarity {
         if (s > 0) s else 1.0
       }
       (mn, st)
-    })
+    }
     // encode map-only: code_d = round((x_d - min_d) / step_d), clamped
     // to [0, 255] (clamp is a no-op on corpus data — the grid was fit on
     // it — but keeps out-of-grid QUERY-TIME vectors safe by contract);
@@ -881,7 +882,7 @@ object Similarity {
     // paid once per corpus, while the per-budget candidate caches stay
     // per-query (released below)
     val truth = truthCache.getOrElseUpdate(
-      s"${t.spark.sparkContext.applicationId}:" + codebookKey(t), {
+      s"${t.spark.sparkContext.applicationId}:${t.dir}:truth", embFp(t)) {
         corpus.crossJoin(broadcast(
             queries10.select(col("q_id"), col("q_vec"), col("q_norm"))))
           .select(col("q_id"), col("vec_id"),
@@ -891,7 +892,7 @@ object Similarity {
           .filter(col("rn") <= TopK)
           .select(col("q_id"), col("vec_id"))
           .localCheckpoint()
-      })
+      }
     val bucketed = corpus.select(col("bucket"), col("vec_id"))
     val budgetCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     val perBudget = Budgets.map { p =>

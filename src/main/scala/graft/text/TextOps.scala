@@ -878,8 +878,7 @@ object TextOps {
     * (the codebookCache policy: an index artifact is built once per
     * corpus, keyed by file fingerprint so a regenerated directory can
     * never be served stale bits). */
-  private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  private val bloomCache = new graft.SnapshotCache[Array[Byte]]
 
   /** t27 — bloom-prefiltered decontamination: t10's benchmark-overlap
     * semantics restructured around Spark's own bloom-filter sketch
@@ -905,14 +904,14 @@ object TextOps {
       .select(col("doc_id"), explode(ngram_hashes(col("toks"), 6)).as("g"))
     val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("g"))
-    val key = s"${t.dir}:${t.tableFingerprint("documents")}"
-    val bf = bloomCache.getOrElseUpdate(key, {
+    val bf = bloomCache.getOrElseUpdate(t.dir,
+      t.tableFingerprint("documents")) {
       // driver-side materialization of the INDEX (bloom bytes), not data
       // — the s03 codebook pattern; 4M estimated items ≈ 1 MB of bits,
       // FP rate degrades gracefully past that and only costs shuffle
       bench.select(bloom_agg(col("g"), 4000000L).as("bf"))
         .head.getAs[Array[Byte]](0)
-    })
+    }
     val perDoc = grams.filter(col("doc_id") % 50 =!= 0)
       .filter(might_contain(lit(bf), col("g")))
       .join(bench.hint("SHUFFLE_HASH"), Seq("g"))

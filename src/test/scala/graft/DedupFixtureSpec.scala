@@ -20,8 +20,13 @@ class DedupFixtureSpec extends AnyFunSuite {
   private def toks(s: String): Seq[String] = s.trim.split("\\s+").toSeq
   private def arr(ts: Seq[String]) =
     new GenericArrayData(ts.map(UTF8String.fromString))
+  // the md5-derived deterministic kernel (round-7 rebase) — the one d02
+  // and st14 actually run; the FNV kernel stays on the candidate-only
+  // path (verifiedPairs) and is pinned by HashPropertySpec
+  private val md5Perms = graft.functions.Md5MinHash.perms(32, 42L)
   private def sig(s: String): Seq[Long] =
-    HashImpls.minhashNgrams(arr(toks(s)), 3, 32, 42L).toSeq
+    HashImpls.minhashMd5Ngrams(arr(toks(s)), 3,
+      md5Perms.map(_._1), md5Perms.map(_._2)).toSeq
   private def bands(s: Seq[Long]): Seq[Seq[Long]] = s.grouped(4).toSeq
 
   private lazy val sigs: Map[Long, Seq[Long]] =
@@ -34,16 +39,16 @@ class DedupFixtureSpec extends AnyFunSuite {
     if bands(sigs(i)).zip(bands(sigs(j))).exists { case (a, b) => a == b }
   } yield (i, j)
 
-  private def est(i: Long, j: Long): Double =
-    sigs(i).zip(sigs(j)).count { case (a, b) => a == b } / 32.0
+  private def nMatches(i: Long, j: Long): Long =
+    sigs(i).zip(sigs(j)).count { case (a, b) => a == b }.toLong
 
   test("d02 minhash LSH pairs equal the kernel-computed expectation") {
     val expected = bandPairs
-      .filter { case (i, j) => est(i, j) >= 0.5 }
-      .map { case (i, j) => (i, j, round4(est(i, j))) }
+      .filter { case (i, j) => nMatches(i, j) * 2 >= 32 }
+      .map { case (i, j) => (i, j, nMatches(i, j)) }
       .sortBy(p => (p._1, p._2))
     val got = Dedup.d02(t).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
     // the fixture plants pairs: 1-2, 1-7 (chain) and 3-4 (exact)
     assert(expected.map(p => (p._1, p._2)).toSet
@@ -52,7 +57,7 @@ class DedupFixtureSpec extends AnyFunSuite {
 
   test("d03 simhash chunk-band pairs equal the kernel-computed expectation") {
     val sh = FixtureData.docTexts.map { case (id, text) =>
-      id -> HashImpls.simhash64(arr(toks(text)))
+      id -> HashImpls.simhashMd5(arr(toks(text)))
     }.toMap
     def chunks(h: Long): Seq[Long] = (0 until 4).map(i => (h >> (i * 16)) & 0xffffL)
     val expected = (for {

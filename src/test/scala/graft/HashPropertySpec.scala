@@ -152,6 +152,66 @@ class HashPropertySpec extends AnyFunSuite {
     assert(HashImpls.minhashNgrams(arr(fixToks), 3, 4, 42L).toSeq == expected)
   }
 
+  // ---- md5-derived deterministic kernels (round-7: d02/d03/st14) ------
+
+  private def md5MinhashRef(toks: Seq[String], n: Int, k: Int,
+      seed: Long): Seq[Long] = {
+    // independent spelling: materialized gram strings, JDK md5, the
+    // documented 12-hex-char prefix parse, the affine family
+    val grams = if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+                else Seq(toks.mkString(" "))
+    val perms = graft.functions.Md5MinHash.perms(k, seed)
+    val P = graft.functions.Md5MinHash.P
+    perms.toSeq.map { case (a, b) =>
+      grams.map { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+          .map(x => f"${x & 0xff}%02x").mkString.take(12)
+        (a * java.lang.Long.parseLong(hex, 16) + b) % P
+      }.min
+    }
+  }
+
+  test("minhashMd5Ngrams equals the materialized-gram md5+affine spelling") {
+    (1 to 200).foreach { _ =>
+      val toks = randTokens()
+      val perms = graft.functions.Md5MinHash.perms(32, 42L)
+      val streamed = HashImpls.minhashMd5Ngrams(arr(toks), 3,
+        perms.map(_._1), perms.map(_._2)).toSeq
+      assert(streamed == md5MinhashRef(toks, 3, 32, 42L), s"toks=$toks")
+    }
+  }
+
+  test("md5 minhash golden values (k=4, seed=42) — cross-validated " +
+    "against an independent Python implementation AND DuckDB's " +
+    "md5+affine SQL spelling (both reproduce these exact values)") {
+    assert(graft.functions.Md5MinHash.perms(4, 42L).toSeq == Seq(
+      (11926L, 1903312424708075405L), (5204L, 1723176581284776669L),
+      (12296L, 1996154960772651912L), (16164L, 2038608524547893592L)))
+    val perms = graft.functions.Md5MinHash.perms(4, 42L)
+    assert(HashImpls.minhashMd5Ngrams(arr(fixToks), 3,
+      perms.map(_._1), perms.map(_._2)).toSeq ==
+      Seq(1469682449216261836L, 234287842361931746L,
+        1620609743160856433L, 767955394323682774L))
+  }
+
+  test("simhashMd5: deterministic, order-invariant, golden value " +
+    "cross-validated against the Python md5-vote implementation") {
+    (1 to 100).foreach { _ =>
+      val toks = randTokens()
+      val a = HashImpls.simhashMd5(arr(toks))
+      assert(HashImpls.simhashMd5(arr(rnd.shuffle(toks))) == a)
+    }
+    assert(HashImpls.simhashMd5(arr(fixToks)) == 1140660199213328064L)
+  }
+
+  test("sigMatches counts positional agreement") {
+    val a = new GenericArrayData(Array(1L, 2L, 3L, 4L))
+    val b = new GenericArrayData(Array(1L, 9L, 3L, 8L))
+    assert(HashImpls.sigMatches(a, b) == 2L)
+    assert(HashImpls.sigMatches(a, a) == 4L)
+  }
+
   test("ngramHashes golden values (sorted signed order)") {
     assert(HashImpls.ngramHashes(arr(fixToks), 3).toSeq ==
       Seq(-8421630478583369269L, 9185940588308658957L))

@@ -1,20 +1,124 @@
 package graft
 
 import graft.multimodal.BinaryPipeline
+import graft.multimodal.BinaryPipeline.MediaCodec
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   lazy val t = TestSpark.tables
 
-  test("binary payload roundtrip: synthesize → decodeFeatures") {
+  // ---- codec-level gates (no Spark): the decode is REAL, so it is
+  // value-gated like any codec — exact round-trips on the true byte
+  // layouts, not schema checks. ------------------------------------
+
+  test("BMP round-trip: encode → decode returns the exact pixels, and " +
+    "the container is byte-valid (magic, offsets, padding, bottom-up)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val bmp = MediaCodec.encodeBmp(w, h, rgb)
+      // container facts
+      assert(bmp(0) == 'B' && bmp(1) == 'M')
+      assert(bmp.length == 54 + MediaCodec.rowStride(w) * h)
+      val (dw, dh, back) = MediaCodec.decodeBmp(bmp)
+      assert(dw == w && dh == h)
+      assert(back.toSeq == rgb.toSeq, s"pixel round-trip failed at ${w}x$h")
+    }
+    // the decoder honors the header's data offset and BGR order: pixel
+    // (0,0) red channel lives at offset 54 + (h-1)*stride + 2
+    val one = MediaCodec.encodeBmp(1, 2, Array[Byte](10, 20, 30, 40, 50, 60))
+    assert((one(54 + MediaCodec.rowStride(1) * 1 + 2) & 0xff) == 10,
+      "top row red must sit in the BOTTOM-stored scanline, BGR order")
+  }
+
+  test("WAV round-trip: exact samples back, and the chunk walk skips " +
+    "unknown chunks before data") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val s = Array.fill(1 + rnd.nextInt(2000))(rnd.nextInt(65536).toShort)
+      val wav = MediaCodec.encodeWav(8000, s)
+      assert(wav.length == 44 + 2 * s.length)
+      val (rate, back) = MediaCodec.decodeWav(wav)
+      assert(rate == 8000 && back.toSeq == s.toSeq)
+    }
+    // splice a LIST chunk between fmt and data: a real reader must skip it
+    val s = Array[Short](100, -200, 300)
+    val wav = MediaCodec.encodeWav(8000, s)
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 6, 0, 0, 0, 1, 2, 3, 4, 5, 6)
+    val spliced = wav.take(36) ++ junk ++ wav.drop(36)
+    // fix the RIFF size field
+    val total = spliced.length - 8
+    spliced(4) = total.toByte; spliced(5) = (total >> 8).toByte
+    spliced(6) = (total >> 16).toByte; spliced(7) = (total >> 24).toByte
+    val (_, back) = MediaCodec.decodeWav(spliced)
+    assert(back.toSeq == s.toSeq, "chunk walk must skip the LIST chunk")
+    assert(MediaCodec.bodyOffset(spliced) == 44 + junk.length + 8 - 8,
+      "bodyOffset must point at the walked data chunk, not offset 44")
+  }
+
+  test("codec rejects garbage and wrong formats loudly") {
+    intercept[Exception](MediaCodec.decodeBmp("not a bmp at all".getBytes))
+    intercept[Exception](MediaCodec.decodeWav("RIFFxxxxJUNK".getBytes ++
+      new Array[Byte](40)))
+    intercept[Exception](MediaCodec.sniff(Array[Byte](1, 2, 3)))
+  }
+
+  test("image features are computed from the decoded pixels (golden " +
+    "check on a hand-built 2x1 image)") {
+    // pixels: (255,0,0) and (0,0,255) → meanR = meanB = 0.5, meanG = 0
+    val bmp = MediaCodec.encodeBmp(2, 1,
+      Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte))
+    val (mod, w, h, f) = MediaCodec.features(bmp)
+    assert(mod == "image" && w == 2 && h == 1)
+    assert(math.abs(f(0) - 0.5f) < 1e-6, s"meanR: ${f(0)}")
+    assert(math.abs(f(1)) < 1e-6, s"meanG: ${f(1)}")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, s"meanB: ${f(2)}")
+    // luma: 0.299*255 vs 0.114*255 → mean 0.2065, min 0.114, max 0.299
+    assert(math.abs(f(3) - 0.2065f) < 1e-4)
+    assert(math.abs(f(4) - 0.114f) < 1e-4)
+    assert(math.abs(f(5) - 0.299f) < 1e-4)
+    assert(f(7) == 2.0f) // aspect
+  }
+
+  test("audio features are computed from the decoded samples (golden " +
+    "check on a hand-built square wave)") {
+    val s = Array[Short](16384, -16384, 16384, -16384)
+    val (mod, w, h, f) = MediaCodec.features(MediaCodec.encodeWav(8000, s))
+    assert(mod == "audio" && w == 4 && h == 1)
+    assert(math.abs(f(0)) < 1e-6, "DC mean of a symmetric square wave is 0")
+    assert(math.abs(f(1) - 0.5f) < 1e-6, s"RMS: ${f(1)}")
+    assert(math.abs(f(2) - 0.5f) < 1e-6, s"mean|s|: ${f(2)}")
+    assert(f(3) == 1.0f, "every adjacent pair crosses zero")
+    assert(math.abs(f(4) - 0.5f) < 1e-6, "peak")
+    assert(math.abs(f(5) - 1.0f) < 1e-6, "mean |delta| = 32768/32768")
+    assert(math.abs(f(6) - 4.0f / 8000) < 1e-9, "duration")
+  }
+
+  // ---- pipeline-level gates ---------------------------------------
+
+  test("binary payload roundtrip: synthesize → decodeFeatures, with " +
+    "byte sizes matching the container layout arithmetic") {
     val media = BinaryPipeline.synthesize(spark, 100)
     val feats = BinaryPipeline.decodeFeatures(media).collect()
     assert(feats.length == 100)
     feats.foreach { f =>
-      assert(f.n_bytes == 76) // 12-byte header + 64-byte body
-      assert(f.features.length == BinaryPipeline.StubCodec.FeatureDim)
-      assert(f.width >= 32 && f.height >= 32)
+      val id = f.media_id
+      if (id % 3 == 0) {
+        assert(f.modality == "audio")
+        assert(f.width == BinaryPipeline.wavN(id) && f.height == 1)
+        assert(f.n_bytes == 44 + 2L * BinaryPipeline.wavN(id))
+      } else {
+        assert(f.modality == "image")
+        assert(f.width == BinaryPipeline.imgW(id))
+        assert(f.height == BinaryPipeline.imgH(id))
+        assert(f.n_bytes == 54 +
+          MediaCodec.rowStride(BinaryPipeline.imgW(id)).toLong *
+            BinaryPipeline.imgH(id))
+      }
+      assert(f.features.length == MediaCodec.FeatureDim)
     }
     // deterministic: same id → same features
     val again = BinaryPipeline.decodeFeatures(BinaryPipeline.synthesize(spark, 100))
@@ -22,17 +126,32 @@ class MultimodalSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.media_id) == f.features.toSeq))
   }
 
-  test("resize halves dims deterministically; frame sampling strides") {
+  test("resize produces valid containers at reduced dims; frame " +
+    "sampling emits the stride-2 scanlines/blocks") {
     val media = BinaryPipeline.synthesize(spark, 50)
-    val resized = BinaryPipeline.resize(media, 64).collect()
+    val resized = BinaryPipeline.resize(media, 16).collect()
     resized.foreach { r =>
-      assert(r.width <= 64 || r.height <= 64)
-      assert(r.payload.length >= 13)
+      if (r.modality == "image") {
+        val (w, h, _) = MediaCodec.decodeBmp(r.payload) // still a valid BMP
+        assert(w == r.width && h == r.height)
+        assert(w <= 16 || h <= 16)
+      } else {
+        val (_, s) = MediaCodec.decodeWav(r.payload) // still a valid WAV
+        assert(s.length == r.width && s.length <= 16)
+      }
     }
+    // stride-2 frame counts follow the container arithmetic
     val frames = BinaryPipeline.sampleFrames(media, 2)
-    assert(frames.count() == 50 * 2) // 4 frames of 16B per 64B body, stride 2
-    assert(frames.columns.toSeq ==
-      Seq("media_id", "modality", "frame_idx", "frame_bytes"))
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 50L).foreach { id =>
+      val expect =
+        if (id % 3 == 0)
+          ((BinaryPipeline.wavN(id) + BinaryPipeline.AudioBlock - 1) /
+            BinaryPipeline.AudioBlock + 1) / 2
+        else (BinaryPipeline.imgH(id) + 1) / 2
+      assert(frames(id) == expect.toLong, s"id=$id")
+    }
   }
 
   test("media features join back to documents") {
@@ -43,38 +162,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.columns.contains("lang"))
   }
 
-  test("m02 frame sampling is deterministic: stride-2 keeps frames 0 and 2") {
-    val rows = BinaryPipeline.m02(spark).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+  test("m02 equals the frame-walk arithmetic recomputed driver-side " +
+    "(the same arithmetic the DuckDB oracle runs)") {
+    val want = (0L until BinaryPipeline.NMedia.toLong).flatMap { id =>
+      if (id % 3 == 0) {
+        val ns = BinaryPipeline.wavN(id)
+        val blocks = (ns + BinaryPipeline.AudioBlock - 1) / BinaryPipeline.AudioBlock
+        (0 until blocks by 2).map(f => ("audio", id,
+          2L * math.min(BinaryPipeline.AudioBlock, ns - BinaryPipeline.AudioBlock * f)))
+      } else {
+        (0 until BinaryPipeline.imgH(id) by 2).map(_ =>
+          ("image", id, 3L * BinaryPipeline.imgW(id)))
+      }
+    }.groupBy(_._1).map { case (m, fs) =>
+      m -> ((fs.size.toLong, fs.map(_._2).distinct.size.toLong,
+        fs.map(_._3).sum))
+    }
+    val got = BinaryPipeline.m02(spark).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    // 2000 media, id%3==0 -> audio (667), else image (1333); 64-byte body
-    // = 4 frames of 16 bytes; stride 2 keeps 2 frames x 16 bytes each
-    assert(rows("audio") == ((1334L, 667L, 21344L)), s"audio: ${rows("audio")}")
-    assert(rows("image") == ((2666L, 1333L, 42656L)), s"image: ${rows("image")}")
+    assert(got == want, s"m02 $got != $want")
   }
 
   test("m04 pHash near-dup equals the driver-side band+Hamming " +
     "expectation, and banding recall on the planted pairs is 1.0") {
     def phashOf(payload: Array[Byte]): Long = {
-      val body = java.util.Arrays.copyOfRange(payload, 12,
-        math.min(payload.length, 12 + 64))
+      val off = MediaCodec.bodyOffset(payload)
+      val body = java.util.Arrays.copyOfRange(payload, off,
+        math.min(payload.length, off + 64))
       val mean = body.map(_ & 0xff).map(_.toLong).sum / body.length
       body.indices.foldLeft(0L) { (ph, j) =>
         if ((body(j) & 0xff) > mean) ph | (1L << j) else ph
       }
     }
     // rebuild the synthetic corpus driver-side with the same plant rule
-    val media = (0L until 2000L).map { id =>
+    val media = (0L until BinaryPipeline.NMedia.toLong).map { id =>
       val modality = if (id % 3 == 0) "audio" else "image"
       val payload =
         if (id % 10 == 7 && id >= 12) {
-          val base = BinaryPipeline.StubCodec.encode(id - 12,
-            if ((id - 12) % 3 == 0) "audio" else "image")
-          val tmp = base(12 + 5)
-          base(12 + 5) = base(12 + 40)
-          base(12 + 40) = tmp
+          val base = BinaryPipeline.synthPayload(id - 12)
+          val off = MediaCodec.bodyOffset(base)
+          val tmp = base(off + 5)
+          base(off + 5) = base(off + 40)
+          base(off + 40) = tmp
           base
-        } else BinaryPipeline.StubCodec.encode(id, modality)
+        } else BinaryPipeline.synthPayload(id)
       (id, modality, phashOf(payload))
     }
     def band(ph: Long, b: Int): Long = (ph >> (16 * b)) & 0xffffL

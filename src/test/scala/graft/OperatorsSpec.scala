@@ -431,11 +431,12 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("d02 minhash candidates verified by d04 exact jaccard") {
     val est = dedup.Dedup.d02(t).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val exact = dedup.Dedup.d04(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
-    // every high-estimate pair must be a genuinely similar pair
-    est.filter(_._2 >= 0.8).keys.foreach { k =>
+    // every high-estimate pair (n_matches/32 >= 0.8) must be genuinely
+    // similar
+    est.filter(_._2 * 10 >= 32 * 8).keys.foreach { k =>
       assert(exact.contains(k) && exact(k) >= 5000L,
         s"pair $k est>=0.8 but exact_x1e4=${exact.get(k)}")
     }
@@ -459,7 +460,9 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("d06 clusters equal a driver-side union-find over the same pairs") {
-    val pairs = dedup.Dedup.d02(t).collect()
+    // d06 clusters the d04-verified exact-Jaccard pairs (the round-6
+    // rebase) — union-find over that SAME relation, not d02's estimates
+    val pairs = dedup.Dedup.d04(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {

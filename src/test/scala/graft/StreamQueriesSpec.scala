@@ -113,6 +113,29 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(s.nonEmpty && s == b)
   }
 
+  test("st15 crash-and-recover run equals the uninterrupted batch " +
+    "self-join (exactly-once across the injected mid-stream failure)") {
+    import org.apache.spark.sql.functions._
+    val recovered = StreamQueries.st15(spark, TestSpark.sfDir)
+    val ev = TestSpark.tables.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+    assert(recovered.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(recovered), canon(batch))
+    assert(s.nonEmpty && s == b,
+      "recovered run must equal the batch join: loss or duplication " +
+        "across the crash boundary breaks this equality")
+  }
+
   test("st14 streaming LSH index emits EXACTLY the batch d02 candidate " +
     "pair set across multi-batch ingest (order-independence of the " +
     "pair relation)") {
