@@ -461,9 +461,14 @@ object Similarity {
     * the index side — independent of how many live queries the index
     * serves, and the standard recall@k evaluation protocol. The join
     * and rollup run over q·k result rows (tiny at any corpus size).
-    * rows-only: the LSH side has no SQL twin; OperatorsSpec pins the
-    * per-query values to an independently-computed set intersection of
-    * the two result sets. */
+    * rows-only in the driver gate (the LSH side has no SQL twin), but
+    * CROSS-ENGINE-CHECKED end to end by tools/ann_recall_oracle.py
+    * (round-7): the rh_bucket kernel reimplemented in pure Python (a
+    * third implementation beyond Scala + codegen), the exact truth and
+    * in-bucket rankings recomputed in DuckDB, and the per-query recall
+    * percentages — denominators included — compared against this
+    * query's dump; OperatorsSpec additionally pins the per-query values
+    * to an independently-computed set intersection. */
   def s09(t: Tables): DataFrame = {
     val exact = s01(t).select(col("q_id"), col("vec_id"))
     val approx = s02(t).select(col("q_id"), col("vec_id"))
@@ -860,8 +865,11 @@ object Similarity {
     * in-query (the s01 brute-force pass — the audit costs one extra
     * O(corpus·Q) scan exactly like s09, amortized over every future
     * probe-budget decision). Counts exact integers, recall in half-up
-    * percent. Rows-only (rh_bucket kernel); SimilarityFixtureSpec pins
-    * the full per-budget expectation. */
+    * percent. Rows-only in the driver gate (rh_bucket kernel);
+    * SimilarityFixtureSpec pins the full per-budget expectation, and
+    * tools/ann_recall_oracle.py (round-7) recomputes the ENTIRE curve
+    * cross-engine — Python buckets + DuckDB exact truth + the same
+    * integer recall arithmetic — against this query's dump. */
   def s16(t: Tables): DataFrame = {
     val Budgets = Seq(1, 3, 5, 9)
     val corpus = prepped(t)

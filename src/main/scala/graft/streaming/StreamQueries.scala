@@ -236,6 +236,22 @@ object StreamQueries {
     * scoped: the conf is read at query START, and the surrounding batch
     * plans (sink post-aggregations, oracles) still run at the session's
     * 32. */
+  /** State-store BACKEND selection for the stateful queries (round-6
+    * verdict item 5 — the backend matrix): by default the queries run on
+    * whatever the session configures (Spark's HDFSBackedStateStoreProvider
+    * unless overridden; st06 always forces RocksDB as the
+    * transformWithState requirement), and setting
+    * `SPARK_GRAFT_STATE_BACKEND=rocksdb` reruns the WHOLE stateful
+    * surface (st02/st04/st07/st08/st12/st14/st15 — every
+    * withStatePartitions user) on RocksDBStateStoreProvider. The results
+    * must be IDENTICAL — the backend is a persistence/memory trade, never
+    * a semantics knob — which StreamingSpec's backend-matrix test pins
+    * (equal output + progress customMetrics proving which provider ran);
+    * the measured per-batch commit profiles live in SURVEY §8f. */
+  private val BackendKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private val statePartitionsLock = new Object
   private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A =
     // Serialized on a global lock (round-6 advice): the override mutates
@@ -253,10 +269,20 @@ object StreamQueries {
     statePartitionsLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.getOption(key)
+      val prevBackend = spark.conf.getOption(BackendKey)
       spark.conf.set(key, n.toString)
-      try f finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      if (sys.env.get("SPARK_GRAFT_STATE_BACKEND")
+            .exists(_.equalsIgnoreCase("rocksdb")))
+        spark.conf.set(BackendKey, RocksDbProvider)
+      try f finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        prevBackend match {
+          case Some(v) => spark.conf.set(BackendKey, v)
+          case None    => spark.conf.unset(BackendKey)
+        }
       }
     }
 

@@ -41,6 +41,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((60L, "view", 1L)))
   }
 
+  test("state-backend matrix: the SAME stateful query is exact on both " +
+    "HDFSBacked and RocksDB state stores, and the progress metrics " +
+    "prove which provider actually ran") {
+    import spark.implicits._
+    val BackendKey = "spark.sql.streaming.stateStore.providerClass"
+    val RocksDb = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    def run(backend: Option[String])
+        : (Seq[(Long, String, Long)], Set[String]) = {
+      implicit val sqlCtx = spark.sqlContext
+      val prev = spark.conf.getOption(BackendKey)
+      backend.foreach(spark.conf.set(BackendKey, _))
+      if (backend.isEmpty) spark.conf.unset(BackendKey)
+      try {
+        val mem = MemoryStream[Event]
+        mem.addData((1 to 200).map(i =>
+          Event(i.toLong, ts(i % 90), (i % 7).toLong, if (i % 2 == 0) "click"
+            else "view", i.toDouble)): _*)
+        mem.addData(Event(999, ts(600), 1, "click", 1.0)) // watermark push
+        val name = s"backend_matrix_${backend.isDefined}"
+        val q = EventsStream.windowedCounts(mem.toDF())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+        q.processAllAvailable()
+        val metrics = q.lastProgress.stateOperators
+          .flatMap(_.customMetrics.keySet.toArray.map(_.toString)).toSet
+        q.stop()
+        val rows = spark.table(name).collect().map(r =>
+          (minuteOf(r.getTimestamp(0)), r.getString(1), r.getLong(2))).toSeq
+        (rows.sorted, metrics)
+      } finally prev match {
+        case Some(v) => spark.conf.set(BackendKey, v)
+        case None    => spark.conf.unset(BackendKey)
+      }
+    }
+    val (defaultRows, defaultMetrics) = run(None)
+    val (rocksRows, rocksMetrics) = run(Some(RocksDb))
+    assert(defaultRows.nonEmpty && defaultRows == rocksRows,
+      "the backend is a persistence trade, never a semantics knob — " +
+        "results must be identical")
+    // the custom-metric NAMESPACES prove which provider actually held
+    // the state (not just which conf was set)
+    assert(defaultMetrics.exists(_.contains("loadedMapCache")),
+      s"HDFSBacked run must report loadedMapCache metrics: $defaultMetrics")
+    assert(rocksMetrics.exists(_.startsWith("rocksdb")),
+      s"RocksDB run must report rocksdb* metrics: $rocksMetrics")
+  }
+
   test("sessionWindows groups by 30-min gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
