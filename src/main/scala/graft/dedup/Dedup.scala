@@ -38,7 +38,10 @@ object Dedup {
   private val RowsPerBand = K / Bands
   private val Seed = 42L
   private[graft] val MaxBucket = 64  // hot-bucket guard
-  private[graft] val MinEstJaccard = 0.5
+  // The ≥0.5 est-Jaccard policy lives as the INTEGER gate
+  // `n_matches * 2 >= K` (d02/st14/the d02 oracle's HAVING) — one live
+  // definition; a separate double constant drifted out of sync with the
+  // shipped mechanism and was removed (round-7 advice).
   private val MaxHamming = 8
 
   private def tokensCol = expr(graft.functions.exprs.wsTokensSql)
@@ -216,16 +219,26 @@ object Dedup {
     nPairs.join(nDocs, Seq("threshold_x10")).orderBy("threshold_x10")
   }
 
+  // d05's multi-table LSH geometry, shared with its oracle's inlined
+  // hyperplane VALUES table
+  private val D05Tables = 8
+  private val D05Planes = 4
+  private val D05Tau = 0.4
+  private val D05SeedBase = 1000L
+
   /** d05 — embedding-cosine near-dup: L hash tables of `TablePlanes`
     * random hyperplanes each (multi-table LSH); exact cosine verified
     * within buckets. CosThreshold=0.4 surfaces the synthetic corpus's
     * closest pairs; production near-dup runs at ~0.95 where the same
-    * banding has >0.99 recall. */
+    * banding has >0.99 recall. Full SQL oracle since round 8: the 8×4
+    * plane weights inline as a VALUES table and both the bucket signs
+    * and the unrounded τ compare reproduce bit-exactly in DuckDB (see
+    * graft.functions.RhPlanes). */
   def d05(t: Tables): DataFrame = {
     import graft.functions.exprs.rh_bucket
-    val L = 8
-    val TablePlanes = 4
-    val CosThreshold = 0.4
+    val L = D05Tables
+    val TablePlanes = D05Planes
+    val CosThreshold = D05Tau
     val prepped = t.embeddingsWide.select(
       col("vec_id").as("doc_id"),
       expr("transform(embedding, x -> cast(x as double))").as("vec"))
@@ -236,7 +249,7 @@ object Dedup {
       .withColumn("payload", struct(col("vec"), col("norm")))
     val banded = prepped.select(col("doc_id"), col("payload"),
       posexplode(array((0 until L).map(i =>
-        rh_bucket(col("vec"), TablePlanes, seed = 1000L + i)): _*))
+        rh_bucket(col("vec"), TablePlanes, seed = D05SeedBase + i)): _*))
         .as(Seq("band_id", "band_sig")))
     bucketPairs(banded)
       .select(col("doc_a"), col("doc_b"),
@@ -362,11 +375,18 @@ object Dedup {
     * intentional — a fingerprint present in >MaxBucket documents is a
     * ubiquitous boilerplate window (MOSS suppresses common code the same
     * way), so n_shared counts only DISCRIMINATIVE overlap and pairs
-    * sharing nothing but boilerplate stay below MinShared. */
+    * sharing nothing but boilerplate stay below MinShared.
+    *
+    * Round-8 rebase (verdict task 4): the fingerprint stream is the md5
+    * window-hash kernel (winnow_md5_fps — h_i = first 12 md5 hex chars
+    * of each 16-byte window, window-min per winnow window), so DuckDB
+    * rebuilds the IDENTICAL fingerprint sets from md5 + a window min
+    * and the query graduates from rows-only to a full SQL oracle. */
   def d07(t: Tables): DataFrame = {
     val MinShared = 3
     val fps = t.documentsWide
-      .select(col("doc_id"), explode(winnow_fps(col("text"), 16, 8)).as("fp"))
+      .select(col("doc_id"),
+        explode(winnow_md5_fps(col("text"), 16, 8)).as("fp"))
       .select(col("doc_id"), lit(0L).as("payload"),
         lit(0).as("band_id"), col("fp").as("band_sig"))
     bucketPairs(fps)
@@ -838,12 +858,13 @@ object Dedup {
        |  <= $MaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Rows-only residue after the round-7 md5 rebase: d05/d07/d10 (the
-    * hyperplane/winnowing/k-means kernels still use FNV/splitmix pools —
-    * no SQL twin); d02/d03 now carry FULL oracles (md5-derived hashes,
-    * see d02OracleSql/d03OracleSql), and st14 is graded against d02's.
-    * d09's gram sets are SQL-expressible as string 8-grams (t10
-    * precedent), so it carries a full oracle. */
+  /** Rows-only residue after the round-8 conversions: ONLY d10 (its
+    * candidate geometry is a TRAINED k-means codebook — no SQL twin by
+    * nature). d02/d03 carry md5-rebased oracles since round 7 (st14 is
+    * graded against d02's); round 8 added d05 (hyperplane weights
+    * inlined as VALUES data — see graft.functions.RhPlanes) and d07
+    * (winnowing rebased onto md5 window hashes). d09's gram sets are
+    * SQL-expressible as string 8-grams (t10 precedent). */
   /** The exact all-pairs 3-gram Jaccard computation (string grams, same
     * short-doc fallback as the hash kernel), shared by the d04 oracle and
     * the d12 curve oracle: columns (doc_a, doc_b, n_shared, n_union,
@@ -913,9 +934,85 @@ object Dedup {
        |lbl AS (SELECT node, l FROM l$MinLabelUnrollRounds)""".stripMargin
   }
 
+  /** d05's DuckDB twin — the multi-table hyperplane LSH replayed in SQL:
+    * the 8×4 plane weights inlined as literal DOUBLE[] rows (generated
+    * from the same Scala weight function the kernel runs — RhPlanes'
+    * bit-exactness chain covers the bucket SIGNS and the unrounded τ
+    * compare), per-(vec, table) bucket ids, the [2, MaxBucket] bucket
+    * gate, within-bucket pairs, exact cosine threshold. */
+  private def d05OracleSql: String = {
+    val planeVals = graft.functions.RhPlanes.bandedValuesSql(
+      D05Tables, D05Planes, D05SeedBase, 64)
+    s"""WITH tw(band_id, p, w) AS (VALUES $planeVals),
+       |c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS vec,
+       |        sqrt(list_dot_product(embedding::DOUBLE[],
+       |                              embedding::DOUBLE[])) AS norm
+       |      FROM embeddings
+       |      WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+       |bk AS MATERIALIZED (
+       |  SELECT doc_id, band_id,
+       |    CAST(sum(CASE WHEN list_dot_product(vec, w) > 0
+       |      THEN 1 << p ELSE 0 END) AS INT) AS band_sig
+       |  FROM c, tw GROUP BY doc_id, band_id),
+       |bsz AS (SELECT band_id, band_sig, count(*) AS n FROM bk
+       |        GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a
+       |  JOIN bk b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       |           AND a.doc_id < b.doc_id
+       |  JOIN bsz ON bsz.band_id = a.band_id AND bsz.band_sig = a.band_sig
+       |  WHERE bsz.n BETWEEN 2 AND $MaxBucket)
+       |SELECT doc_a AS vec_a, doc_b AS vec_b, round(cos, 4) AS cosine
+       |FROM (
+       |  SELECT doc_a, doc_b,
+       |    list_dot_product(ca.vec, cb.vec) / (ca.norm * cb.norm) AS cos
+       |  FROM cand JOIN c ca ON ca.doc_id = doc_a
+       |            JOIN c cb ON cb.doc_id = doc_b)
+       |WHERE cos >= $D05Tau ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** d07's DuckDB twin — the md5 winnowing pipeline replayed in SQL:
+    * one md5 per 16-char window (ASCII corpus ⇒ SQL character windows ==
+    * the kernel's byte windows), window-min over 8 positions as a frame
+    * window function (only distinct minimum VALUES matter, so the
+    * kernel's deque tie-break is irrelevant), the short-text fallbacks
+    * (whole-text hash below the hash window, single global min below
+    * the winnow window), the [2, MaxBucket] common-fingerprint gate,
+    * and the shared-count ≥ 3 pair filter. */
+  private def d07OracleSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, i,
+       |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 16)), 1, 12)
+       |      AS BIGINT) AS h
+       |  FROM documents,
+       |    UNNEST(range(1, greatest(len(text) - 15, 1) + 1)) AS t(i)),
+       |mins AS (
+       |  SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+       |    count(*) OVER (PARTITION BY doc_id) AS nh
+       |  FROM pos),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, wmin AS fp FROM mins
+       |  WHERE nh >= 8 AND i <= nh - 7
+       |  UNION
+       |  SELECT doc_id, min(h) AS fp FROM pos GROUP BY doc_id
+       |  HAVING count(*) < 8),
+       |bsz AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  JOIN bsz ON bsz.fp = a.fp
+       |  WHERE bsz.n BETWEEN 2 AND $MaxBucket)
+       |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cand GROUP BY doc_a, doc_b
+       |HAVING count(*) >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d02_dedup_minhash" -> d02OracleSql,
     "d03_dedup_simhash" -> d03OracleSql,
+    "d05_embedding_neardup" -> d05OracleSql,
+    "d07_winnow_overlap" -> d07OracleSql,
     // exact-verified pair graph + unrolled min-label CC + cluster rollup
     "d06_dup_clusters" ->
       s"""WITH $minLabelCteSql

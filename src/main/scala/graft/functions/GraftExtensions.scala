@@ -117,6 +117,20 @@ object GraftExtensions {
         args.head,
         if (args.length > 1) intArg(args(1), "hashWin") else 16,
         if (args.length > 2) intArg(args(2), "winnowWin") else 8)),
+    ("winnow_md5_fps",
+      info("winnow_md5_fps",
+        "winnow_md5_fps(text[, hashWin[, winnowWin]]) - md5-windowed winnowing fingerprints"),
+      (args: Seq[Expression]) => WinnowMd5Fps(
+        args.head,
+        if (args.length > 1) intArg(args(1), "hashWin") else 16,
+        if (args.length > 2) intArg(args(2), "winnowWin") else 8)),
+    ("winnow_md5_stats",
+      info("winnow_md5_stats",
+        "winnow_md5_stats(text[, hashWin[, winnowWin]]) - struct(n_hashes, n_fingerprints) over md5 window hashes"),
+      (args: Seq[Expression]) => WinnowMd5Stats(
+        args.head,
+        if (args.length > 1) intArg(args(1), "hashWin") else 16,
+        if (args.length > 2) intArg(args(2), "winnowWin") else 8)),
     ("bounded_collect",
       info("bounded_collect",
         "bounded_collect(item, cap) - struct(n, members) with members capped"),

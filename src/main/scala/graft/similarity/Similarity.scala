@@ -25,6 +25,12 @@ object Similarity {
   private val NQueries = 10
   private val Planes = 8
   private val Seed = 7L
+  /** Synthetic embedding width — the oracle VALUES tables inline one
+    * weight per (plane, dim), so the SQL twin pins it; the kernels are
+    * dims-agnostic. */
+  private val Dims = 64
+  /** s16's probe-budget sweep points (shared with its oracle). */
+  private val ProbeBudgets = Seq(1, 3, 5, 9)
   private val MatryoshkaPrefix = 16
   private val MatryoshkaShortlist = 50
 
@@ -66,7 +72,9 @@ object Similarity {
 
   /** s02 — LSH-bucketed approximate NN: equi-join on rh_bucket, exact
     * cosine re-rank within bucket. Single-probe; multi-probe (flip one
-    * plane bit) is the recall knob at scale. */
+    * plane bit) is the recall knob at scale. Full SQL oracle since
+    * round 8: the hyperplane weights are inlined as VALUES data and the
+    * bucket signs reproduce bit-exactly (see [[bucketCteSql]]). */
   def s02(t: Tables): DataFrame = {
     val corpus = prepped(t)
       .withColumn("bucket", rh_bucket(col("vec"), Planes, Seed))
@@ -232,7 +240,9 @@ object Similarity {
     * `Planes` buckets at hamming distance 1 from its own (one plane bit
     * flipped) — the standard recall knob that trades probe fan-out for
     * hash tables. Probe expansion happens on the (tiny) query side only;
-    * the corpus is still bucketed once. Candidates dedup on (q, vec). */
+    * the corpus is still bucketed once. Candidates dedup on (q, vec).
+    * SQL-oracled since round 8 (the s02 VALUES-table recipe plus the
+    * same deterministic flip set). */
   def s04(t: Tables): DataFrame = {
     val corpus = prepped(t)
       .withColumn("bucket", rh_bucket(col("vec"), Planes, Seed))
@@ -461,14 +471,13 @@ object Similarity {
     * the index side — independent of how many live queries the index
     * serves, and the standard recall@k evaluation protocol. The join
     * and rollup run over q·k result rows (tiny at any corpus size).
-    * rows-only in the driver gate (the LSH side has no SQL twin), but
-    * CROSS-ENGINE-CHECKED end to end by tools/ann_recall_oracle.py
-    * (round-7): the rh_bucket kernel reimplemented in pure Python (a
-    * third implementation beyond Scala + codegen), the exact truth and
-    * in-bucket rankings recomputed in DuckDB, and the per-query recall
-    * percentages — denominators included — compared against this
-    * query's dump; OperatorsSpec additionally pins the per-query values
-    * to an independently-computed set intersection. */
+    * SQL-oracled since round 8 (the round-7 Python cross-check promoted
+    * into the driver gate: DuckDB rebuilds both legs from the inlined
+    * hyperplane VALUES table and replays the integer recall arithmetic);
+    * tools/ann_recall_oracle.py remains as a THIRD, pure-Python
+    * implementation of the kernel, and OperatorsSpec additionally pins
+    * the per-query values to an independently-computed set
+    * intersection. */
   def s09(t: Tables): DataFrame = {
     val exact = s01(t).select(col("q_id"), col("vec_id"))
     val approx = s02(t).select(col("q_id"), col("vec_id"))
@@ -865,13 +874,14 @@ object Similarity {
     * in-query (the s01 brute-force pass — the audit costs one extra
     * O(corpus·Q) scan exactly like s09, amortized over every future
     * probe-budget decision). Counts exact integers, recall in half-up
-    * percent. Rows-only in the driver gate (rh_bucket kernel);
+    * percent. SQL-oracled since round 8: DuckDB replays the ENTIRE
+    * curve from the inlined hyperplane VALUES table (buckets, probe
+    * prefixes, exact truth, integer recall arithmetic);
     * SimilarityFixtureSpec pins the full per-budget expectation, and
-    * tools/ann_recall_oracle.py (round-7) recomputes the ENTIRE curve
-    * cross-engine — Python buckets + DuckDB exact truth + the same
-    * integer recall arithmetic — against this query's dump. */
+    * tools/ann_recall_oracle.py recomputes the curve a THIRD way
+    * (pure-Python kernel) as belt-and-braces. */
   def s16(t: Tables): DataFrame = {
-    val Budgets = Seq(1, 3, 5, 9)
+    val Budgets = ProbeBudgets
     val corpus = prepped(t)
       .withColumn("bucket", rh_bucket(col("vec"), Planes, Seed))
     val queries10 = corpus.filter(col("vec_id") < NQueries)
@@ -942,9 +952,125 @@ object Similarity {
     "s04_multiprobe_ann" -> s04,
     "s05_dim_stats" -> s05)
 
+  /** Shared oracle CTE prefix: the prepped corpus (`c`), its
+    * rh_bucket(Planes, Seed) twin (`b` = vec_id/vec/norm/bucket), and
+    * the bucketed query rows (`q`) — the hyperplane weights inlined as a
+    * VALUES table generated from the SAME Scala weight function the
+    * kernel runs (RhPlanes; see its doc for the bit-exactness chain that
+    * makes the bucket SIGN — not just a rounded value — reproducible).
+    * This is what graduates s02/s04/s09/s16 from rows-only to
+    * SQL-oracled (round-7 verdict task 3). */
+  private def bucketCteSql: String = {
+    val planeVals =
+      graft.functions.RhPlanes.planeValuesSql(Planes, Seed, Dims)
+    s"""planes(p, w) AS (VALUES $planeVals),
+       |c AS (SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |        sqrt(list_dot_product(embedding::DOUBLE[],
+       |                              embedding::DOUBLE[])) AS norm
+       |      FROM embeddings
+       |      WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(vec, w) > 0
+       |    THEN 1 << p ELSE 0 END) AS INT) AS bucket
+       |  FROM c, planes GROUP BY vec_id),
+       |b AS (SELECT c.*, bk.bucket FROM c JOIN bk USING (vec_id)),
+       |q AS (SELECT vec_id AS q_id, vec AS q_vec, norm AS q_norm, bucket
+       |      FROM b WHERE vec_id < $NQueries)""".stripMargin
+  }
+
+  /** The exact brute-force top-k ranking as a CTE body (s01's spelling
+    * over the `c`/`q` relations of [[bucketCteSql]]) — reused as ground
+    * truth by the s09/s16 oracles. */
+  private def exactTopKCteSql(name: String): String =
+    s"""$name AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, v.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(list_dot_product(v.vec, q.q_vec)
+       |                 / (v.norm * q.q_norm), 4) DESC, v.vec_id) AS rn
+       |  FROM c v, q) WHERE rn <= $TopK)""".stripMargin
+
   /** s01 has an exact SQL equivalent (DuckDB list_cosine_similarity);
-    * s02's bucket function is a custom kernel → rows-only. */
+    * since round 8 the LSH-bucketed paths (s02/s04/s09/s16) carry full
+    * oracles too — the hyperplane weights are inlined as VALUES data
+    * (see [[bucketCteSql]]). Rows-only residue: the codebook-trained
+    * paths (s03/s06/s08/s14) and the driver-greedy re-rank (s15). */
   val oracles: Map[String, String] = Map(
+    // the LSH equi-join + in-bucket exact re-rank replayed in SQL: same
+    // buckets (bit-exact hyperplane signs), same 4dp cosine, same
+    // vec_id tie-break
+    "s02_lsh_ann" ->
+      s"""WITH $bucketCteSql
+         |SELECT q_id, vec_id, sim, rn FROM (
+         |  SELECT q.q_id, v.vec_id,
+         |    round(list_dot_product(v.vec, q.q_vec)
+         |      / (v.norm * q.q_norm), 4) AS sim,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_dot_product(v.vec, q.q_vec)
+         |                 / (v.norm * q.q_norm), 4) DESC, v.vec_id) AS rn
+         |  FROM b v JOIN q ON v.bucket = q.bucket)
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin,
+    // multi-probe: the query side explodes to self + 8 one-bit-flip
+    // buckets (the same deterministic flip set as the Spark plan),
+    // candidates dedup on (q, vec, sim) before the rank
+    "s04_multiprobe_ann" -> {
+      val flips = (-1 until Planes)
+        .map { case -1 => 0; case i => 1 << i }.mkString(", ")
+      s"""WITH $bucketCteSql,
+         |probe AS (SELECT q_id, q_vec, q_norm, xor(bucket, f) AS bucket
+         |          FROM q, UNNEST([$flips]) AS t(f)),
+         |cand AS (SELECT DISTINCT p.q_id, v.vec_id,
+         |    round(list_dot_product(v.vec, p.q_vec)
+         |      / (v.norm * p.q_norm), 4) AS sim
+         |  FROM b v JOIN probe p ON v.bucket = p.bucket)
+         |SELECT q_id, vec_id, sim, rn FROM (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rn
+         |  FROM cand)
+         |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin
+    },
+    // the recall audit composed end-to-end: exact truth (s01's spelling)
+    // LEFT JOIN the in-bucket ranking (s02's spelling), integer half-up
+    // percent — the round-7 Python cross-check promoted to the gate
+    "s09_recall_eval" ->
+      s"""WITH $bucketCteSql,
+         |${exactTopKCteSql("exact")},
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, v.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_dot_product(v.vec, q.q_vec)
+         |                 / (v.norm * q.q_norm), 4) DESC, v.vec_id) AS rn
+         |  FROM b v JOIN q ON v.bucket = q.bucket) WHERE rn <= $TopK)
+         |SELECT e.q_id, count(*) AS k,
+         |  CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         |  (200 * count(a.vec_id) + count(*)) // (2 * count(*))
+         |    AS recall_x100
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+    // the whole probe-budget curve: ord-indexed probe sequence (self,
+    // flip bit 0, flip bit 1, …), candidate sets per budget as strict
+    // prefixes, exact truth joined for hits, integer recall arithmetic
+    "s16_probe_curve" ->
+      s"""WITH $bucketCteSql,
+         |probes AS (SELECT q_id, ord,
+         |    xor(bucket, CASE WHEN ord = 0 THEN 0
+         |                     ELSE 1 << (ord - 1) END) AS bucket
+         |  FROM q, UNNEST(range(0, ${Planes + 1})) AS t(ord)),
+         |${exactTopKCteSql("truth")},
+         |budgets(np) AS (VALUES ${ProbeBudgets.map(p => s"($p)").mkString(", ")}),
+         |cand AS (SELECT DISTINCT bu.np, p.q_id, v.vec_id
+         |  FROM budgets bu CROSS JOIN probes p
+         |  JOIN b v ON v.bucket = p.bucket
+         |  WHERE p.ord < bu.np)
+         |SELECT CAST(np AS BIGINT) AS n_probes,
+         |  count(*) AS total_candidates,
+         |  CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+         |  (200 * count(t.vec_id) + ${NQueries * TopK})
+         |    // ${2 * NQueries * TopK} AS recall_pct
+         |FROM cand c LEFT JOIN truth t
+         |  ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+         |GROUP BY np ORDER BY n_probes""".stripMargin,
     // the full two-stage pipeline re-spelled: prefix-16 cosine shortlist
     // (same 4dp rounding, same -2 prefix-zero sentinel, same vec_id
     // tie-break) then exact re-rank — composition equality, not just

@@ -81,6 +81,59 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5WindowHashes equals the per-window md5 spelling") {
+    // the SQL-twin contract: h_i = first 12 hex chars of
+    // md5(bytes[i..i+w)) as a non-negative 48-bit long, with the
+    // whole-text fallback below the hash window
+    def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val cases = Seq("", "a", "short", "do not copy this winnowing fixture",
+      "ab" * 40) ++ (1 to 100).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(80)).mkString)
+    for (s <- cases; w <- Seq(16, 4, 2)) {
+      val expected =
+        if (s.length < w) Seq(java.lang.Long.parseLong(md5Hex(s).take(12), 16))
+        else (0 to s.length - w).map(i =>
+          java.lang.Long.parseLong(md5Hex(s.substring(i, i + w)).take(12), 16))
+      val got = HashImpls.md5WindowHashes(UTF8String.fromString(s), w).toSeq
+      assert(got == expected, s"w=$w s='$s'")
+      assert(got.forall(_ >= 0L), "48-bit hashes are non-negative")
+    }
+  }
+
+  test("winnowMd5Fps equals the per-window array-min spelling") {
+    (1 to 200).foreach { _ =>
+      val text = UTF8String.fromString(
+        rnd.alphanumeric.take(rnd.nextInt(200)).mkString + "x") // non-empty
+      val (hw, ww) = (1 + rnd.nextInt(20), 1 + rnd.nextInt(12))
+      val h = HashImpls.md5WindowHashes(text, hw)
+      val expected =
+        (if (h.length >= ww) h.sliding(ww).map(_.min).toSeq else Seq(h.min))
+          .distinct.sorted
+      val got = HashImpls.winnowMd5Fps(text, hw, ww).toSeq
+      assert(got == expected, s"hw=$hw ww=$ww len=${h.length}")
+    }
+  }
+
+  test("winnowMd5Stats equals (md5WindowHashes.length, winnowMd5Fps.length)") {
+    val cases = Seq("", "a", "winnow", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "ab" * 50) ++ (1 to 200).map { _ =>
+      val len = rnd.nextInt(120)
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    for (s <- cases; (hw, ww) <- Seq((16, 8), (4, 3), (2, 5))) {
+      val u = UTF8String.fromString(s)
+      val st = HashImpls.winnowMd5Stats(u, hw, ww)
+      assert(st.getLong(0) == HashImpls.md5WindowHashes(u, hw).length.toLong,
+        s"n_hashes mismatch on '$s' ($hw,$ww)")
+      assert(st.getLong(1) == HashImpls.winnowMd5Fps(u, hw, ww).length.toLong,
+        s"n_fingerprints mismatch on '$s' ($hw,$ww)")
+    }
+  }
+
   test("ngramHashes jaccard equals string-shingle jaccard") {
     (1 to 200).foreach { _ =>
       val a = randTokens()
