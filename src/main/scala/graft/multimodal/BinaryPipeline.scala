@@ -162,6 +162,13 @@ object BinaryPipeline {
       while (off + 8 <= p.length && (rate < 0 || samples == null)) {
         val id = new String(p, off, 4, "US-ASCII")
         val len = i32(p, off + 4)
+        // Validate the 32-bit chunk len BEFORE trusting it (round-7
+        // advice): a corrupt/truncated payload with a negative or
+        // oversized len must fail as a clean codec error, not an
+        // ArrayIndexOutOfBounds or a backward/non-terminating walk.
+        require(len >= 0 && off + 8 + len <= p.length,
+          s"decodeWav: chunk '$id' at $off declares len $len past " +
+            s"payload end ${p.length}")
         id match {
           case "fmt " =>
             require(i16(p, off + 8) == 1, "decodeWav: only PCM supported")
@@ -201,6 +208,10 @@ object BinaryPipeline {
         while (off + 8 <= p.length) {
           val id = new String(p, off, 4, "US-ASCII")
           val len = i32(p, off + 4)
+          // same chunk-len validation as decodeWav (round-7 advice)
+          require(len >= 0 && off + 8 + len <= p.length,
+            s"bodyOffset: chunk '$id' at $off declares len $len past " +
+              s"payload end ${p.length}")
           if (id == "data") return off + 8
           off += 8 + len + (len & 1)
         }

@@ -284,9 +284,21 @@ object GraphOps {
       .unionByName(und.select(col("src"), col("src").as("dst")).distinct())
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("l", col("node"))
-    for (_ <- 1 to LpaIters) {
+    // Round 1 computed EXACTLY as a plain MIN (round-7 verdict task 6):
+    // with identity labels (label(src) = src) every vote over a DISTINCT
+    // (src, dst) edge set has count 1, so the (count desc, label asc)
+    // mode argmax degenerates to min over (neighbors ∪ self) — no join
+    // (labels ≡ src) and a map-side-combinable single aggregate, where
+    // the full vote pipeline's round 1 is its WORST round at scale:
+    // near-distinct labels mean O(edges) (dst, label) vote groups that
+    // map-side combining cannot shrink (the measured sf10 15.7× step's
+    // dominant term). OperatorsSpec's driver-side expectation runs mode
+    // voting from round 1, pinning the equality; the DuckDB oracle
+    // (mode from round 1) gates it independently.
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("l"))
+      .select(col("dst").as("node"), col("l"))
+    for (_ <- 2 to LpaIters) {
       labels = edges.join(labels.hint("SHUFFLE_HASH"),
           edges("src") === labels("node"))
         .groupBy(col("dst"), col("l"))

@@ -890,9 +890,22 @@ object StreamQueries {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    // Bounded waits (round-7 advice): AvailableNow over a finite replay
+    // drains in seconds; if either run wedges (state-store/checkpoint
+    // incompatibility), fail the QUERY loudly instead of hanging the
+    // driver's grading run on an unbounded awaitTermination.
+    val RunTimeoutMs = 10 * 60 * 1000L
+    def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
+        what: String): Unit =
+      if (!q.awaitTermination(RunTimeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"st15: $what did not terminate within ${RunTimeoutMs / 1000}s " +
+            "— checkpoint recovery is wedged, refusing to grade")
+      }
     withStatePartitions(spark, 8) {
       val run1Died =
-        try { start().awaitTermination(); false }
+        try { awaitBounded(start(), "crash run"); false }
         catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException
             if e.getMessage.contains("injected crash") => true
@@ -901,7 +914,7 @@ object StreamQueries {
         throw new IllegalStateException(
           "st15: first run finished without hitting the injected crash — " +
             "the recovery path was never exercised, refusing to grade")
-      start().awaitTermination() // recovery run: must drain cleanly
+      awaitBounded(start(), "recovery run") // must drain cleanly
     }
     spark.read.parquet(s"$outDir/batch_*")
       .groupBy(col("user_id"))

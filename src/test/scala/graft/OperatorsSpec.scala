@@ -707,13 +707,21 @@ class OperatorsSpec extends AnyFunSuite {
     val adj = und.groupBy(_._1).view
       .mapValues(es => es.map(_._2) :+ es.head._1).toMap
     var l = adj.keys.map(n => n -> n).toMap
-    for (_ <- 1 to 4) {
+    for (round <- 1 to 4) {
       l = l.map { case (n, _) =>
         val votes = adj(n).map(l).groupBy(identity).view
           .mapValues(_.length).toSeq
         // argmax by (count desc, label asc)
         n -> votes.minBy { case (lbl, c) => (-c, lbl) }._1
       }
+      // round-1 degeneracy the engine exploits (round-8 rewrite): with
+      // identity labels every vote is distinct, so the mode argmax IS
+      // plain min over (neighbors ∪ self)
+      if (round == 1)
+        l.foreach { case (n, lbl) =>
+          assert(lbl == (adj(n) :+ n).min,
+            s"round-1 mode != min at node $n")
+        }
     }
     val expected = l.values.groupBy(identity).map { case (c, vs) =>
       c -> vs.size.toLong
