@@ -64,6 +64,94 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[Exception](MediaCodec.decodeWav("RIFFxxxxJUNK".getBytes ++
       new Array[Byte](40)))
     intercept[Exception](MediaCodec.sniff(Array[Byte](1, 2, 3)))
+    // round-8 (round-7 advice): a chunk len past the payload end must be
+    // a clean codec error, not an ArrayIndexOutOfBounds or endless walk
+    val wav = MediaCodec.encodeWav(8000, Array[Short](1, 2, 3))
+    wav(40) = 127 // data chunk len = huge
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(wav))
+    assert(e.getMessage.contains("declares len"))
+    val e2 = intercept[IllegalArgumentException](MediaCodec.bodyOffset(wav))
+    assert(e2.getMessage.contains("declares len"))
+  }
+
+  test("PPM round-trip: encode → decode exact pixels; header comments " +
+    "and the single-whitespace maxval terminator are honored") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val ppm = MediaCodec.encodePpm(w, h, rgb)
+      assert(ppm(0) == 'P' && ppm(1) == '6')
+      assert(MediaCodec.sniff(ppm) == "ppm")
+      val (dw, dh, back) = MediaCodec.decodePpm(ppm)
+      assert(dw == w && dh == h)
+      assert(back.toSeq == rgb.toSeq, s"pixel round-trip failed at ${w}x$h")
+      // bodyOffset = first pixel byte (the ASCII header's real length)
+      assert(MediaCodec.bodyOffset(ppm) == ppm.length - 3 * w * h)
+    }
+    // a real P6 reader skips #-comments in the header
+    val rgb = Array[Byte](1, 2, 3, 4, 5, 6)
+    val commented =
+      "P6\n# made by graft\n2 1\n# maxval next\n255\n".getBytes("US-ASCII") ++ rgb
+    val (cw, ch, cb) = MediaCodec.decodePpm(commented)
+    assert(cw == 2 && ch == 1 && cb.toSeq == rgb.toSeq)
+    // truncated pixel data fails loudly
+    val ppm = MediaCodec.encodePpm(2, 2, Array.fill(12)(7.toByte))
+    intercept[IllegalArgumentException](
+      MediaCodec.decodePpm(ppm.dropRight(1)))
+  }
+
+  test("the dispatch seam: the same pixels through BMP and PPM produce " +
+    "identical decoded images and identical features") {
+    // BGR-bottom-up-padded vs RGB-top-down-unpadded: if either decoder
+    // mishandles its layout, the two containers disagree here
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 10) {
+      val w = 1 + rnd.nextInt(30)
+      val h = 1 + rnd.nextInt(20)
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val bmp = MediaCodec.encodeBmp(w, h, rgb)
+      val ppm = MediaCodec.encodePpm(w, h, rgb)
+      assert(MediaCodec.decodeImage(bmp)._3.toSeq ==
+        MediaCodec.decodeImage(ppm)._3.toSeq)
+      val (mb, wb, hb, fb) = MediaCodec.features(bmp)
+      val (mp, wp, hp, fp) = MediaCodec.features(ppm)
+      assert(mb == mp && wb == wp && hb == hp)
+      assert(fb.toSeq == fp.toSeq,
+        "features must be bit-identical across containers")
+    }
+  }
+
+  test("PPM flows through resize (stays PPM), frame sampling, and pHash " +
+    "(golden over content bytes)") {
+    import spark.implicits._
+    // deterministic 8x8 image; PPM content bytes ARE the rgb array, so
+    // the pHash expectation is computable from the input independently
+    // of the codec internals
+    val rgb = Array.tabulate(3 * 8 * 8)(i =>
+      (graft.functions.HashImpls.mix64(i.toLong) & 0xff).toByte)
+    val ppm = MediaCodec.encodePpm(8, 8, rgb)
+    val media = Seq(
+      BinaryPipeline.MediaRow(0L, "image", ppm, 0L)).toDS()
+    // resize: container preserved, dims reduced, pixels decodable
+    val rz = BinaryPipeline.resize(media, 4).collect().head
+    assert(MediaCodec.sniff(rz.payload) == "ppm",
+      "resize must re-encode a PPM as a PPM")
+    assert(rz.width == 4 && rz.height == 4)
+    val (rw, rh, rback) = MediaCodec.decodePpm(rz.payload)
+    assert(rw == 4 && rh == 4 && rback.length == 48)
+    // frame sampling: scanlines of the decoded image
+    val frames = BinaryPipeline.sampleFrames(media, 2).collect()
+    assert(frames.length == 4) // rows 0, 2, 4, 6 of 8
+    assert(frames.map(_.getAs[Array[Byte]](3)).forall(_.length == 24))
+    // pHash golden: mean-threshold over the first 64 CONTENT bytes
+    val body = rgb.take(64)
+    val mean = body.map(_ & 0xff).map(_.toLong).sum / 64
+    var expected = 0L
+    for (j <- 0 until 64) if ((body(j) & 0xff) > mean) expected |= (1L << j)
+    val got = BinaryPipeline.phash(media).collect().head.getLong(2)
+    assert(got == expected, f"pHash mismatch: got $got%016x want $expected%016x")
   }
 
   test("image features are computed from the decoded pixels (golden " +

@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Per-round verification sweep: the driver-style DuckDB oracle compare
+# PLUS the two Python side-gates (round-7 verdict task 2: run-once tools
+# rot — this script makes them part of every round's protocol and fails
+# loudly if any gate breaks).
+#
+# Usage: tools/check_all.sh [sfDir] [verifyOutDir]
+#   sfDir        default /root/testdata/sf0.01 (the driver-graded SF)
+#   verifyOutDir default /tmp/graft_check_all — populated by running
+#                graft.Verify when it does not already hold dumps, so the
+#                script works standalone or on top of an existing run
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"
+OUT_DIR="${2:-/tmp/graft_check_all}"
+
+if [ ! -f "$OUT_DIR/oracle_sql.json" ]; then
+  echo "== graft.Verify $SF_DIR -> $OUT_DIR"
+  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+fi
+
+echo "== gate 1/3: driver-style DuckDB oracle compare"
+python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR"
+
+echo "== gate 2/3: ANN recall cross-engine recomputation (pure-Python kernel)"
+python3 tools/ann_recall_oracle.py "$SF_DIR" "$OUT_DIR"
+
+echo "== gate 3/3: g03 temp-table oracle (MATERIALIZED-stage recipe)"
+python3 tools/g03_oracle_tt.py "$SF_DIR" "$OUT_DIR"
+
+echo "check_all: ALL GATES GREEN ($SF_DIR)"
