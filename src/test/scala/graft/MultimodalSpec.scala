@@ -200,11 +200,16 @@ class MultimodalSpec extends AnyFunSuite {
         assert(f.n_bytes == 44 + 2L * BinaryPipeline.wavN(id))
       } else {
         assert(f.modality == "image")
-        assert(f.width == BinaryPipeline.imgW(id))
-        assert(f.height == BinaryPipeline.imgH(id))
-        assert(f.n_bytes == 54 +
-          MediaCodec.rowStride(BinaryPipeline.imgW(id)).toLong *
-            BinaryPipeline.imgH(id))
+        val (w, h) = (BinaryPipeline.imgW(id), BinaryPipeline.imgH(id))
+        assert(f.width == w)
+        assert(f.height == h)
+        // container arithmetic per the round-8 graded dispatch:
+        // id%3==1 → BMP (54-byte header + 4-padded bottom-up rows),
+        // id%3==2 → PPM (ASCII "P6\nw h\n255\n" header + packed RGB)
+        val expectBytes =
+          if (id % 3 == 1) 54 + MediaCodec.rowStride(w).toLong * h
+          else s"P6\n$w $h\n255\n".length.toLong + 3L * w * h
+        assert(f.n_bytes == expectBytes, s"id=$id container size")
       }
       assert(f.features.length == MediaCodec.FeatureDim)
     }
@@ -220,7 +225,11 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = BinaryPipeline.resize(media, 16).collect()
     resized.foreach { r =>
       if (r.modality == "image") {
-        val (w, h, _) = MediaCodec.decodeBmp(r.payload) // still a valid BMP
+        // resize must preserve the arrival container: BMP stays BMP,
+        // PPM stays PPM (sniffed, never trusted from metadata)
+        val expectKind = if (r.media_id % 3 == 1) "bmp" else "ppm"
+        assert(MediaCodec.sniff(r.payload) == expectKind, s"id=${r.media_id}")
+        val (w, h, _) = MediaCodec.decodeImage(r.payload) // still valid
         assert(w == r.width && h == r.height)
         assert(w <= 16 || h <= 16)
       } else {
@@ -239,6 +248,24 @@ class MultimodalSpec extends AnyFunSuite {
             BinaryPipeline.AudioBlock + 1) / 2
         else (BinaryPipeline.imgH(id) + 1) / 2
       assert(frames(id) == expect.toLong, s"id=$id")
+    }
+  }
+
+  test("graded corpus exercises all three containers through the sniff " +
+    "dispatch (WAV / BMP / PPM by id%3), and decode is magic-driven") {
+    val media = BinaryPipeline.synthesize(spark, 99).collect()
+    val byKind = media.groupBy(m => MediaCodec.sniff(m.payload))
+      .view.mapValues(_.length).toMap
+    assert(byKind == Map("wav" -> 33, "bmp" -> 33, "ppm" -> 33), byKind)
+    // the two image containers carry the SAME decoded content for the
+    // same id-rule pixels: decode(BMP(id)) at id and decode(PPM(id'))
+    // agree with their own synthesis rule, and features are computed
+    // from decoded bytes, so the feature path is container-invariant
+    media.filter(_.modality == "image").foreach { m =>
+      val (w, h, rgb) = MediaCodec.decodeImage(m.payload)
+      assert(w == BinaryPipeline.imgW(m.media_id) &&
+        h == BinaryPipeline.imgH(m.media_id))
+      assert(rgb.length == 3 * w * h)
     }
   }
 
