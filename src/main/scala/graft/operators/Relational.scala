@@ -436,17 +436,40 @@ object Relational {
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
       .orderBy("grp")
 
-  /** q43 — stratified sampling (sampleBy with per-stratum fractions,
-    * seeded): the corpus down-sampling primitive of training-data
-    * pipelines (e.g. re-balancing languages/sources). Deterministic given
-    * the seed; rows-only. */
+  /** Per-stratum keep fractions for q43 (corpus re-balancing policy). */
+  val Q43Fractions: Seq[(String, Double)] = Seq(
+    "click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
+    "signup" -> 1.0, "error" -> 0.25)
+
+  /** Integer gate thresholds: keep a row iff its 48-bit md5 hash is below
+    * floor(fraction * 2^48) — the whole decision is BIGINT arithmetic both
+    * engines replay bit-exactly (the d02 discipline). */
+  val Q43Thresholds: Seq[(String, Long)] =
+    Q43Fractions.map { case (k, f) => k -> (f * (1L << 48)).toLong }
+
+  /** q43 — stratified sampling (per-stratum fractions): the corpus
+    * down-sampling primitive of training-data pipelines (e.g. re-balancing
+    * languages/sources). Round-8 rebase from `stat.sampleBy` (engine-
+    * private per-partition RNG) onto hash-gated Bernoulli: a row survives
+    * iff the first 12 md5 hex chars of "q43:<event_id>" — a uniform 48-bit
+    * integer — fall below floor(fraction(event_type) * 2^48). Hash gating
+    * is what a 100 TB pipeline wants anyway: membership is a pure function
+    * of the row KEY, so the sample is reproducible across runs, engines,
+    * partitionings and task retries (sampleBy's RNG stream depends on
+    * partition layout), and downstream joins against the sample stay
+    * consistent between pipeline stages. The id_checksum column pins exact
+    * MEMBERSHIP (not just per-stratum counts) against the DuckDB oracle. */
   def q43(t: Tables): DataFrame = {
-    val fractions = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
-      "signup" -> 1.0, "error" -> 0.25)
+    val thr = Q43Thresholds.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("event_type") === k, lit(v)).otherwise(acc)
+    }
+    val h = conv(substring(md5(concat(lit("q43:"),
+      col("event_id").cast("string"))), 1, 12), 16, 10).cast("long")
     t.events
-      .stat.sampleBy("event_type", fractions, 42L)
+      .where(h < thr)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_sampled"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("event_id")).as("id_checksum"))
       .orderBy("event_type")
   }
 
@@ -477,6 +500,22 @@ object Relational {
     "q31_sessionize" -> q31)
 
   val oracles: Map[String, String] = Map(
+    "q43_stratified_sample" -> {
+      // the CASE thresholds are generated from the SAME Q43Thresholds the
+      // Spark plan gates on — one source of truth for the sampling policy
+      val cases = Q43Thresholds
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH s AS (
+         |  SELECT event_type, event_id,
+         |    CAST('0x' || substr(md5('q43:' || CAST(event_id AS VARCHAR)),
+         |         1, 12) AS BIGINT) AS h,
+         |    CASE event_type $cases ELSE 0 END AS thr
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_sampled,
+         | CAST(sum(event_id) AS BIGINT) AS id_checksum
+         |FROM s WHERE h < thr
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "q40_correlated_subquery" ->
       """SELECT n_name AS nation, count(*) AS n_rich,
         | round(max(c_acctbal), 2) AS max_bal

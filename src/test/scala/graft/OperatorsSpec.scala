@@ -429,6 +429,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sampled("view") < totals("view") / 2)      // fraction 0.1
   }
 
+  test("q43 hash gate matches an independent MessageDigest replay") {
+    // membership must be a pure function of (event_id, event_type): replay
+    // the 48-bit md5 gate row by row with java.security against the
+    // DataFrame result — counts AND id-checksums per stratum must agree
+    val thr = operators.Relational.Q43Thresholds.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = t.events.select("event_id", "event_type").collect()
+      .flatMap { r =>
+        val (id, tpe) = (r.getLong(0), r.getString(1))
+        val hex = md.digest(s"q43:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        if (java.lang.Long.parseLong(hex, 16) < thr.getOrElse(tpe, 0L))
+          Some(tpe -> id) else None
+      }
+      .groupBy(_._1)
+      .map { case (tpe, rows) => tpe -> (rows.length.toLong, rows.map(_._2).sum) }
+    val got = operators.Relational.q43(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("d02 minhash candidates verified by d04 exact jaccard") {
     val est = dedup.Dedup.d02(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

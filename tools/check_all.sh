@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # Per-round verification sweep: the driver-style DuckDB oracle compare
-# PLUS the two Python side-gates (round-7 verdict task 2: run-once tools
+# PLUS the Python side-gates (round-7 verdict task 2: run-once tools
 # rot — this script makes them part of every round's protocol and fails
-# loudly if any gate breaks).
+# loudly if any gate breaks): ANN recall, g03 triangles, and (round 8)
+# the pure-Python decoded-media oracle for m01/m04/m05.
 #
 # Usage: tools/check_all.sh [sfDir] [verifyOutDir]
 #   sfDir        default /root/testdata/sf0.01 (the driver-graded SF)
@@ -19,13 +20,16 @@ if [ ! -f "$OUT_DIR/oracle_sql.json" ]; then
   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
 fi
 
-echo "== gate 1/3: driver-style DuckDB oracle compare"
+echo "== gate 1/4: driver-style DuckDB oracle compare"
 python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 2/3: ANN recall cross-engine recomputation (pure-Python kernel)"
+echo "== gate 2/4: ANN recall cross-engine recomputation (pure-Python kernel)"
 python3 tools/ann_recall_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 3/3: g03 temp-table oracle (MATERIALIZED-stage recipe)"
+echo "== gate 3/4: g03 temp-table oracle (MATERIALIZED-stage recipe)"
 python3 tools/g03_oracle_tt.py "$SF_DIR" "$OUT_DIR"
+
+echo "== gate 4/4: decoded-media third-engine oracle (pure-Python codec)"
+python3 tools/media_oracle.py "$SF_DIR" "$OUT_DIR"
 
 echo "check_all: ALL GATES GREEN ($SF_DIR)"

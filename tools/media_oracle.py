@@ -1,0 +1,234 @@
+#!/usr/bin/env python3
+"""Third-engine oracle for the decoded-media rows-only queries
+(m01_media_features, m04_phash_neardup, m05_cross_modal_blast).
+
+The graded Spark path runs: synthesize content from splitmix64 ->
+encode a REAL container (RIFF/WAVE / BMP / P6 PPM by id%3) -> sniff by
+magic bytes -> decode -> feature/pHash math. This script rebuilds the
+same results in pure Python FROM THE SYNTHESIS RULES AND THE CONTAINER
+LAYOUT SPECS (BinaryPipeline.scala:373-414 constants; BMP bottom-up
+padded BGR, PPM top-down RGB after the ASCII header, WAV s16le) with no
+JVM and no Spark, then compares against the graft.Verify dumps. m04/m05
+are integer arithmetic end to end -> exact equality required; m01's
+avg_f0 is a rounded mean of float32 features -> compared to 2e-4 (the
+round-4 quantum), counts/bytes/max_width exact.
+
+Equality proves, from outside the JVM, that the encode -> sniff ->
+decode round trip is byte-faithful (any header/stride/mirror/padding
+bug would shift content bytes and break the pHash pair set or the
+feature sums) — the same discipline tools/ann_recall_oracle.py applies
+to the LSH paths.
+
+Usage: tools/media_oracle.py [sfDir] [verifyOutDir]   (sfDir unused —
+the media corpus is a pure function of range(0, 2000) — accepted so
+check_all.sh can invoke every gate uniformly.)
+"""
+import sys
+import struct
+
+import duckdb
+
+N_MEDIA = 2000
+WAV_RATE = 8000
+AUDIO_BLOCK = 256
+MASK = (1 << 64) - 1
+
+
+def mix64(x):
+    """splitmix64 finalizer — HashExprs.mix64 bit-for-bit."""
+    x = (x + 0x9E3779B97F4A7C15) & MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & MASK
+    return x ^ (x >> 31)
+
+
+def img_dims(i):
+    return i % 40 + 8, i % 30 + 8
+
+
+def wav_n(i):
+    return i % 1024 + 256
+
+
+def rgb_bytes(i):
+    w, h = img_dims(i)
+    out = bytearray(3 * w * h)
+    for p in range(w * h):
+        hsh = mix64(((i << 20) ^ p) & MASK)
+        out[3 * p] = hsh & 0xFF
+        out[3 * p + 1] = (hsh >> 8) & 0xFF
+        out[3 * p + 2] = (hsh >> 16) & 0xFF
+    return w, h, bytes(out)
+
+
+def wav_samples(i):
+    n = wav_n(i)
+    out = []
+    for p in range(n):
+        v = mix64(((i << 20) ^ p) & MASK) & 0xFFFF
+        out.append(v - 65536 if v >= 32768 else v)  # s16: sign-extend
+    return out
+
+
+def row_stride(w):
+    return (3 * w + 3) // 4 * 4
+
+
+def body_bytes(i):
+    """Content bytes as laid out INSIDE the container (what bodyOffset
+    points at): WAV s16le / BMP bottom-up padded BGR / PPM top-down RGB."""
+    if i % 3 == 0:
+        s = wav_samples(i)
+        return b"".join(struct.pack("<h", v) for v in s)
+    w, h, rgb = rgb_bytes(i)
+    if i % 3 == 1:  # BMP
+        stride = row_stride(w)
+        body = bytearray(stride * h)
+        for y in range(h):
+            dst = (h - 1 - y) * stride
+            for x in range(w):
+                s = (y * w + x) * 3
+                body[dst + 3 * x] = rgb[s + 2]
+                body[dst + 3 * x + 1] = rgb[s + 1]
+                body[dst + 3 * x + 2] = rgb[s]
+        return bytes(body)
+    return rgb  # PPM: raw top-down RGB after the ASCII header
+
+
+def payload_len(i):
+    if i % 3 == 0:
+        return 44 + 2 * wav_n(i)
+    w, h = img_dims(i)
+    if i % 3 == 1:
+        return 54 + row_stride(w) * h
+    return len(b"P6\n%d %d\n255\n" % (w, h)) + 3 * w * h
+
+
+def f32(x):
+    return struct.unpack("<f", struct.pack("<f", x))[0]
+
+
+def m01_expected():
+    """modality -> (n_media, total_bytes, max_width, [f0 float32 ...])."""
+    acc = {}
+    for i in range(N_MEDIA):
+        if i % 3 == 0:
+            s = wav_samples(i)
+            mod, width = "audio", len(s)
+            f0 = f32(sum(float(v) for v in s) / len(s) / 32768.0)
+        else:
+            w, h, rgb = rgb_bytes(i)
+            mod, width = "image", w
+            f0 = f32(sum(rgb[3 * p] for p in range(w * h)) / (w * h) / 255.0)
+        n, tb, mw, f0s = acc.get(mod, (0, 0, 0, []))
+        acc[mod] = (n + 1, tb + payload_len(i), max(mw, width), f0s + [f0])
+    return acc
+
+
+def neardup_body(i):
+    """Body bytes AFTER the plant rule: id%10==7 && id>=12 carries
+    id-12's payload with body[5] and body[40] swapped."""
+    if i % 10 == 7 and i >= 12:
+        b = bytearray(body_bytes(i - 12))
+        b[5], b[40] = b[40], b[5]
+        return bytes(b)
+    return body_bytes(i)
+
+
+def phash(body):
+    head = body[:64]
+    mean = sum(head) // max(1, len(head))
+    ph = 0
+    for j, v in enumerate(head):
+        if v > mean:
+            ph |= 1 << j
+    return ph
+
+
+def phash_pairs():
+    """Band-bucketed (4 x 16-bit) candidates, exact Hamming <= 6."""
+    by_bucket = {}
+    phs = {}
+    for i in range(N_MEDIA):
+        mod = "audio" if i % 3 == 0 else "image"
+        ph = phash(neardup_body(i))
+        phs[i] = (mod, ph)
+        for b in range(4):
+            by_bucket.setdefault(
+                (mod, b, (ph >> (16 * b)) & 0xFFFF), []).append(i)
+    pairs = set()
+    for (mod, _, _), ids in by_bucket.items():
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = min(ids[ai], ids[bi]), max(ids[ai], ids[bi])
+                if bin(phs[a][1] ^ phs[b][1]).count("1") <= 6:
+                    pairs.add((mod, a, b))
+    return pairs, phs
+
+
+def main():
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_check_all"
+    con = duckdb.connect()
+    failures = []
+
+    def got(name):
+        rows = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet' ORDER BY modality"
+        ).fetchall()
+        return {r[0]: r[1:] for r in rows}
+
+    # ---- m01: counts/bytes/max_width exact, avg_f0 to the round-4 quantum
+    exp = m01_expected()
+    dump = got("m01_media_features")
+    for mod, (n, tb, mw, f0s) in sorted(exp.items()):
+        g = dump.get(mod)
+        avg = round(sum(f0s) / len(f0s), 4)
+        if g is None:
+            failures.append(f"m01: modality {mod} missing from dump")
+        elif (g[0], g[1], g[2]) != (n, tb, mw):
+            failures.append(
+                f"m01 {mod}: (n,bytes,maxw) dump={g[:3]} != python={(n, tb, mw)}")
+        elif abs(float(g[3]) - avg) > 2e-4:
+            failures.append(f"m01 {mod}: avg_f0 dump={g[3]} != python={avg}")
+    print(f"m01: {len(exp)} modality rows vs python synth+codec: "
+          f"{'OK' if not failures else 'MISMATCH'}")
+
+    # ---- m04/m05: integer end-to-end -> exact
+    pairs, phs = phash_pairs()
+    m04 = {}
+    for mod, a, b in pairs:
+        np_, dup, hs = m04.get(mod, (0, set(), 0))
+        m04[mod] = (np_ + 1, dup | {b},
+                    hs + bin(phs[a][1] ^ phs[b][1]).count("1"))
+    pre = len(failures)
+    dump = got("m04_phash_neardup")
+    for mod, (np_, dup, hs) in sorted(m04.items()):
+        g = dump.get(mod)
+        if g is None or (g[0], g[1], g[2]) != (np_, len(dup), hs):
+            failures.append(
+                f"m04 {mod}: dump={g} != python={(np_, len(dup), hs)}")
+    print(f"m04: {len(pairs)} verified pairs vs python pHash pipeline: "
+          f"{'OK' if len(failures) == pre else 'MISMATCH'}")
+
+    pre = len(failures)
+    dump = got("m05_cross_modal_blast")
+    for mod in sorted(m04):
+        removable = {b for m, _, b in pairs if m == mod}
+        docs = {b // 4 for b in removable}  # source_doc = id / 4
+        g = dump.get(mod)
+        if g is None or (g[0], g[1]) != (len(removable), len(docs)):
+            failures.append(
+                f"m05 {mod}: dump={g} != python={(len(removable), len(docs))}")
+    print(f"m05: blast radius vs python survivorship: "
+          f"{'OK' if len(failures) == pre else 'MISMATCH'}")
+
+    if failures:
+        print("media_oracle: FAIL")
+        for f in failures:
+            print("  " + f)
+        sys.exit(1)
+    print("media_oracle: all decoded-media aggregates match (m01/m04/m05)")
+
+
+if __name__ == "__main__":
+    main()
