@@ -20,16 +20,19 @@ if [ ! -f "$OUT_DIR/oracle_sql.json" ]; then
   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
 fi
 
-echo "== gate 1/4: driver-style DuckDB oracle compare"
+echo "== gate 1/5: driver-style DuckDB oracle compare"
 python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 2/4: ANN recall cross-engine recomputation (pure-Python kernel)"
+echo "== gate 2/5: ANN recall cross-engine recomputation (pure-Python kernel)"
 python3 tools/ann_recall_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 3/4: g03 temp-table oracle (MATERIALIZED-stage recipe)"
+echo "== gate 3/5: g03 temp-table oracle (MATERIALIZED-stage recipe)"
 python3 tools/g03_oracle_tt.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 4/4: decoded-media third-engine oracle (pure-Python codec)"
+echo "== gate 4/5: decoded-media third-engine oracle (pure-Python codec)"
 python3 tools/media_oracle.py "$SF_DIR" "$OUT_DIR"
+
+echo "== gate 5/5: trained-quantizer third-engine oracle (pure-Python IVF/PQ/SQ8/kNN)"
+python3 tools/codebook_oracle.py "$SF_DIR" "$OUT_DIR"
 
 echo "check_all: ALL GATES GREEN ($SF_DIR)"
