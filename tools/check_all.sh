@@ -32,7 +32,7 @@ python3 tools/g03_oracle_tt.py "$SF_DIR" "$OUT_DIR"
 echo "== gate 4/5: decoded-media third-engine oracle (pure-Python codec)"
 python3 tools/media_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 5/5: trained-quantizer third-engine oracle (pure-Python IVF/PQ/SQ8/kNN)"
+echo "== gate 5/5: trained-quantizer third-engine oracle (pure-Python IVF/PQ/SQ8/kNN/SemDeDup/MMR)"
 python3 tools/codebook_oracle.py "$SF_DIR" "$OUT_DIR"
 
 echo "check_all: ALL GATES GREEN ($SF_DIR)"

@@ -242,10 +242,9 @@ def s06_expected(corpus):
     return rank_topk(cands, TOPK)
 
 
-def s08_expected(corpus):
-    """k-NN graph over trained-cluster (+ optional hyperplane sub-band)
-    buckets: K=3 neighbors per vector, (sim desc, nn_id) tie-break."""
-    K = 3
+def sem_buckets(corpus):
+    """The (cent_id, sub-bucket) frame s08 and d10 share: Lloyd codebook
+    at semClusterKnobs' C, optional rh_bucket(planes, seed=77) sub-band."""
     c, planes = sem_cluster_knobs(len(corpus))
     cb = build_codebook(corpus, c)
     buckets = {}
@@ -253,6 +252,13 @@ def s08_expected(corpus):
         key = (nearest(vec, norm, cb),
                rh_bucket(vec, planes, 77) if planes else 0)
         buckets.setdefault(key, []).append((vid, vec, norm))
+    return buckets
+
+
+def s08_expected(buckets):
+    """k-NN graph over trained-cluster (+ optional hyperplane sub-band)
+    buckets: K=3 neighbors per vector, (sim desc, nn_id) tie-break."""
+    K = 3
     out = []
     for members in buckets.values():
         for vid, vec, norm in members:
@@ -264,12 +270,93 @@ def s08_expected(corpus):
     return sorted(out)
 
 
+SEM_TAU = 0.4
+MAX_BUCKET = 64
+HOT_ROUNDS = 3
+
+
+def d10_expected(buckets):
+    """SemDeDup accounting: within-bucket near-dup pairs at cos >= 0.4
+    (unrounded — raw-vector doubles, tie-free), oversized buckets resolved
+    by Dedup.resolveHotBuckets' min-id rep election (3 rounds: the rep
+    pairs with every member it matches and EXITS the bucket with them;
+    the unmatched remnant re-elects; a remnant still > MaxBucket after
+    round 3 falls to bucketPairs' n <= MaxBucket filter and is dropped).
+    Output: per cent_id, (n_vecs, n_dropped) with dropped = distinct
+    higher-id member of any pair (min-id survivorship)."""
+    def cos(a, b):
+        return dot(a[1], b[1]) / (a[2] * b[2])
+
+    n_vecs, dropped = {}, set()
+    for (cent, _sub), members in buckets.items():
+        n_vecs[cent] = n_vecs.get(cent, 0) + len(members)
+        pending = sorted(members)  # doc_id ascending
+        for _ in range(HOT_ROUNDS):
+            if len(pending) <= MAX_BUCKET:
+                break
+            rep, rest = pending[0], pending[1:]
+            pending = []
+            for m in rest:
+                if cos(rep, m) >= SEM_TAU:
+                    dropped.add((cent, m[0]))  # doc_b = member > rep
+                else:
+                    pending.append(m)
+        if 2 <= len(pending) <= MAX_BUCKET:
+            for i in range(len(pending)):
+                for j in range(i + 1, len(pending)):
+                    if cos(pending[i], pending[j]) >= SEM_TAU:
+                        dropped.add((cent, pending[j][0]))
+    return sorted((cent, n, sum(1 for c, _ in dropped if c == cent))
+                  for cent, n in n_vecs.items())
+
+
+def s15_expected(corpus):
+    """MMR diversified top-k: exact top-50 shortlist per query (round-4
+    sims, vec_id tie-break), round-4 pairwise sims within the shortlist,
+    then the sequential greedy argmax of 0.7*sim - (1-0.7)*max-sim-to-
+    selected (ties -> smaller vec_id). (1-0.7) is the same IEEE double
+    0.30000000000000004 on both sides; the lambda arithmetic is identical
+    fixed-order float ops, so equality is exact."""
+    LAM = 0.7
+    queries = [(v, vec, n) for v, vec, n in corpus if v < NQUERIES]
+    out = []
+    for qid, qvec, qnorm in queries:
+        scored = sorted(
+            (-half_up(dot(vec, qvec) / (norm * qnorm), 4), vid, vec, norm)
+            for vid, vec, norm in corpus)
+        short = [(vid, -negs, vec, norm)
+                 for negs, vid, vec, norm in scored[:SHORTLIST]]
+        psim = {}
+        for i, (va, _, veca, norma) in enumerate(short):
+            for vb, _, vecb, normb in short:
+                if va != vb:
+                    psim[(va, vb)] = half_up(
+                        dot(veca, vecb) / (norma * normb), 4)
+        by_sim = {vid: s for vid, s, _, _ in short}
+        selected = []
+        for _ in range(TOPK):
+            remaining = [d for d in by_sim if d not in selected]
+            if not remaining:
+                break
+            best = min(
+                remaining,
+                key=lambda d: (-(LAM * by_sim[d] - (1 - LAM) *
+                                 (max(psim[(d, s)] for s in selected)
+                                  if selected else 0.0)), d))
+            selected.append(best)
+        for i, d in enumerate(selected, 1):
+            out.append((qid, d, by_sim[d], i))
+    return out
+
+
 def compare(name, expected, out_dir, failures,
             cols="q_id, vec_id, sim, rn"):
     con = duckdb.connect()
-    got = con.execute(
+    raw = con.execute(
         f"SELECT {cols} FROM '{out_dir}/{name}/*.parquet'").fetchall()
-    got = sorted((int(a), int(b), float(s), int(r)) for a, b, s, r in got)
+    got = sorted(
+        tuple(float(x) if isinstance(x, float) else int(x) for x in r)
+        for r in raw)
     expected = sorted(expected)
     if got != expected:
         gs, es = set(got), set(expected)
@@ -285,18 +372,23 @@ def main():
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_check_all"
     corpus = load_corpus(sf_dir)
     failures = []
+    buckets = sem_buckets(corpus)  # shared by s08 and d10
     compare("s03_ivf_ann", s03_expected(corpus), out_dir, failures)
     compare("s06_pq_ann", s06_expected(corpus), out_dir, failures)
-    compare("s08_knn_graph", s08_expected(corpus), out_dir, failures,
+    compare("s08_knn_graph", s08_expected(buckets), out_dir, failures,
             cols="vec_id, nn_id, sim, rank")
     compare("s14_sq8_ann", s14_expected(corpus), out_dir, failures)
+    compare("d10_semantic_dedup", d10_expected(buckets), out_dir, failures,
+            cols="cent_id, n_vecs, n_dropped")
+    compare("s15_mmr_diversify", s15_expected(corpus), out_dir, failures,
+            cols="q_id, vec_id, sim, mmr_rank")
     if failures:
         print("codebook_oracle: FAIL")
         for f in failures:
             print("  " + f)
         sys.exit(1)
     print("codebook_oracle: s03 (IVF), s06 (PQ), s08 (kNN graph), "
-          "s14 (SQ8) all match")
+          "s14 (SQ8), d10 (SemDeDup), s15 (MMR) all match")
 
 
 if __name__ == "__main__":
