@@ -39,7 +39,9 @@ object SparkEntry {
         "m04_phash_neardup" -> ((s: SparkSession, _: String) =>
           graft.multimodal.BinaryPipeline.m04(s)),
         "m05_cross_modal_blast" -> ((s: SparkSession, _: String) =>
-          graft.multimodal.BinaryPipeline.m05(s)))
+          graft.multimodal.BinaryPipeline.m05(s)),
+        "m06_media_resize" -> ((s: SparkSession, _: String) =>
+          graft.multimodal.BinaryPipeline.m06(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -64,6 +66,9 @@ object SparkEntry {
         // integer arithmetic over the synthesis rule — gates the decoder's
         // structural walk from outside the JVM
         "m02_frame_sample" -> graft.multimodal.BinaryPipeline.m02OracleSql,
+        // resize round trip: dims/byte sizes as integer arithmetic over
+        // range(0, NMedia), content sums from the codec-free VALUES twin
+        "m06_media_resize" -> graft.multimodal.BinaryPipeline.m06OracleSql,
         // the streaming queries must reproduce their batch twins exactly,
         // so they share the twins' oracle SQL verbatim
         "st01_stream_window_agg" -> Relational.oracles("q30_time_bucket_agg"),

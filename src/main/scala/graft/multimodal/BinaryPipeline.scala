@@ -732,6 +732,125 @@ object BinaryPipeline {
       .orderBy("modality")
   }
 
+  /** m06 — bounded-resolution normalization (resize) as a graded query:
+    * the [[resize]] batch pass (decode → nearest-neighbor downsample /
+    * sample decimation → re-encode in the ORIGINAL container), then a
+    * SECOND decode of the re-encoded payloads to a content checksum —
+    * the full encode→decode→transform→encode→decode round trip every
+    * multimodal normalization stage runs, graded end to end. Per
+    * modality: count, summed output dims, total re-encoded bytes, and
+    * the unsigned-byte content sum of the RE-DECODED pixels/samples.
+    *
+    * Fully SQL-oracled: output dims, scale factors, and container byte
+    * sizes are pure integer functions of id (m02's discipline), and the
+    * content sums are inlined as a VALUES table computed by
+    * [[m06ContentSum]] — codec-FREE arithmetic straight from the
+    * synthesis rule and resample positions (the d02 recipe: same
+    * constants, independent computation path), so a header/stride/
+    * mirror bug anywhere in the double round trip breaks the compare.
+    * tools/media_oracle.py replays the same sums as a third engine.
+    *
+    * Scale notes: map-only per payload (decode/resample/encode never
+    * leave the partition); only the tiny per-modality aggregate
+    * shuffles. At 100 TB this is the canonical "normalize resolution
+    * before feature extraction" pass — payload-parallel, no skew beyond
+    * payload-size variance, bounded output size by construction. */
+  private[graft] val ResizeMaxDim = 16
+  def m06(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    resize(synthesize(spark, NMedia), ResizeMaxDim)
+      .map { r =>
+        val body: Long = MediaCodec.sniff(r.payload) match {
+          case "bmp" | "ppm" =>
+            val (_, _, rgb) = MediaCodec.decodeImage(r.payload)
+            rgb.foldLeft(0L)((a, b) => a + (b & 0xff))
+          case "wav" =>
+            val (_, s) = MediaCodec.decodeWav(r.payload)
+            s.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
+        }
+        (r.media_id, r.modality, r.width.toLong, r.height.toLong,
+          r.payload.length.toLong, body)
+      }
+      .toDF("media_id", "modality", "w", "h", "plen", "csum")
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("w")).as("sum_w"), sum(col("h")).as("sum_h"),
+        sum(col("plen")).as("total_bytes"),
+        sum(col("csum")).as("content_sum"))
+      .orderBy("modality")
+  }
+
+  /** Codec-free twin of one resized payload's content sum: synthesis
+    * rule + resample positions only — never touches MediaCodec. The m06
+    * oracle inlines these as VALUES; equality with the Spark side's
+    * decode(encode(resample(decode(encode(synth))))) gates the codec. */
+  private[graft] def m06ContentSum(id: Long): Long = {
+    if (id % 3 == 0) {
+      val n = wavN(id)
+      val scale = (n + ResizeMaxDim - 1) / ResizeMaxDim
+      var sum = 0L
+      var i = 0
+      while (i * scale < n && i < n / scale) {
+        val s = (graft.functions.HashImpls.mix64((id << 20) ^ (i * scale))
+          & 0xffff).toInt
+        sum += (s & 0xff) + ((s >> 8) & 0xff)
+        i += 1
+      }
+      sum
+    } else {
+      val (w, h) = (imgW(id), imgH(id))
+      val scale = (math.max(w, h) + ResizeMaxDim - 1) / ResizeMaxDim
+      val (nw, nh) = (math.max(1, w / scale), math.max(1, h / scale))
+      var sum = 0L
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          val p = (y * scale) * w + x * scale
+          val hsh = graft.functions.HashImpls.mix64((id << 20) ^ p)
+          sum += (hsh & 0xff) + ((hsh >> 8) & 0xff) + ((hsh >> 16) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+  }
+
+  /** The m06 oracle: output dims + container byte sizes as integer
+    * arithmetic over range(0, NMedia) (the m02 pattern), content sums
+    * joined in from the codec-free [[m06ContentSum]] VALUES table. */
+  def m06OracleSql: String = {
+    val csums = (0L until NMedia).map(i => s"($i,${m06ContentSum(i)})")
+      .grouped(128).map(_.mkString(",")).mkString(",\n      ")
+    s"""WITH cs(id, csum) AS (VALUES
+       |      $csums),
+       |m AS (SELECT id,
+       |    CASE WHEN id % 3 = 0 THEN 'audio' ELSE 'image' END AS modality,
+       |    id % 40 + 8 AS w, id % 30 + 8 AS h, id % 1024 + 256 AS ns
+       |  FROM (SELECT UNNEST(range(0, $NMedia)) AS id)),
+       |r AS (SELECT m.id, modality,
+       |    CASE WHEN modality = 'audio' THEN ns // ((ns + ${ResizeMaxDim - 1}) // $ResizeMaxDim)
+       |         ELSE greatest(1, w // ((greatest(w, h) + ${ResizeMaxDim - 1}) // $ResizeMaxDim)) END AS nw,
+       |    CASE WHEN modality = 'audio' THEN 1
+       |         ELSE greatest(1, h // ((greatest(w, h) + ${ResizeMaxDim - 1}) // $ResizeMaxDim)) END AS nh,
+       |    csum
+       |  FROM m JOIN cs ON cs.id = m.id),
+       |p AS (SELECT modality, nw, nh, csum,
+       |    CASE WHEN modality = 'audio' THEN 44 + 2 * nw
+       |         WHEN id % 3 = 1 THEN 54 + ((3 * nw + 3) // 4 * 4) * nh
+       |         ELSE length('P6' || chr(10) || CAST(nw AS VARCHAR) || ' ' ||
+       |                     CAST(nh AS VARCHAR) || chr(10) || '255' ||
+       |                     chr(10)) + 3 * nw * nh
+       |    END AS plen
+       |  FROM r)
+       |SELECT modality, count(*) AS n_media,
+       |  CAST(sum(nw) AS BIGINT) AS sum_w, CAST(sum(nh) AS BIGINT) AS sum_h,
+       |  CAST(sum(plen) AS BIGINT) AS total_bytes,
+       |  CAST(sum(csum) AS BIGINT) AS content_sum
+       |FROM p GROUP BY modality ORDER BY modality""".stripMargin
+  }
+
   /** Join extracted media features back to their source documents —
     * multimodal columns co-live with text in one table. */
   def joinWithDocuments(features: Dataset[MediaFeatures], docs: DataFrame): DataFrame =

@@ -154,6 +154,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected, f"pHash mismatch: got $got%016x want $expected%016x")
   }
 
+  test("m06 content sums: the codec round trip equals the codec-free " +
+    "twin payload by payload") {
+    import spark.implicits._
+    // the m06 aggregate compares per-modality SUMS; this pins the
+    // per-payload equality the sums are built from, over all three
+    // containers (id % 3 covers WAV/BMP/PPM in any 3-consecutive run)
+    val sample = (0L until 45L)
+    val viaCodec = BinaryPipeline
+      .resize(BinaryPipeline.synthesize(spark, 45), 16)
+      .collect().map { r =>
+        val body = MediaCodec.sniff(r.payload) match {
+          case "bmp" | "ppm" =>
+            MediaCodec.decodeImage(r.payload)._3
+              .foldLeft(0L)((a, b) => a + (b & 0xff))
+          case "wav" =>
+            MediaCodec.decodeWav(r.payload)._2
+              .foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
+        }
+        r.media_id -> body
+      }.toMap
+    sample.foreach { id =>
+      assert(viaCodec(id) == BinaryPipeline.m06ContentSum(id),
+        s"m06 content sum diverges from the codec-free twin at id=$id")
+    }
+  }
+
   test("image features are computed from the decoded pixels (golden " +
     "check on a hand-built 2x1 image)") {
     // pixels: (255,0,0) and (0,0,255) → meanR = meanB = 0.5, meanG = 0

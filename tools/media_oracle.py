@@ -166,6 +166,47 @@ def phash_pairs():
     return pairs, phs
 
 
+RESIZE_MAX_DIM = 16
+
+
+def m06_expected():
+    """modality -> (n, sum_w, sum_h, total_bytes, content_sum): the
+    resize round trip replayed from the synthesis rule + resample
+    positions + container layouts — third engine for the m06 oracle's
+    codec-free VALUES twin."""
+    acc = {}
+    for i in range(N_MEDIA):
+        if i % 3 == 0:
+            ns = wav_n(i)
+            scale = (ns + RESIZE_MAX_DIM - 1) // RESIZE_MAX_DIM
+            nw, nh = ns // scale, 1
+            plen = 44 + 2 * nw
+            csum = 0
+            for j in range(nw):
+                v = mix64(((i << 20) ^ (j * scale)) & MASK) & 0xFFFF
+                csum += (v & 0xFF) + (v >> 8)
+            mod = "audio"
+        else:
+            w, h = img_dims(i)
+            scale = (max(w, h) + RESIZE_MAX_DIM - 1) // RESIZE_MAX_DIM
+            nw, nh = max(1, w // scale), max(1, h // scale)
+            if i % 3 == 1:
+                plen = 54 + row_stride(nw) * nh
+            else:
+                plen = len(b"P6\n%d %d\n255\n" % (nw, nh)) + 3 * nw * nh
+            csum = 0
+            for y in range(nh):
+                for x in range(nw):
+                    hsh = mix64(((i << 20) ^ ((y * scale) * w + x * scale))
+                                & MASK)
+                    csum += (hsh & 0xFF) + ((hsh >> 8) & 0xFF) \
+                        + ((hsh >> 16) & 0xFF)
+            mod = "image"
+        n, sw, sh, tb, cs = acc.get(mod, (0, 0, 0, 0, 0))
+        acc[mod] = (n + 1, sw + nw, sh + nh, tb + plen, cs + csum)
+    return acc
+
+
 def main():
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_check_all"
     con = duckdb.connect()
@@ -222,12 +263,23 @@ def main():
     print(f"m05: blast radius vs python survivorship: "
           f"{'OK' if len(failures) == pre else 'MISMATCH'}")
 
+    # ---- m06: resize round trip, integer-exact
+    pre = len(failures)
+    dump = got("m06_media_resize")
+    for mod, exp6 in sorted(m06_expected().items()):
+        g = dump.get(mod)
+        if g is None or tuple(int(x) for x in g) != exp6:
+            failures.append(f"m06 {mod}: dump={g} != python={exp6}")
+    print(f"m06: resize round trip vs python synth+resample: "
+          f"{'OK' if len(failures) == pre else 'MISMATCH'}")
+
     if failures:
         print("media_oracle: FAIL")
         for f in failures:
             print("  " + f)
         sys.exit(1)
-    print("media_oracle: all decoded-media aggregates match (m01/m04/m05)")
+    print("media_oracle: all decoded-media aggregates match "
+          "(m01/m04/m05/m06)")
 
 
 if __name__ == "__main__":
