@@ -253,6 +253,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q43 hash-gate sample stays one scan: filter before partial agg, " +
+    "single exchange") {
+    val plan = operators.Relational.q43(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    // the md5 gate is a row-local predicate: it must evaluate in the scan
+    // stage (Filter before the partial aggregate), never after a shuffle
+    // of unsampled rows — at 100 TB the whole point of hash sampling is
+    // that rejected rows die map-side
+    assert(plan.contains("partial_"),
+      s"q43 must partial-aggregate the surviving rows map-side:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan.replace("Exchange hashpartitioning", "EXH")
+      .replace("EXH", "Exchange")).length
+    assert(plan.indexOf("Filter") > plan.indexOf("Exchange"),
+      // executedPlan prints top-down: the Filter must sit BELOW (after in
+      // text) the agg Exchange, i.e. on the scan side of the shuffle
+      s"q43's hash gate must run before the exchange:\n$plan")
+    assert(exchanges <= 2, // partial→final agg + the output sort
+      s"q43 should shuffle only the per-stratum partials:\n$plan")
+  }
+
   test("q86 keep-latest plans as partial max(struct), never a window sort") {
     val plan = operators.Analytics.q86(TestSpark.tables)
       .queryExecution.executedPlan.toString
