@@ -443,9 +443,14 @@ object Relational {
 
   /** Integer gate thresholds: keep a row iff its 48-bit md5 hash is below
     * floor(fraction * 2^48) — the whole decision is BIGINT arithmetic both
-    * engines replay bit-exactly (the d02 discipline). */
+    * engines replay bit-exactly (the d02 discipline). Fractions outside
+    * [0,1] would produce a silently-wrong gate (h is uniformly 48-bit, so
+    * f>1 keeps everything without erroring), hence the require. */
   val Q43Thresholds: Seq[(String, Long)] =
-    Q43Fractions.map { case (k, f) => k -> (f * (1L << 48)).toLong }
+    Q43Fractions.map { case (k, f) =>
+      require(f >= 0.0 && f <= 1.0, s"q43 fraction for '$k' out of [0,1]: $f")
+      k -> (f * (1L << 48)).toLong
+    }
 
   /** q43 — stratified sampling (per-stratum fractions): the corpus
     * down-sampling primitive of training-data pipelines (e.g. re-balancing

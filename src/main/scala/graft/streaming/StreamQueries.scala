@@ -911,17 +911,29 @@ object StreamQueries {
             "— checkpoint recovery is wedged, refusing to grade")
       }
     withStatePartitions(spark, 8) {
+      // phase-resolved timing (round-8 verdict item 5): the single st15
+      // number hid which leg costs what — the pre-crash run scales with
+      // history (it processes batches 0..crash), the recovery leg must
+      // NOT (one re-executed micro-batch + state-store load + the
+      // remaining chunks). Printing both makes history-independence a
+      // measurement instead of an inference.
+      val t0 = System.nanoTime()
       val run1Died =
         try { awaitBounded(start(), "crash run"); false }
         catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException
             if e.getMessage.contains("injected crash") => true
         }
+      val t1 = System.nanoTime()
       if (!run1Died)
         throw new IllegalStateException(
           "st15: first run finished without hitting the injected crash — " +
             "the recovery path was never exercised, refusing to grade")
       awaitBounded(start(), "recovery run") // must drain cleanly
+      val t2 = System.nanoTime()
+      System.err.println(
+        f"[st15] pre-crash run ${(t1 - t0) / 1e9}%.2fs, " +
+          f"recovery run ${(t2 - t1) / 1e9}%.2fs")
     }
     spark.read.parquet(s"$outDir/batch_*")
       .groupBy(col("user_id"))

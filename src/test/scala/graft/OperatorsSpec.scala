@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structural sanity for the query inventory at sf0.001. Value-level
@@ -448,6 +449,29 @@ class OperatorsSpec extends AnyFunSuite {
     val got = operators.Relational.q43(t).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
+  }
+
+  test("stat.sampleBy API parity: seeded stratified sampling stays " +
+    "deterministic and honors zero fractions") {
+    // q43's round-8 rebase moved the GRADED query off stat.sampleBy (its
+    // RNG stream is engine-private, so no cross-engine oracle can replay
+    // it) — but the API itself is part of the surface a reference user
+    // would reach for, so keep it exercised at spec level.
+    val fractions = Map("purchase" -> 1.0, "view" -> 0.2, "click" -> 0.0)
+    def draw() = t.events.stat
+      .sampleBy("event_type", fractions, seed = 42L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("checksum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val a = draw()
+    val b = draw()
+    assert(a == b, "same seed must reproduce the identical sample")
+    val totals = t.events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("purchase")._1 == totals("purchase")) // fraction 1.0 keeps all
+    assert(!a.contains("click")) // fraction 0.0 keeps none
+    assert(a("view")._1 < totals("view") / 2) // 0.2 stays well under half
   }
 
   test("d02 minhash candidates verified by d04 exact jaccard") {

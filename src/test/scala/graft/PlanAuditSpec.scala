@@ -263,14 +263,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // that rejected rows die map-side
     assert(plan.contains("partial_"),
       s"q43 must partial-aggregate the surviving rows map-side:\n$plan")
-    val exchanges = "Exchange".r.findAllIn(plan.replace("Exchange hashpartitioning", "EXH")
-      .replace("EXH", "Exchange")).length
+    // hash vs range exchanges counted separately: the agg needs exactly
+    // one hashpartitioning; the output orderBy contributes the single
+    // rangepartitioning (the old blanket "Exchange" count silently mixed
+    // the two)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1 && rangeEx <= 1,
+      s"q43 should shuffle only the per-stratum partials (hash=$hashEx, " +
+        s"range=$rangeEx):\n$plan")
+    // guard the positional claim against vacuous -1 comparisons before
+    // asserting relative order
+    assert(plan.contains("Filter") && plan.contains("Exchange"),
+      s"q43 plan must contain both a Filter and an Exchange:\n$plan")
     assert(plan.indexOf("Filter") > plan.indexOf("Exchange"),
       // executedPlan prints top-down: the Filter must sit BELOW (after in
       // text) the agg Exchange, i.e. on the scan side of the shuffle
       s"q43's hash gate must run before the exchange:\n$plan")
-    assert(exchanges <= 2, // partial→final agg + the output sort
-      s"q43 should shuffle only the per-stratum partials:\n$plan")
   }
 
   test("q86 keep-latest plans as partial max(struct), never a window sort") {

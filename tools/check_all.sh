@@ -20,19 +20,22 @@ if [ ! -f "$OUT_DIR/oracle_sql.json" ]; then
   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
 fi
 
-echo "== gate 1/5: driver-style DuckDB oracle compare"
+echo "== gate 1/6: driver-style DuckDB oracle compare"
 python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 2/5: ANN recall cross-engine recomputation (pure-Python kernel)"
+echo "== gate 2/6: ANN recall cross-engine recomputation (pure-Python kernel)"
 python3 tools/ann_recall_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 3/5: g03 temp-table oracle (MATERIALIZED-stage recipe)"
+echo "== gate 3/6: g03 temp-table oracle (MATERIALIZED-stage recipe)"
 python3 tools/g03_oracle_tt.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 4/5: decoded-media third-engine oracle (pure-Python codec)"
+echo "== gate 4/6: decoded-media third-engine oracle (pure-Python codec)"
 python3 tools/media_oracle.py "$SF_DIR" "$OUT_DIR"
 
-echo "== gate 5/5: trained-quantizer third-engine oracle (pure-Python IVF/PQ/SQ8/kNN/SemDeDup/MMR)"
+echo "== gate 5/6: trained-quantizer third-engine oracle (pure-Python IVF/PQ/SQ8/kNN/SemDeDup/MMR)"
 python3 tools/codebook_oracle.py "$SF_DIR" "$OUT_DIR"
+
+echo "== gate 6/6: sketch accuracy-contract bounds (q34/q42/q91 vs DuckDB exact)"
+python3 tools/sketch_bounds_oracle.py "$SF_DIR" "$OUT_DIR"
 
 echo "check_all: ALL GATES GREEN ($SF_DIR)"
