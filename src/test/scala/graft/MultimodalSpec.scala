@@ -8,6 +8,48 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   lazy val t = TestSpark.tables
 
+  /** Spec-local TGA RLE byte cost — an independent reimplementation of
+    * the packetization rule (never calls encodeTga), so byte-size pins
+    * on the variable-length container are a genuine second computation
+    * path, like the BMP/PPM closed forms. */
+  private def tgaLen(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    def px(i: Int): Int = ((rgb(3 * i) & 0xff) << 16) |
+      ((rgb(3 * i + 1) & 0xff) << 8) | (rgb(3 * i + 2) & 0xff)
+    var bytes = 18L + 26L
+    for (y <- 0 until h) {
+      val base = y * w
+      var i = 0
+      while (i < w) {
+        var run = 1
+        while (i + run < w && run < 128 && px(base + i + run) == px(base + i))
+          run += 1
+        if (run >= 2) { bytes += 4; i += run }
+        else {
+          var j = i
+          while (j < w && j - i < 128 &&
+            !(j < w - 1 && px(base + j) == px(base + j + 1))) j += 1
+          bytes += 1 + 3L * (j - i)
+          i = j
+        }
+      }
+    }
+    bytes
+  }
+
+  /** The synthesis rule's rgb bytes for an image id — rebuilt locally so
+    * spec expectations never depend on synthPayload internals. */
+  private def synthRgb(id: Long): (Int, Int, Array[Byte]) = {
+    val (w, h) = (BinaryPipeline.imgW(id), BinaryPipeline.imgH(id))
+    val rgb = new Array[Byte](3 * w * h)
+    for (i <- 0 until w * h) {
+      val hsh = graft.functions.HashImpls.mix64((id << 20) ^ i)
+      rgb(3 * i) = (hsh & 0xff).toByte
+      rgb(3 * i + 1) = ((hsh >> 8) & 0xff).toByte
+      rgb(3 * i + 2) = ((hsh >> 16) & 0xff).toByte
+    }
+    (w, h, rgb)
+  }
+
   // ---- codec-level gates (no Spark): the decode is REAL, so it is
   // value-gated like any codec — exact round-trips on the true byte
   // layouts, not schema checks. ------------------------------------
@@ -102,10 +144,73 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.decodePpm(ppm.dropRight(1)))
   }
 
-  test("the dispatch seam: the same pixels through BMP and PPM produce " +
-    "identical decoded images and identical features") {
-    // BGR-bottom-up-padded vs RGB-top-down-unpadded: if either decoder
-    // mishandles its layout, the two containers disagree here
+  test("TGA round-trip: RLE encode → decode returns the exact pixels; " +
+    "byte size matches the independent packetization twin") {
+    val rnd = new scala.util.Random(19)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      // low-entropy pixels (9 colors) so genuine runs occur and the RLE
+      // leg is exercised, not just raw packets
+      val rgb = new Array[Byte](3 * w * h)
+      for (i <- 0 until w * h) {
+        val c = rnd.nextInt(3) * 100
+        rgb(3 * i) = c.toByte
+        rgb(3 * i + 1) = (rnd.nextInt(3) * 50).toByte
+        rgb(3 * i + 2) = 7.toByte
+      }
+      val tga = MediaCodec.encodeTga(w, h, rgb)
+      assert(MediaCodec.sniff(tga) == "tga")
+      assert(tga.length == tgaLen(w, h, rgb),
+        s"TGA byte size must match the packetization twin at ${w}x$h")
+      val (dw, dh, back) = MediaCodec.decodeTga(tga)
+      assert(dw == w && dh == h)
+      assert(back.toSeq == rgb.toSeq, s"pixel round-trip failed at ${w}x$h")
+    }
+    // a constant-color row longer than 128 pixels must SPLIT its run
+    // into multiple RLE packets (the 7-bit count cap)
+    val wide = Array.fill(3 * 300 * 1)(42.toByte)
+    val t = MediaCodec.encodeTga(300, 1, wide)
+    // 300 identical pixels → packets of 128+128+44 → 3 × 4 bytes
+    assert(t.length == 18 + 12 + 26, s"run-split length: ${t.length}")
+    val (_, _, wb) = MediaCodec.decodeTga(t)
+    assert(wb.toSeq == wide.toSeq)
+    // bottom-up storage: with two distinct rows, the FIRST packet after
+    // the header must carry the BOTTOM row's color, in BGR order
+    val rows = Array[Byte](10, 20, 30, 10, 20, 30,   // top row (2 px)
+                           1, 2, 3, 1, 2, 3)         // bottom row
+    val two = MediaCodec.encodeTga(2, 2, rows)
+    assert((two(18) & 0xff) == 0x81, "2-px run ⇒ RLE control 0x81")
+    assert(two(19) == 3 && two(20) == 2 && two(21) == 1,
+      "bottom row first, BGR order")
+  }
+
+  test("TGA decoder validates the variable-length stream loudly: " +
+    "truncated packets, overruns, missing footer") {
+    val rgb = Array.tabulate(3 * 8 * 8)(i =>
+      (graft.functions.HashImpls.mix64(i.toLong) & 0xff).toByte)
+    val tga = MediaCodec.encodeTga(8, 8, rgb)
+    // footer stripped → not sniffable as TGA at all
+    intercept[Exception](MediaCodec.sniff(tga.dropRight(26)))
+    val e0 = intercept[IllegalArgumentException](
+      MediaCodec.decodeTga(tga.dropRight(26)))
+    assert(e0.getMessage.contains("footer"))
+    // packet bytes removed (footer re-attached) → truncated stream error
+    val cut = tga.take(tga.length - 26 - 5) ++ tga.takeRight(26)
+    val e1 = intercept[IllegalArgumentException](MediaCodec.decodeTga(cut))
+    assert(e1.getMessage.contains("truncated")
+      || e1.getMessage.contains("past the stream end"))
+    // a control byte inflated past the remaining image → overrun error
+    val bad = tga.clone()
+    bad(18) = 0xff.toByte // RLE run of 128 ≫ the 8 pixels left in row 0
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodeTga(bad))
+    assert(e2.getMessage.contains("overruns"))
+  }
+
+  test("the dispatch seam: the same pixels through BMP, PPM and TGA " +
+    "produce identical decoded images and identical features") {
+    // BGR-bottom-up-padded vs RGB-top-down-unpadded vs RLE-packetized:
+    // if any decoder mishandles its layout, the containers disagree here
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 10) {
       val w = 1 + rnd.nextInt(30)
@@ -113,12 +218,17 @@ class MultimodalSpec extends AnyFunSuite {
       val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
       val bmp = MediaCodec.encodeBmp(w, h, rgb)
       val ppm = MediaCodec.encodePpm(w, h, rgb)
+      val tga = MediaCodec.encodeTga(w, h, rgb)
       assert(MediaCodec.decodeImage(bmp)._3.toSeq ==
         MediaCodec.decodeImage(ppm)._3.toSeq)
+      assert(MediaCodec.decodeImage(bmp)._3.toSeq ==
+        MediaCodec.decodeImage(tga)._3.toSeq)
       val (mb, wb, hb, fb) = MediaCodec.features(bmp)
       val (mp, wp, hp, fp) = MediaCodec.features(ppm)
+      val (mt, wt, ht, ft) = MediaCodec.features(tga)
       assert(mb == mp && wb == wp && hb == hp)
-      assert(fb.toSeq == fp.toSeq,
+      assert(mb == mt && wb == wt && hb == ht)
+      assert(fb.toSeq == fp.toSeq && fb.toSeq == ft.toSeq,
         "features must be bit-identical across containers")
     }
   }
@@ -165,7 +275,7 @@ class MultimodalSpec extends AnyFunSuite {
       .resize(BinaryPipeline.synthesize(spark, 45), 16)
       .collect().map { r =>
         val body = MediaCodec.sniff(r.payload) match {
-          case "bmp" | "ppm" =>
+          case "bmp" | "ppm" | "tga" =>
             MediaCodec.decodeImage(r.payload)._3
               .foldLeft(0L)((a, b) => a + (b & 0xff))
           case "wav" =>
@@ -229,11 +339,14 @@ class MultimodalSpec extends AnyFunSuite {
         val (w, h) = (BinaryPipeline.imgW(id), BinaryPipeline.imgH(id))
         assert(f.width == w)
         assert(f.height == h)
-        // container arithmetic per the round-8 graded dispatch:
-        // id%3==1 → BMP (54-byte header + 4-padded bottom-up rows),
+        // container arithmetic per the round-9 graded dispatch:
+        // id%6==1 → BMP (54-byte header + 4-padded bottom-up rows),
+        // id%6==4 → RLE TGA (header + packet stream + footer; byte cost
+        //           from the spec-local packetization twin),
         // id%3==2 → PPM (ASCII "P6\nw h\n255\n" header + packed RGB)
         val expectBytes =
-          if (id % 3 == 1) 54 + MediaCodec.rowStride(w).toLong * h
+          if (id % 6 == 1) 54 + MediaCodec.rowStride(w).toLong * h
+          else if (id % 6 == 4) { val (_, _, rgb) = synthRgb(id); tgaLen(w, h, rgb) }
           else s"P6\n$w $h\n255\n".length.toLong + 3L * w * h
         assert(f.n_bytes == expectBytes, s"id=$id container size")
       }
@@ -252,8 +365,12 @@ class MultimodalSpec extends AnyFunSuite {
     resized.foreach { r =>
       if (r.modality == "image") {
         // resize must preserve the arrival container: BMP stays BMP,
-        // PPM stays PPM (sniffed, never trusted from metadata)
-        val expectKind = if (r.media_id % 3 == 1) "bmp" else "ppm"
+        // TGA stays TGA, PPM stays PPM (sniffed, never trusted from
+        // metadata)
+        val expectKind =
+          if (r.media_id % 6 == 1) "bmp"
+          else if (r.media_id % 6 == 4) "tga"
+          else "ppm"
         assert(MediaCodec.sniff(r.payload) == expectKind, s"id=${r.media_id}")
         val (w, h, _) = MediaCodec.decodeImage(r.payload) // still valid
         assert(w == r.width && h == r.height)
@@ -277,12 +394,16 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("graded corpus exercises all three containers through the sniff " +
-    "dispatch (WAV / BMP / PPM by id%3), and decode is magic-driven") {
+  test("graded corpus exercises all four containers through the sniff " +
+    "dispatch (WAV by id%3, BMP/TGA/PPM by id%6), and decode is " +
+    "magic-driven") {
     val media = BinaryPipeline.synthesize(spark, 99).collect()
     val byKind = media.groupBy(m => MediaCodec.sniff(m.payload))
       .view.mapValues(_.length).toMap
-    assert(byKind == Map("wav" -> 33, "bmp" -> 33, "ppm" -> 33), byKind)
+    // 0..98: id%3==0 → 33 WAV; id%6==1 (1,7,…,97) → 17 BMP;
+    // id%6==4 (4,10,…,94) → 16 TGA; id%3==2 → 33 PPM
+    assert(byKind ==
+      Map("wav" -> 33, "bmp" -> 17, "tga" -> 16, "ppm" -> 33), byKind)
     // the two image containers carry the SAME decoded content for the
     // same id-rule pixels: decode(BMP(id)) at id and decode(PPM(id'))
     // agree with their own synthesis rule, and features are computed

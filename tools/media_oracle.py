@@ -3,12 +3,14 @@
 (m01_media_features, m04_phash_neardup, m05_cross_modal_blast).
 
 The graded Spark path runs: synthesize content from splitmix64 ->
-encode a REAL container (RIFF/WAVE / BMP / P6 PPM by id%3) -> sniff by
-magic bytes -> decode -> feature/pHash math. This script rebuilds the
-same results in pure Python FROM THE SYNTHESIS RULES AND THE CONTAINER
-LAYOUT SPECS (BinaryPipeline.scala:373-414 constants; BMP bottom-up
-padded BGR, PPM top-down RGB after the ASCII header, WAV s16le) with no
-JVM and no Spark, then compares against the graft.Verify dumps. m04/m05
+encode a REAL container (RIFF/WAVE by id%3; BMP / RLE TGA / P6 PPM by
+id%6 for images) -> sniff by magic bytes -> decode -> feature/pHash
+math. This script rebuilds the same results in pure Python FROM THE
+SYNTHESIS RULES AND THE CONTAINER LAYOUT SPECS (BinaryPipeline.scala
+synthesis constants; BMP bottom-up padded BGR, PPM top-down RGB after
+the ASCII header, TGA type-10 RLE packets bottom-up BGR with the 2.0
+footer, WAV s16le) with no JVM and no Spark, then compares against the
+graft.Verify dumps. m04/m05
 are integer arithmetic end to end -> exact equality required; m01's
 avg_f0 is a rounded mean of float32 features -> compared to 2e-4 (the
 round-4 quantum), counts/bytes/max_width exact.
@@ -74,6 +76,39 @@ def row_stride(w):
     return (3 * w + 3) // 4 * 4
 
 
+def tga_packets(w, h, rgb):
+    """RLE type-10 packet stream (storage order: bottom-up rows, BGR) —
+    the same packetization rule as MediaCodec.encodeTga / m06TgaLen:
+    per row, a >=2 run (cap 128) emits control 0x80|(n-1) + one pixel;
+    literals accumulate until the next run starts (cap 128)."""
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = y * w * 3
+        def px(i):
+            return rgb[row + 3 * i:row + 3 * i + 3]
+        i = 0
+        while i < w:
+            run = 1
+            while i + run < w and run < 128 and px(i + run) == px(i):
+                run += 1
+            if run >= 2:
+                p = px(i)
+                out.append(0x80 | (run - 1))
+                out += bytes((p[2], p[1], p[0]))  # BGR
+                i += run
+            else:
+                j = i
+                while j < w and j - i < 128 and \
+                        not (j < w - 1 and px(j) == px(j + 1)):
+                    j += 1
+                out.append(j - i - 1)
+                for k in range(i, j):
+                    p = px(k)
+                    out += bytes((p[2], p[1], p[0]))
+                i = j
+    return bytes(out)
+
+
 def body_bytes(i):
     """Content bytes as laid out INSIDE the container (what bodyOffset
     points at): WAV s16le / BMP bottom-up padded BGR / PPM top-down RGB."""
@@ -81,7 +116,7 @@ def body_bytes(i):
         s = wav_samples(i)
         return b"".join(struct.pack("<h", v) for v in s)
     w, h, rgb = rgb_bytes(i)
-    if i % 3 == 1:  # BMP
+    if i % 6 == 1:  # BMP
         stride = row_stride(w)
         body = bytearray(stride * h)
         for y in range(h):
@@ -92,6 +127,8 @@ def body_bytes(i):
                 body[dst + 3 * x + 1] = rgb[s + 1]
                 body[dst + 3 * x + 2] = rgb[s]
         return bytes(body)
+    if i % 6 == 4:  # RLE TGA: the body IS the packet stream
+        return tga_packets(w, h, rgb)
     return rgb  # PPM: raw top-down RGB after the ASCII header
 
 
@@ -99,8 +136,10 @@ def payload_len(i):
     if i % 3 == 0:
         return 44 + 2 * wav_n(i)
     w, h = img_dims(i)
-    if i % 3 == 1:
+    if i % 6 == 1:
         return 54 + row_stride(w) * h
+    if i % 6 == 4:  # TGA: 18-byte header + packets + 26-byte 2.0 footer
+        return 18 + len(body_bytes(i)) + 26
     return len(b"P6\n%d %d\n255\n" % (w, h)) + 3 * w * h
 
 
@@ -190,17 +229,24 @@ def m06_expected():
             w, h = img_dims(i)
             scale = (max(w, h) + RESIZE_MAX_DIM - 1) // RESIZE_MAX_DIM
             nw, nh = max(1, w // scale), max(1, h // scale)
-            if i % 3 == 1:
-                plen = 54 + row_stride(nw) * nh
-            else:
-                plen = len(b"P6\n%d %d\n255\n" % (nw, nh)) + 3 * nw * nh
             csum = 0
+            resampled = bytearray(3 * nw * nh)
             for y in range(nh):
                 for x in range(nw):
                     hsh = mix64(((i << 20) ^ ((y * scale) * w + x * scale))
                                 & MASK)
                     csum += (hsh & 0xFF) + ((hsh >> 8) & 0xFF) \
                         + ((hsh >> 16) & 0xFF)
+                    d = (y * nw + x) * 3
+                    resampled[d] = hsh & 0xFF
+                    resampled[d + 1] = (hsh >> 8) & 0xFF
+                    resampled[d + 2] = (hsh >> 16) & 0xFF
+            if i % 6 == 1:
+                plen = 54 + row_stride(nw) * nh
+            elif i % 6 == 4:  # TGA re-encode: content-dependent length
+                plen = 18 + len(tga_packets(nw, nh, bytes(resampled))) + 26
+            else:
+                plen = len(b"P6\n%d %d\n255\n" % (nw, nh)) + 3 * nw * nh
             mod = "image"
         n, sw, sh, tb, cs = acc.get(mod, (0, 0, 0, 0, 0))
         acc[mod] = (n + 1, sw + nw, sh + nh, tb + plen, cs + csum)
