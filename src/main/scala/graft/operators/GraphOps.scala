@@ -314,21 +314,30 @@ object GraphOps {
     // own width
     val voteParts = t.spark.conf.get("spark.sql.shuffle.partitions").toInt
     for (_ <- 2 to LpaIters) {
-      labels = edges.join(labels.hint("SHUFFLE_HASH"),
-          edges("src") === labels("node"))
-        .repartition(voteParts, col("dst"))
-        .groupBy(col("dst"), col("l"))
-        .agg(count(lit(1)).as("c"))
-        // argmax by (count desc, label asc) as a lexicographic struct min
-        .groupBy(col("dst"))
-        .agg(min(struct((-col("c")).as("nc"), col("l").as("lbl"))).as("m"))
-        .select(col("dst").as("node"), col("m.lbl").as("l"))
+      labels = g04VoteRound(edges, labels, voteParts)
     }
     labels.groupBy(col("l").as("community"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("node")).as("members_sum"))
       .orderBy("community") -> Seq(edges)
   }
+
+  /** One synchronous LPA vote round — the single-exchange shape
+    * PlanAuditSpec pins in isolation: given edges partitioned by src and
+    * labels by node, the round's ONLY new exchange is the pinned dst
+    * repartition; the (dst,l) vote count, the dst argmax, and the NEXT
+    * round's shuffle-hash join all ride its clustering. */
+  private[graft] def g04VoteRound(edges: DataFrame, labels: DataFrame,
+      voteParts: Int): DataFrame =
+    edges.join(labels.hint("SHUFFLE_HASH"),
+        edges("src") === labels("node"))
+      .repartition(voteParts, col("dst"))
+      .groupBy(col("dst"), col("l"))
+      .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as a lexicographic struct min
+      .groupBy(col("dst"))
+      .agg(min(struct((-col("c")).as("nc"), col("l").as("lbl"))).as("m"))
+      .select(col("dst").as("node"), col("m.lbl").as("l"))
 
   /** g05 — multi-source BFS hop distance (min-plus propagation): every
     * node's distance to the nearest seed (suppliers 1..5) after

@@ -282,6 +282,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q43's hash gate must run before the exchange:\n$plan")
   }
 
+  test("g04 vote round plans ONE new exchange: both aggregates ride the " +
+    "pinned dst repartition over pre-partitioned inputs") {
+    // one round in isolation over inputs already partitioned the way the
+    // iteration delivers them (edges by src, labels by node): the plan
+    // text must show EXACTLY three hash exchanges — the two input
+    // repartitions and the round's own dst repartition — i.e. no extra
+    // exchange for the (dst,l) vote count, the dst argmax, or the
+    // labels side of the join. The pre-rewrite shape planned five here.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").repartition(n, org.apache.spark.sql.functions.col("src"))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("node", "l").repartition(n, org.apache.spark.sql.functions.col("node"))
+    val round = operators.GraphOps.g04VoteRound(edges, labels, n)
+    val text = round.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(text).length
+    assert(hashEx == 3,
+      s"g04 vote round must add exactly one exchange (got $hashEx total " +
+        s"incl. the two input repartitions):\n$text")
+  }
+
   test("q86 keep-latest plans as partial max(struct), never a window sort") {
     val plan = operators.Analytics.q86(TestSpark.tables)
       .queryExecution.executedPlan.toString
