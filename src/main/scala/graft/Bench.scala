@@ -132,8 +132,13 @@ object Bench {
     // merged with the per-query map: one self-contained JSON object the
     // driver/judge can read without any stdout parsing.
     val merged = summary.dropRight(1) + s""","queries":$qs}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
-      (merged + "\n").getBytes("UTF-8"))
+    // Only a FULL-suite run may refresh the canonical sidecar: a
+    // SPARK_GRAFT_BENCH_ONLY-filtered iteration run would otherwise
+    // silently clobber the 207-query record the driver/judge read
+    // (it happened — the round-8 advice file carries the scar).
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (merged + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -136,6 +136,13 @@ object SparkEntry {
         // pair relation batch d02 computes, so it shares d02's md5-MinHash
         // oracle verbatim (round-7: the md5 rebase made both oracle-able)
         "st14_stream_neardup" -> Dedup.oracles("d02_dedup_minhash"),
+        // streaming decode-at-ingest: the cross-batch (modality,
+        // container) rollup must equal the codec-free synthesis-rule
+        // arithmetic (closed-form WAV/BMP/PPM sizes, RLE-walk TGA
+        // lengths, per-id content sums as VALUES) — no table needed,
+        // the media corpus is a pure function of range(0, NMedia)
+        "st16_stream_media_ingest" ->
+          graft.multimodal.BinaryPipeline.st16OracleSql,
         // the stateful first-crossing alert must equal the batch
         // running-sum first crossing (event-time order, integer cents)
         "st12_stream_threshold_alert" ->

@@ -996,11 +996,21 @@ object BinaryPipeline {
     val (w, h) = (imgW(id), imgH(id))
     val scale = (math.max(w, h) + ResizeMaxDim - 1) / ResizeMaxDim
     val (nw, nh) = (math.max(1, w / scale), math.max(1, h / scale))
-    def pix(x: Int, y: Int): Int = {
+    rleTgaBytes(nw, nh, (x, y) => {
       val hsh = graft.functions.HashImpls.mix64(
         (id << 20) ^ ((y * scale) * w + x * scale))
       (hsh & 0xffffff).toInt
-    }
+    })
+  }
+
+  /** The RLE-TGA packetization LENGTH rule (run packets of ≥2 equal
+    * pixels cost 4 bytes, raw packets 1 + 3·len, both capped at 128
+    * pixels; 18-byte header + 26-byte TGA 2.0 footer) over an abstract
+    * pixel function — shared by the m06 (resampled) and st16 (full-res)
+    * codec-free twins so both oracles stay independent of
+    * [[MediaCodec.encodeTga]]. Row order cannot change a length, so the
+    * walk runs top-down. */
+  private def rleTgaBytes(nw: Int, nh: Int, pix: (Int, Int) => Int): Long = {
     var bytes = 18L + 26L // header + TGA 2.0 footer
     var y = 0
     while (y < nh) {
@@ -1059,6 +1069,103 @@ object BinaryPipeline {
        |  CAST(sum(plen) AS BIGINT) AS total_bytes,
        |  CAST(sum(csum) AS BIGINT) AS content_sum
        |FROM p GROUP BY modality ORDER BY modality""".stripMargin
+  }
+
+  // ---- st16 streaming decode-at-ingest (the query itself lives in
+  //      streaming.StreamQueries; the media machinery is here) ----
+
+  /** One payload's decode-at-ingest record: container from the sniff
+    * dispatch (magic bytes, NEVER the metadata column) and the content
+    * checksum over the FULL decoded content (every RGB byte / both bytes
+    * of every PCM sample, unsigned) — the cheap arrival-time integrity
+    * signal a streaming media pipeline computes once per payload while
+    * the bytes are already in cache, so corrupt uploads are caught at
+    * ingest instead of by the first training job that reads them. */
+  private[graft] def decodeIngest(m: MediaRow): (String, String, Long, Long) = {
+    val kind = MediaCodec.sniff(m.payload)
+    val csum: Long = kind match {
+      case "wav" =>
+        val (_, s) = MediaCodec.decodeWav(m.payload)
+        s.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
+      case _ =>
+        val (_, _, rgb) = MediaCodec.decodeImage(m.payload)
+        rgb.foldLeft(0L)((a, b) => a + (b & 0xff))
+    }
+    (m.modality, kind, m.payload.length.toLong, csum)
+  }
+
+  /** Codec-free twin of one payload's FULL content sum: the synthesis
+    * rule only (splitmix64 per pixel/sample), never MediaCodec — the
+    * st16 oracle inlines these as VALUES, so a decode bug anywhere in
+    * the four-container sniff→parse path breaks the driver compare. */
+  private[graft] def st16ContentSum(id: Long): Long =
+    if (id % 3 == 0) {
+      val n = wavN(id)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val s = (graft.functions.HashImpls.mix64((id << 20) ^ i)
+          & 0xffff).toInt
+        sum += (s & 0xff) + ((s >> 8) & 0xff)
+        i += 1
+      }
+      sum
+    } else {
+      val (w, h) = (imgW(id), imgH(id))
+      var sum = 0L
+      var i = 0
+      while (i < w * h) {
+        val hsh = graft.functions.HashImpls.mix64((id << 20) ^ i)
+        sum += (hsh & 0xff) + ((hsh >> 8) & 0xff) + ((hsh >> 16) & 0xff)
+        i += 1
+      }
+      sum
+    }
+
+  /** Codec-free twin of one FULL-RES TGA payload's byte length (the m06
+    * resampled twin's rule at scale 1) — TGA is the one container whose
+    * size is not a closed form of the dims. */
+  private[graft] def st16TgaLen(id: Long): Long = {
+    val (w, h) = (imgW(id), imgH(id))
+    rleTgaBytes(w, h, (x, y) =>
+      (graft.functions.HashImpls.mix64((id << 20) ^ (y * w + x))
+        & 0xffffff).toInt)
+  }
+
+  /** The st16 oracle: per-(modality, container) payload counts, byte
+    * sizes as integer arithmetic over range(0, NMedia) (closed forms for
+    * WAV/BMP/PPM; TGA lengths from the codec-free [[st16TgaLen]] VALUES
+    * column), content sums from the codec-free [[st16ContentSum]] VALUES
+    * table. The streaming engine's end-of-stream aggregate must equal
+    * this exactly — which gates BOTH the multi-batch streaming merge and
+    * the decode path from outside the JVM. */
+  def st16OracleSql: String = {
+    val csums = (0L until NMedia).map(i =>
+      s"($i,${st16ContentSum(i)},${if (i % 6 == 4) st16TgaLen(i) else 0L})")
+      .grouped(128).map(_.mkString(",")).mkString(",\n      ")
+    s"""WITH cs(id, csum, tlen) AS (VALUES
+       |      $csums),
+       |m AS (SELECT id,
+       |    CASE WHEN id % 3 = 0 THEN 'audio' ELSE 'image' END AS modality,
+       |    CASE WHEN id % 3 = 0 THEN 'wav'
+       |         WHEN id % 6 = 1 THEN 'bmp'
+       |         WHEN id % 6 = 4 THEN 'tga' ELSE 'ppm' END AS container,
+       |    id % 40 + 8 AS w, id % 30 + 8 AS h, id % 1024 + 256 AS ns
+       |  FROM (SELECT UNNEST(range(0, $NMedia)) AS id)),
+       |p AS (SELECT modality, container, csum,
+       |    CASE WHEN container = 'wav' THEN 44 + 2 * ns
+       |         WHEN container = 'bmp' THEN 54 + ((3 * w + 3) // 4 * 4) * h
+       |         WHEN container = 'tga' THEN tlen
+       |         ELSE length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+       |                     CAST(h AS VARCHAR) || chr(10) || '255' ||
+       |                     chr(10)) + 3 * w * h
+       |    END AS plen
+       |  FROM m JOIN cs ON cs.id = m.id)
+       |SELECT modality, container, count(*) AS n_media,
+       |  CAST(sum(plen) AS BIGINT) AS total_bytes,
+       |  CAST(sum(csum) AS BIGINT) AS content_sum
+       |FROM p GROUP BY modality, container
+       |ORDER BY modality, container""".stripMargin
   }
 
   /** Join extracted media features back to their source documents —

@@ -1149,7 +1149,85 @@ object StreamQueries {
       .orderBy(col("sum_value_cents").desc, col("user_id"))
   }
 
+  /** Once-per-session chunked replay dir for the synthetic media corpus
+    * (the st16 source): [[ReplayFiles]] single-file parquet chunks
+    * striped by media_id % ReplayFiles — every chunk carries all four
+    * containers — with increasing mtimes, so `maxFilesPerTrigger=1`
+    * streams one chunk per micro-batch in order (the events replayDir
+    * discipline; no jitter needed — st16's aggregate is commutative, the
+    * multi-batch split exercises the cross-batch state merge, not
+    * lateness). Cache-keyed on the app id only: the corpus is a pure
+    * function of range(0, NMedia), independent of the sf dir. */
+  private val mediaReplayCache = new graft.SnapshotCache[String]
+
+  /** Test hook: the replay dir path, so the spec can assert its
+    * one-file-per-chunk structure (≥4 micro-batches is a property of
+    * the SOURCE layout, not of a progress listener). */
+  private[graft] def mediaReplayDirForTest(spark: SparkSession): String =
+    mediaReplayDir(spark)
+
+  private def mediaReplayDir(spark: SparkSession): String =
+    mediaReplayCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:media",
+      s"synth:${graft.multimodal.BinaryPipeline.NMedia}") {
+      val out = graft.TempDirs.create("graft_replay_media")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val media = graft.multimodal.BinaryPipeline
+        .synthesize(spark, graft.multimodal.BinaryPipeline.NMedia).toDF()
+      (0 until ReplayFiles).foreach { i =>
+        val tmp = graft.TempDirs.create(s"graft_replay_media_chunk_$i")
+        // coalesce(1): one file per chunk so maxFilesPerTrigger=1 is one
+        // micro-batch per chunk — bounded (a chunk is NMedia/4 = 500
+        // payloads), not a general big-corpus writer
+        media.filter(col("media_id") % ReplayFiles === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"media replay chunk $i: no parquet part"))
+        val dst = new java.io.File(out, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 60000L)
+        ()
+      }
+      out
+    }
+
+  /** st16 — streaming decode-at-ingest over the binary media corpus:
+    * the multimodal×streaming intersection the surface lacked. Payloads
+    * arrive in [[ReplayFiles]] micro-batches; each is decoded ONCE at
+    * arrival (sniff dispatch over all four containers — BMP, RLE TGA,
+    * PPM, WAV — map-side inside the ingest batch, the m01 discipline)
+    * into (container, byte length, full-content checksum), and the
+    * per-(modality, container) rollup accumulates in the state store
+    * across batches. State is 4 rows however long the stream runs; the
+    * decode never re-reads a prior batch's payload — per-arrival cost is
+    * O(payload bytes), the only scale term. The aggregate is commutative
+    * integer arithmetic, so the end-of-stream answer must equal the
+    * batch twin bit-exactly — graded by the codec-free DuckDB oracle
+    * ([[graft.multimodal.BinaryPipeline.st16OracleSql]]), which gates
+    * the cross-batch merge AND the decode from outside the JVM. */
+  def st16(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = mediaReplayDir(spark)
+    // footer-only schema probe (streaming sources need explicit schema)
+    val schema = spark.read.parquet(dir).schema
+    val decoded = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[graft.multimodal.BinaryPipeline.MediaRow]
+      .map(graft.multimodal.BinaryPipeline.decodeIngest _)
+      .toDF("modality", "container", "plen", "csum")
+    val agg = decoded
+      .groupBy(col("modality"), col("container"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("plen")).as("total_bytes"),
+        sum(col("csum")).as("content_sum"))
+    runComplete(spark, agg, "st16_media")
+      .orderBy("modality", "container")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_media_ingest" -> ((s, _) => st16(s)),
     "st13_stream_leaderboard" -> ((s, dir) => st13(s, dir)),
     "st12_stream_threshold_alert" -> ((s, dir) => st12(s, dir)),
     "st11_stream_mix_sample" -> ((s, dir) => st11(s, dir)),

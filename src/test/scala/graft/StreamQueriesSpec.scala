@@ -221,4 +221,46 @@ class StreamQueriesSpec extends AnyFunSuite {
     val b = canon(StreamQueries.st01(spark, TestSpark.sfDir))
     assert(a == b)
   }
+
+  test("st16 streaming decode-at-ingest equals the batch decode rollup " +
+    "and the codec-free synthesis twins, across >=4 micro-batches") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.BinaryPipeline
+    val streamed = StreamQueries.st16(spark)
+    // batch twin: the same decode map over the same synthetic corpus,
+    // aggregated in one batch pass — the streaming cross-batch merge
+    // must not change a single integer
+    import spark.implicits._
+    val batch = BinaryPipeline.synthesize(spark, BinaryPipeline.NMedia)
+      .map(BinaryPipeline.decodeIngest _)
+      .toDF("modality", "container", "plen", "csum")
+      .groupBy(col("modality"), col("container"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("plen")).as("total_bytes"),
+        sum(col("csum")).as("content_sum"))
+      .orderBy("modality", "container")
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.size == 4 && s == b) // wav + bmp + tga + ppm rows
+    // decoded content must also equal the codec-FREE twins (synthesis
+    // rule only): sums per (modality, container) from st16ContentSum,
+    // independent of every MediaCodec code path
+    val twin = (0L until BinaryPipeline.NMedia).map { id =>
+      val key =
+        if (id % 3 == 0) ("audio", "wav")
+        else if (id % 6 == 1) ("image", "bmp")
+        else if (id % 6 == 4) ("image", "tga")
+        else ("image", "ppm")
+      key -> BinaryPipeline.st16ContentSum(id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = streamed.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(got == twin)
+    // the source must genuinely deliver multiple micro-batches: the
+    // replay dir is one file per chunk and the stream reads
+    // maxFilesPerTrigger=1
+    val chunks = new java.io.File(StreamQueries.mediaReplayDirForTest(spark))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(chunks >= 4, s"expected >=4 media replay chunks, got $chunks")
+  }
 }
