@@ -206,7 +206,13 @@ object Dedup {
     * recomputes the curve from the exact all-pairs answer (the d04
     * oracle's scale boundary and recall argument apply verbatim). */
   def d12(t: Tables): DataFrame = {
-    val pairs = d04(t).select("doc_a", "doc_b", "n_shared", "n_union")
+    // the once-per-snapshot verified pair checkpoint (now carrying the
+    // verify counts): the two rollups below (pair counts + distinct
+    // docs) would otherwise each re-run the gram-verify probe — exchange
+    // reuse dedups the shuffle writes but not the post-exchange
+    // intersection work (the g03 lesson). Not d04: its presentation
+    // orderBy is a useless range exchange under an aggregate.
+    val pairs = candidatePairs(t)
     val th = t.spark.range(3, 10).select(col("id").as("threshold_x10"))
     val at = pairs.crossJoin(broadcast(th))
       .filter(col("n_shared") * 10 >= col("n_union") * col("threshold_x10"))
@@ -283,7 +289,13 @@ object Dedup {
     pairsCache.getOrElseUpdate(
       s"${t.spark.sparkContext.applicationId}:${t.dir}",
       t.tableFingerprint("documents")) {
-      verifiedPairs(t.documentsWide).select(col("doc_a"), col("doc_b"))
+      // keep the verify counts in the snapshot artifact: the relation is
+      // O(near-dup mass) either way (two extra ints per pair), and it
+      // lets d12's threshold curve ride the same once-per-snapshot
+      // checkpoint the cluster consumers (d06/d15) ride, instead of
+      // re-running the gram-verify chain per query
+      verifiedPairs(t.documentsWide)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_union"))
         .localCheckpoint()
     }
 
@@ -303,8 +315,11 @@ object Dedup {
   private[graft] def minLabelPropagation(pairs: DataFrame,
                                          maxRounds: Int = 20): (DataFrame, Int) = {
     // materialize the edge list once — every propagation round joins it
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // (projecting to the two endpoint columns first: callers may hand the
+    // wider verified relation that carries the n_shared/n_union counts)
+    val p2 = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p2
+      .union(p2.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     val nodes = edges.select(col("doc_a").as("id")).distinct()
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
