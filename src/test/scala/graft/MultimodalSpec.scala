@@ -509,4 +509,25 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotBlast == wantBlast, s"m05 $gotBlast != expected $wantBlast")
   }
+
+  test("st16's codec-free twins match the real containers for EVERY id: " +
+    "full-res TGA length rule and full-content sums vs actual decode") {
+    (0L until BinaryPipeline.NMedia).foreach { id =>
+      val p = BinaryPipeline.synthPayload(id)
+      // the oracle's TGA plen column comes from st16TgaLen, never from
+      // encodeTga — pin the independent packet-walk arithmetic against
+      // the real encoder's output byte-for-byte
+      if (id % 6 == 4)
+        assert(BinaryPipeline.st16TgaLen(id) == p.length,
+          s"id=$id st16TgaLen != real TGA length ${p.length}")
+      // the oracle's csum column comes from the synthesis rule, never
+      // from the codec — pin it against the real encode→sniff→decode
+      val (_, _, plen, csum) = BinaryPipeline.decodeIngest(
+        BinaryPipeline.MediaRow(
+          id, if (id % 3 == 0) "audio" else "image", p, id / 4))
+      assert(plen == p.length)
+      assert(csum == BinaryPipeline.st16ContentSum(id),
+        s"id=$id decoded content sum != synthesis-rule twin")
+    }
+  }
 }
