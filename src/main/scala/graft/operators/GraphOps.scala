@@ -419,25 +419,34 @@ object GraphOps {
     * itself is ONE shuffle on (a, b). Degrees join back broadcast
     * (O(suppliers) rows). Oracle recomputes the projection naively. */
   def g06(t: Tables): DataFrame = {
+    // persisted: sc feeds the degree aggregate AND both legs of the
+    // per-customer wedge self-join — unpersisted, the distinct's final
+    // aggregate re-runs per consumer after the reused exchange (the
+    // g03/d12 re-execution class; unlike t07/s11, the A/B kept this one
+    // — three consumers over O(distinct (s,c)) rows clear the
+    // cache-write break-even). Released below.
     val sc = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sc.groupBy("s").agg(count(lit(1)).as("d"))
     val common = sc.as("x").join(sc.as("y"), "c")
       .where(col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("a"), col("y.s").as("b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(deg.select(col("s").as("a"), col("d").as("da"))), "a")
-      .join(broadcast(deg.select(col("s").as("b"), col("d").as("db"))), "b")
-      .withColumn("jaccard_bp", expr(
-        "(20000 * common + (da + db - common)) div (2 * (da + db - common))"))
-      .select(col("a"), col("b"), col("common"), col("da"), col("db"),
-        col("jaccard_bp"))
-      .orderBy(col("common").desc, col("a"), col("b"))
-      .limit(20)
+    graft.CacheHygiene.materializeAndRelease(
+      common
+        .join(broadcast(deg.select(col("s").as("a"), col("d").as("da"))), "a")
+        .join(broadcast(deg.select(col("s").as("b"), col("d").as("db"))), "b")
+        .withColumn("jaccard_bp", expr(
+          "(20000 * common + (da + db - common)) div (2 * (da + db - common))"))
+        .select(col("a"), col("b"), col("common"), col("da"), col("db"),
+          col("jaccard_bp"))
+        .orderBy(col("common").desc, col("a"), col("b"))
+        .limit(20),
+      Seq(sc))
   }
 
   private val KcoreK = 30
