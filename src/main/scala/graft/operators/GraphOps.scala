@@ -419,12 +419,20 @@ object GraphOps {
     * itself is ONE shuffle on (a, b). Degrees join back broadcast
     * (O(suppliers) rows). Oracle recomputes the projection naively. */
   def g06(t: Tables): DataFrame = {
+    val (plan, caches) = g06Plan(t)
+    graft.CacheHygiene.materializeAndRelease(plan, caches)
+  }
+
+  /** The g06 plan + its internal caches — split out (the g01/g03/g07
+    * pattern) so the plan that executes under the checkpoint stays
+    * dumpable/auditable. */
+  private[graft] def g06Plan(t: Tables): (DataFrame, Seq[DataFrame]) = {
     // persisted: sc feeds the degree aggregate AND both legs of the
     // per-customer wedge self-join — unpersisted, the distinct's final
     // aggregate re-runs per consumer after the reused exchange (the
     // g03/d12 re-execution class; unlike t07/s11, the A/B kept this one
     // — three consumers over O(distinct (s,c)) rows clear the
-    // cache-write break-even). Released below.
+    // cache-write break-even). Released by the wrapper.
     val sc = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -436,17 +444,15 @@ object GraphOps {
       .where(col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("a"), col("y.s").as("b"))
       .agg(count(lit(1)).as("common"))
-    graft.CacheHygiene.materializeAndRelease(
-      common
-        .join(broadcast(deg.select(col("s").as("a"), col("d").as("da"))), "a")
-        .join(broadcast(deg.select(col("s").as("b"), col("d").as("db"))), "b")
-        .withColumn("jaccard_bp", expr(
-          "(20000 * common + (da + db - common)) div (2 * (da + db - common))"))
-        .select(col("a"), col("b"), col("common"), col("da"), col("db"),
-          col("jaccard_bp"))
-        .orderBy(col("common").desc, col("a"), col("b"))
-        .limit(20),
-      Seq(sc))
+    common
+      .join(broadcast(deg.select(col("s").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("s").as("b"), col("d").as("db"))), "b")
+      .withColumn("jaccard_bp", expr(
+        "(20000 * common + (da + db - common)) div (2 * (da + db - common))"))
+      .select(col("a"), col("b"), col("common"), col("da"), col("db"),
+        col("jaccard_bp"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(20) -> Seq(sc)
   }
 
   private val KcoreK = 30
