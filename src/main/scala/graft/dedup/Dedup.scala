@@ -225,6 +225,59 @@ object Dedup {
     nPairs.join(nDocs, Seq("threshold_x10")).orderBy("threshold_x10")
   }
 
+  /** d16's operating points: a coarse τ grid over the verified range
+    * (the checkpoint verifies at J ≥ 0.3, so 0.3 is the loosest
+    * expressible point); shared with the oracle's per-τ unrolls. */
+  private[graft] val D16Thresholds = Seq(3L, 5L, 7L, 9L)
+
+  /** d16 — threshold-parameterized dedup SWEEP at cluster/survivor
+    * level (d12's pair-level curve finished to the decision level): for
+    * each Jaccard threshold τ ∈ [[D16Thresholds]], cluster the
+    * verified pairs surviving τ (connected components, the d06
+    * machinery) and evaluate BOTH survivorship policies (d15's quality
+    * argmax vs naive min-id) — answering the question an engineer
+    * actually asks before picking τ: "how many clusters, how many docs
+    * deduplicated, and how often does the survivor CHOICE change, at
+    * each operating point?". Scale shape: all four legs ride the ONE
+    * once-per-snapshot [[candidatePairs]] checkpoint (which carries the
+    * verify counts precisely so re-thresholding is a filter, not a
+    * re-verify); each propagation runs over the monotonically SHRINKING
+    * τ-subgraph (O(near-dup mass at τ), never the corpus); the corpus
+    * quality scan runs ONCE against the union of all four labelings
+    * (labels are checkpointed scans, so the union re-executes nothing —
+    * the g03 lesson); thresholds with no surviving pairs are absent
+    * rows, matching SQL GROUP BY semantics. Full DuckDB oracle: the
+    * exact all-pairs relation filtered per τ, four unrolled min-label
+    * CTEs off ONE materialized pair computation, d15's window-rank
+    * survivorship, rolled up per τ. */
+  def d16(t: Tables): DataFrame = {
+    val pairs = candidatePairs(t)
+    val labeled = D16Thresholds.map { tau =>
+      val at = pairs.filter(col("n_shared") * 10 >= col("n_union") * tau)
+      val (labels, _) = minLabelPropagation(at)
+      labels.select(lit(tau).as("threshold_x10"), col("id"), col("comp"))
+    }.reduce(_ unionByName _)
+    val quality = t.documentsWide.select(col("doc_id").as("id"),
+      graft.functions.exprs.quality_scan(col("text"))
+        .getField("n_tokens").cast("bigint").as("ntk"))
+    labeled.join(quality.hint("SHUFFLE_HASH"), Seq("id"))
+      .groupBy(col("threshold_x10"), col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("ntk"), (-col("id")).as("negid"), col("id")))
+          .as("best"),
+        min(col("id")).as("naive_id"),
+        min(struct(col("id"), col("ntk"))).getField("ntk")
+          .as("naive_ntk"))
+      .groupBy(col("threshold_x10"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_members")).as("n_docs"),
+        sum(when(col("best.id") =!= col("naive_id"), 1L).otherwise(0L))
+          .as("changed_survivors"),
+        sum(col("best.ntk")).as("survivor_tokens"),
+        sum(col("naive_ntk")).as("naive_tokens"))
+      .orderBy("threshold_x10")
+  }
+
   // d05's multi-table LSH geometry, shared with its oracle's inlined
   // hyperplane VALUES table
   private val D05Tables = 8
@@ -772,7 +825,8 @@ object Dedup {
     "d02_dedup_minhash" -> d02,
     "d03_dedup_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
-    "d12_threshold_curve" -> d12)
+    "d12_threshold_curve" -> d12,
+    "d16_threshold_dedup" -> d16)
 
   /** d02's DuckDB twin — the md5-MinHash pipeline replayed end-to-end in
     * SQL: the same 3-gram strings (D04PairsSql's gram builder), one md5
@@ -949,6 +1003,73 @@ object Dedup {
        |lbl AS (SELECT node, l FROM l$MinLabelUnrollRounds)""".stripMargin
   }
 
+  /** d16's per-τ unrolled min-label block (the [[minLabelCteSql]] idiom
+    * with tag-suffixed CTE names so four unrolls coexist in one
+    * statement, all filtering ONE shared materialized nd_pairs — the
+    * SQL mirror of the engine's shared checkpoint). Ends with
+    * `lbl_t<τ>` = that threshold's converged (node, l) labeling. */
+  private def minLabelCteSqlAt(tau: Long): String = {
+    val tag = s"t$tau"
+    def step(prev: String, cur: String) =
+      s"""$cur AS MATERIALIZED (SELECT e.dst AS node, min(r.l) AS l
+         |  FROM edges_$tag e JOIN $prev r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    val steps = (1 to MinLabelUnrollRounds)
+      .map(i => step(s"l${i - 1}_$tag", s"l${i}_$tag")).mkString(",\n")
+    s"""p_$tag AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM nd_pairs
+       |  WHERE n_shared * 10 >= n_union * $tau),
+       |edges_$tag AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p_$tag
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p_$tag
+       |  UNION ALL SELECT DISTINCT src, src AS dst FROM (
+       |    SELECT doc_a AS src FROM p_$tag
+       |    UNION ALL SELECT doc_b AS src FROM p_$tag)),
+       |l0_$tag AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS l FROM edges_$tag),
+       |$steps,
+       |lbl_$tag AS (SELECT node, l FROM l${MinLabelUnrollRounds}_$tag)"""
+      .stripMargin
+  }
+
+  /** d16's DuckDB twin: the exact all-pairs relation (the d04 oracle)
+    * materialized ONCE, four threshold filters + unrolled min-label
+    * clusterings off it, d15's window-rank survivorship per
+    * (threshold, cluster), rolled up per threshold. */
+  private def d16OracleSql: String = {
+    val unions = D16Thresholds.map(tau =>
+      s"SELECT CAST($tau AS BIGINT) AS threshold_x10, node, l FROM lbl_t$tau")
+      .mkString("\n  UNION ALL ")
+    s"""WITH nd_pairs AS MATERIALIZED ($D04PairsSql),
+       |${D16Thresholds.map(minLabelCteSqlAt).mkString(",\n")},
+       |all_lbl AS (
+       |  $unions),
+       |qual AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS ntk
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT threshold_x10, all_lbl.l, all_lbl.node, qual.ntk,
+       |    row_number() OVER (PARTITION BY threshold_x10, all_lbl.l
+       |      ORDER BY qual.ntk DESC, all_lbl.node) AS q_rn,
+       |    row_number() OVER (PARTITION BY threshold_x10, all_lbl.l
+       |      ORDER BY all_lbl.node) AS n_rn,
+       |    count(*) OVER (PARTITION BY threshold_x10, all_lbl.l)
+       |      AS n_members
+       |  FROM all_lbl JOIN qual ON all_lbl.node = qual.doc_id)
+       |SELECT b.threshold_x10,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(b.n_members) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN b.node <> n.node THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS changed_survivors,
+       |  CAST(sum(b.ntk) AS BIGINT) AS survivor_tokens,
+       |  CAST(sum(n.ntk) AS BIGINT) AS naive_tokens
+       |FROM (SELECT * FROM ranked WHERE q_rn = 1) b
+       |JOIN (SELECT * FROM ranked WHERE n_rn = 1) n
+       |  ON b.threshold_x10 = n.threshold_x10 AND b.l = n.l
+       |GROUP BY b.threshold_x10 ORDER BY b.threshold_x10""".stripMargin
+  }
+
   /** d05's DuckDB twin — the multi-table hyperplane LSH replayed in SQL:
     * the 8×4 plane weights inlined as literal DOUBLE[] rows (generated
     * from the same Scala weight function the kernel runs — RhPlanes'
@@ -1025,6 +1146,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d02_dedup_minhash" -> d02OracleSql,
+    "d16_threshold_dedup" -> d16OracleSql,
     "d03_dedup_simhash" -> d03OracleSql,
     "d05_embedding_neardup" -> d05OracleSql,
     "d07_winnow_overlap" -> d07OracleSql,

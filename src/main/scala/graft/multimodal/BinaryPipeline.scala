@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * dispatch seam against a genuinely different byte geometry), RLE
   * true-color TGA (type 10 packets, bottom-up BGR, TGA 2.0 footer
   * sniffed at the TAIL — added round 9 as the first VARIABLE-LENGTH
-  * container: byte size depends on pixel runs, not just dims), and
-  * RIFF/WAVE (PCM s16le mono, fmt/data chunk walk) — built and parsed
+  * container: byte size depends on pixel runs, not just dims),
+  * RIFF/WAVE PCM (s16le mono, fmt/data chunk walk), and RIFF/WAVE IMA
+  * ADPCM (added round 10 as the FIFTH container and the first LOSSY
+  * one: 4-bit codes against the published adaptive step table, 256-byte
+  * blocks, fact-chunk sample count — decoded content is the quantizer's
+  * output, not the encoder's input, so every decoded-content oracle
+  * forks by coding and verifies through the [[adpcmReplay]] quantizer
+  * twin) — built and parsed
   * by [[MediaCodec]], a pure-JVM codec over the real byte layouts: the
   * decoder validates magic bytes, honors the header's pixel-data offset,
   * walks row padding, RLE packet bounds and RIFF chunks, and un-mirrors
@@ -430,13 +436,244 @@ object BinaryPipeline {
       (rate, samples)
     }
 
+    // ---- IMA ADPCM (RIFF/WAVE wFormatTag 0x0011, mono) — the FIFTH
+    //      container (round 10) and audio's variable-rate/LOSSY leg:
+    //      4-bit codes quantize the delta against an adaptive step, so
+    //      decoded samples are NOT the encoder's input and every
+    //      decoded-content oracle forks by container (the quantizer-
+    //      replay twin discipline, see adpcmReplay). Published
+    //      algorithm: the IMA Digital Audio Focus Group step/index
+    //      tables as carried by the Microsoft WAVE format registry.
+
+    /** 89-entry IMA step-size table (published constants). */
+    private[graft] val AdpcmStepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+
+    /** 16-entry index-adjust table (published constants; indexed by the
+      * full 4-bit code — the sign bit mirrors the magnitude half). */
+    private[graft] val AdpcmIndexTable: Array[Int] = Array(
+      -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** Block size in bytes: 4-byte header (predictor s16le + step index
+      * + reserved 0) then 252 code bytes = 504 nibbles, low nibble
+      * first — 505 samples per block (header carries the first raw). */
+    private[graft] val AdpcmBlockAlign = 256
+    private[graft] val AdpcmSamplesPerBlock = (AdpcmBlockAlign - 4) * 2 + 1
+
+    /** Encoded ADPCM byte size is a CLOSED FORM of the sample count
+      * (unlike the decoded content): RIFF(12) + fmt(8+20) + fact(8+4)
+      * + data header(8) + ceil(n/505) full blocks of 256. Shared with
+      * the m06/st16 oracles' SQL plen arithmetic. */
+    def adpcmBytes(nSamples: Int): Long =
+      60L + AdpcmBlockAlign.toLong *
+        ((nSamples + AdpcmSamplesPerBlock - 1) / AdpcmSamplesPerBlock)
+
+    /** One quantize step: code for (sample − pred) against step(index),
+      * plus the DECODER-side reconstruction of the new predictor — the
+      * encoder must track exactly what the decoder will compute or the
+      * two drift apart within a block. Returns (code, pred', index'). */
+    private def adpcmQuantize(sample: Int, pred: Int, index: Int)
+        : (Int, Int, Int) = {
+      val step = AdpcmStepTable(index)
+      var delta = sample - pred
+      var code = 0
+      if (delta < 0) { code = 8; delta = -delta }
+      if (delta >= step) { code |= 4; delta -= step }
+      if (delta >= (step >> 1)) { code |= 2; delta -= step >> 1 }
+      if (delta >= (step >> 2)) code |= 1
+      val np = adpcmStep(code, pred, step)
+      val ni = math.min(88, math.max(0, index + AdpcmIndexTable(code)))
+      (code, np, ni)
+    }
+
+    /** The decoder's predictor update for one 4-bit code (shared by
+      * encode — see above — and decode): diff = step/8 + the coded
+      * step/1, step/2, step/4 contributions, signed, clamped to s16. */
+    private def adpcmStep(code: Int, pred: Int, step: Int): Int = {
+      var diff = step >> 3
+      if ((code & 4) != 0) diff += step
+      if ((code & 2) != 0) diff += step >> 1
+      if ((code & 1) != 0) diff += step >> 2
+      val p = if ((code & 8) != 0) pred - diff else pred + diff
+      math.max(-32768, math.min(32767, p))
+    }
+
+    /** RIFF/WAVE, IMA ADPCM mono: fmt (tag 0x0011, 2 extra bytes =
+      * samplesPerBlock), fact (total samples — required for compressed
+      * WAVE), data as full [[AdpcmBlockAlign]] blocks (trailing nibbles
+      * of the last block are zero padding; the fact count bounds the
+      * decode). The step index persists across blocks; each block
+      * header re-anchors the predictor with one raw s16 sample. */
+    def encodeAdpcm(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(samples.nonEmpty, "encodeAdpcm: no samples")
+      val nBlocks = (samples.length + AdpcmSamplesPerBlock - 1) /
+        AdpcmSamplesPerBlock
+      val dataLen = nBlocks * AdpcmBlockAlign
+      val b = new Array[Byte](60 + dataLen)
+      b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+      put32(b, 4, 52 + dataLen)
+      b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+      b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+      put32(b, 16, 20)                     // fmt chunk size (16 + cbSize 2 + extra 2)
+      put16(b, 20, 0x11)                   // IMA ADPCM
+      put16(b, 22, 1)                      // mono
+      put32(b, 24, sampleRate)
+      put32(b, 28, sampleRate * AdpcmBlockAlign / AdpcmSamplesPerBlock)
+      put16(b, 32, AdpcmBlockAlign)
+      put16(b, 34, 4)                      // bits per (coded) sample
+      put16(b, 36, 2)                      // cbSize
+      put16(b, 38, AdpcmSamplesPerBlock)
+      b(40) = 'f'; b(41) = 'a'; b(42) = 'c'; b(43) = 't'
+      put32(b, 44, 4)
+      put32(b, 48, samples.length)
+      b(52) = 'd'; b(53) = 'a'; b(54) = 't'; b(55) = 'a'
+      put32(b, 56, dataLen)
+      var index = 0
+      var i = 0
+      var off = 60
+      while (i < samples.length) {
+        var pred: Int = samples(i)
+        put16(b, off, pred & 0xffff)
+        b(off + 2) = index.toByte
+        b(off + 3) = 0
+        i += 1
+        var k = 1
+        while (k < AdpcmSamplesPerBlock) {
+          var code = 0
+          if (i < samples.length) {
+            val (c, np, ni) = adpcmQuantize(samples(i), pred, index)
+            code = c; pred = np; index = ni
+            i += 1
+          } // else: zero-pad nibble; encoder state untouched (the fact
+            // count stops the decoder before it reads these)
+          val bytePos = off + 4 + (k - 1) / 2
+          if ((k - 1) % 2 == 0) b(bytePos) = code.toByte // low nibble first
+          else b(bytePos) = (b(bytePos) | (code << 4)).toByte
+          k += 1
+        }
+        off += AdpcmBlockAlign
+      }
+      b
+    }
+
+    /** Walk the RIFF chunks of an IMA ADPCM WAVE → (sampleRate,
+      * samples). Same chunk-len validation as [[decodeWav]]; block
+      * bounds and the header step index are validated before trust
+      * (truncated/corrupt payloads fail as clean codec errors). */
+    def decodeAdpcm(p: Array[Byte]): (Int, Array[Short]) = {
+      require(p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E', "decodeAdpcm: not a RIFF/WAVE")
+      var off = 12
+      var rate = -1
+      var blockAlign = -1
+      var spb = -1
+      var nSamples = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= p.length) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val len = i32(p, off + 4)
+        require(len >= 0 && off + 8 + len <= p.length,
+          s"decodeAdpcm: chunk '$id' at $off declares len $len past " +
+            s"payload end ${p.length}")
+        id match {
+          case "fmt " =>
+            require(i16(p, off + 8) == 0x11,
+              "decodeAdpcm: not IMA ADPCM")
+            require(i16(p, off + 10) == 1, "decodeAdpcm: only mono supported")
+            rate = i32(p, off + 12)
+            blockAlign = i16(p, off + 20)
+            require(i16(p, off + 22) == 4,
+              "decodeAdpcm: only 4-bit codes supported")
+            require(len >= 20, "decodeAdpcm: fmt missing samplesPerBlock")
+            spb = i16(p, off + 26)
+            require(blockAlign >= 5 && spb == (blockAlign - 4) * 2 + 1,
+              s"decodeAdpcm: samplesPerBlock $spb inconsistent with " +
+                s"blockAlign $blockAlign")
+          case "fact" => nSamples = i32(p, off + 8)
+          case "data" => dataOff = off + 8; dataLen = len
+          case _ => ()
+        }
+        off += 8 + len + (len & 1)
+      }
+      require(rate > 0 && spb > 0 && nSamples >= 0 && dataOff >= 0,
+        "decodeAdpcm: missing fmt/fact/data")
+      require(dataLen >= ((nSamples + spb - 1) / spb) * blockAlign,
+        s"decodeAdpcm: data chunk $dataLen bytes too short for " +
+          s"$nSamples samples")
+      val out = new Array[Short](nSamples)
+      var j = 0
+      var blk = dataOff
+      while (j < nSamples) {
+        var pred = i16(p, blk).toShort.toInt
+        var index = p(blk + 2) & 0xff
+        require(index <= 88, s"decodeAdpcm: step index $index out of table")
+        out(j) = pred.toShort
+        j += 1
+        var k = 1
+        while (k < spb && j < nSamples) {
+          val byte = p(blk + 4 + (k - 1) / 2) & 0xff
+          val code = if ((k - 1) % 2 == 0) byte & 0xf else byte >> 4
+          pred = adpcmStep(code, pred, AdpcmStepTable(index))
+          index = math.min(88, math.max(0, index + AdpcmIndexTable(code)))
+          out(j) = pred.toShort
+          j += 1
+          k += 1
+        }
+        blk += blockAlign
+      }
+      (rate, out)
+    }
+
+    /** Decoded audio regardless of coding: PCM or IMA ADPCM. */
+    def decodeAudio(p: Array[Byte]): (Int, Array[Short]) = sniff(p) match {
+      case "wav"   => decodeWav(p)
+      case "adpcm" => decodeAdpcm(p)
+      case other   => sys.error(s"decodeAudio: not an audio container: $other")
+    }
+
+    /** The wFormatTag of a RIFF/WAVE payload — the fmt chunk is walked
+      * to (never assumed at offset 12) with the same len validation as
+      * the decoders; this is how the sniff tells PCM from IMA ADPCM
+      * (both carry the same RIFF head magic). */
+    private def riffFmtTag(p: Array[Byte]): Int = {
+      var off = 12
+      while (off + 8 <= p.length) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val len = i32(p, off + 4)
+        require(len >= 0 && off + 8 + len <= p.length,
+          s"riffFmtTag: chunk '$id' at $off declares len $len past " +
+            s"payload end ${p.length}")
+        if (id == "fmt ") return i16(p, off + 8)
+        off += 8 + len + (len & 1)
+      }
+      sys.error("MediaCodec: RIFF without fmt chunk")
+    }
+
     /** Container sniff by magic bytes — how the decode dispatch works
-      * (never by trusting a metadata column). */
+      * (never by trusting a metadata column). RIFF/WAVE disambiguates
+      * by the fmt chunk's wFormatTag: PCM (1) vs IMA ADPCM (0x11) are
+      * different CODINGS behind one head magic, exactly like real
+      * container sniffing (round 10, the fifth container). */
     def sniff(p: Array[Byte]): String =
       if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
       else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') "ppm"
       else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
-        p(3) == 'F') "wav"
+        p(3) == 'F') {
+        riffFmtTag(p) match {
+          case 1    => "wav"
+          case 0x11 => "adpcm"
+          case t    => sys.error(f"MediaCodec: unsupported WAVE format tag 0x$t%x")
+        }
+      }
       // TGA has no head magic — the 2.0 footer signature at the TAIL is
       // the format's own detection rule, so it is sniffed last
       else if (isTga(p)) "tga"
@@ -449,7 +686,7 @@ object BinaryPipeline {
       case "bmp" => i32(p, 10)
       case "ppm" => ppmHeader(p)._4
       case "tga" => 18 + (p(0) & 0xff) // header + image-ID field
-      case "wav" =>
+      case "wav" | "adpcm" => // both are RIFF: same data-chunk walk
         var off = 12
         while (off + 8 <= p.length) {
           val id = new String(p, off, 4, "US-ASCII")
@@ -505,8 +742,8 @@ object BinaryPipeline {
             (if (nG > 0) grad / nG / 255 else 0.0).toFloat,
             w.toFloat / h)
           ("image", w, h, f)
-        case "wav" =>
-          val (rate, s) = decodeWav(p)
+        case "wav" | "adpcm" =>
+          val (rate, s) = decodeAudio(p)
           val n = math.max(1, s.length)
           var sum = 0.0; var sumSq = 0.0; var sumAbs = 0.0
           var peak = 0.0; var zc = 0; var dsum = 0.0
@@ -539,7 +776,13 @@ object BinaryPipeline {
   // recomputes the frame-walk arithmetic from these same rules):
   //   image id: w = id%40+8, h = id%30+8, pixel bytes from splitmix64
   //   audio id: ns = id%1024+256 samples at 8 kHz, s16 from splitmix64
-  private[graft] val NMedia = 2000
+  // Corpus size: 2000 is the GRADED corpus every frozen bench row and
+  // spec expectation assumes; the env knob exists for decade audits
+  // (GRAFT_NMEDIA=20000 scales the synthetic corpus AND every
+  // generated oracle consistently — m02/m06/st16's SQL twins are pure
+  // functions of this value), never for driver runs.
+  private[graft] val NMedia: Int =
+    sys.env.get("GRAFT_NMEDIA").map(_.toInt).getOrElse(2000)
   private[graft] def imgW(id: Long): Int = (id % 40 + 8).toInt
   private[graft] def imgH(id: Long): Int = (id % 30 + 8).toInt
   private[graft] def wavN(id: Long): Int = (id % 1024 + 256).toInt
@@ -554,7 +797,14 @@ object BinaryPipeline {
         s(i) = (graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff).toShort
         i += 1
       }
-      MediaCodec.encodeWav(WavRate, s)
+      // Two audio codings in the GRADED corpus (round 10): id%6==0
+      // encodes as PCM WAV, id%6==3 as IMA ADPCM — same synthesized
+      // samples, but ADPCM is LOSSY, so decoded-content results fork by
+      // container (the quantizer-replay twins). The plant rule (id-12)
+      // preserves id%6, so a near-dup always shares its original's
+      // coding.
+      if (id % 6 == 3) MediaCodec.encodeAdpcm(WavRate, s)
+      else MediaCodec.encodeWav(WavRate, s)
     } else {
       val (w, h) = (imgW(id), imgH(id))
       val rgb = new Array[Byte](3 * w * h)
@@ -645,13 +895,19 @@ object BinaryPipeline {
             }
             ResizedMedia(m.media_id, m.modality, nw, nh,
               MediaCodec.encodeImage(img, nw, nh, out))
-          case "wav" =>
-            val (rate, s) = MediaCodec.decodeWav(m.payload)
+          case aud @ ("wav" | "adpcm") =>
+            val (rate, s) = MediaCodec.decodeAudio(m.payload)
             val scale = math.max(1,
               (s.length + math.max(1, maxDim) - 1) / math.max(1, maxDim))
             val out = Array.tabulate(s.length / scale)(i => s(i * scale))
-            ResizedMedia(m.media_id, m.modality, out.length, 1,
-              MediaCodec.encodeWav(math.max(1, rate / scale), out))
+            // same-container round trip (the PPM-stays-PPM discipline):
+            // ADPCM re-encodes through the quantizer, so the resized
+            // payload is lossy relative to the decimated samples — the
+            // m06 oracle twin replays exactly that
+            val enc =
+              if (aud == "adpcm") MediaCodec.encodeAdpcm(math.max(1, rate / scale), out)
+              else MediaCodec.encodeWav(math.max(1, rate / scale), out)
+            ResizedMedia(m.media_id, m.modality, out.length, 1, enc)
         }
       }
     }
@@ -675,8 +931,8 @@ object BinaryPipeline {
             (m.media_id, m.modality, y,
               java.util.Arrays.copyOfRange(rgb, y * w * 3, (y + 1) * w * 3))
           }
-        case "wav" =>
-          val (_, s) = MediaCodec.decodeWav(m.payload)
+        case "wav" | "adpcm" =>
+          val (_, s) = MediaCodec.decodeAudio(m.payload)
           val nBlocks = (s.length + AudioBlock - 1) / AudioBlock
           (0 until nBlocks by stride).map { f =>
             val from = f * AudioBlock
@@ -931,8 +1187,8 @@ object BinaryPipeline {
           case "bmp" | "ppm" | "tga" =>
             val (_, _, rgb) = MediaCodec.decodeImage(r.payload)
             rgb.foldLeft(0L)((a, b) => a + (b & 0xff))
-          case "wav" =>
-            val (_, s) = MediaCodec.decodeWav(r.payload)
+          case "wav" | "adpcm" =>
+            val (_, s) = MediaCodec.decodeAudio(r.payload)
             s.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
         }
         (r.media_id, r.modality, r.width.toLong, r.height.toLong,
@@ -952,7 +1208,18 @@ object BinaryPipeline {
     * oracle inlines these as VALUES; equality with the Spark side's
     * decode(encode(resample(decode(encode(synth))))) gates the codec. */
   private[graft] def m06ContentSum(id: Long): Long = {
-    if (id % 3 == 0) {
+    if (id % 6 == 3) {
+      // IMA ADPCM double round trip: decode #1 is the quantizer replay
+      // of the synthesized samples, the resample decimates THAT, and
+      // decode #2 is the replay of the re-encode of the decimated
+      // stream — two independent quantizer passes, exactly what the
+      // engine's decode→resample→encode→decode computes
+      val n = wavN(id)
+      val scale = (n + ResizeMaxDim - 1) / ResizeMaxDim
+      val d1 = adpcmReplay(synthSamples(id))
+      val dec = Array.tabulate(n / scale)(i => d1(i * scale))
+      sampleBytesSum(adpcmReplay(dec))
+    } else if (id % 3 == 0) {
       val n = wavN(id)
       val scale = (n + ResizeMaxDim - 1) / ResizeMaxDim
       var sum = 0L
@@ -1056,7 +1323,8 @@ object BinaryPipeline {
        |    csum, tlen
        |  FROM m JOIN cs ON cs.id = m.id),
        |p AS (SELECT modality, nw, nh, csum,
-       |    CASE WHEN modality = 'audio' THEN 44 + 2 * nw
+       |    CASE WHEN id % 6 = 3 THEN 60 + 256 * ((nw + 504) // 505)
+       |         WHEN modality = 'audio' THEN 44 + 2 * nw
        |         WHEN id % 6 = 1 THEN 54 + ((3 * nw + 3) // 4 * 4) * nh
        |         WHEN id % 6 = 4 THEN tlen
        |         ELSE length('P6' || chr(10) || CAST(nw AS VARCHAR) || ' ' ||
@@ -1084,8 +1352,8 @@ object BinaryPipeline {
   private[graft] def decodeIngest(m: MediaRow): (String, String, Long, Long) = {
     val kind = MediaCodec.sniff(m.payload)
     val csum: Long = kind match {
-      case "wav" =>
-        val (_, s) = MediaCodec.decodeWav(m.payload)
+      case "wav" | "adpcm" =>
+        val (_, s) = MediaCodec.decodeAudio(m.payload)
         s.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
       case _ =>
         val (_, _, rgb) = MediaCodec.decodeImage(m.payload)
@@ -1094,12 +1362,73 @@ object BinaryPipeline {
     (m.modality, kind, m.payload.length.toLong, csum)
   }
 
+  /** The synthesized audio samples for one id — the synthesis rule
+    * only, shared by the quantizer-replay twins below (the encoders
+    * build the same array inline in [[synthPayload]]). */
+  private def synthSamples(id: Long): Array[Short] = {
+    val n = wavN(id)
+    Array.tabulate(n)(i =>
+      (graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff).toShort)
+  }
+
+  /** Quantizer-replay TWIN of the IMA ADPCM encode→decode round trip
+    * (round 10, the rleTgaBytes discipline applied to the LOSSY leg):
+    * given input samples, produce the samples a decoder recovers — a
+    * separate transcription of the published step-table algorithm,
+    * fused (the decoded stream IS the encoder's predictor sequence,
+    * because the encoder tracks the decoder's reconstruction exactly;
+    * each block's first sample is stored raw). Shares only the
+    * published constant tables with MediaCodec — the code path is
+    * independent, and tools/media_oracle.py replays the same algorithm
+    * a third time in pure Python with its own table literals.
+    * MultimodalSpec pins decode(encode(s)) == adpcmReplay(s). */
+  private[graft] def adpcmReplay(samples: Array[Short]): Array[Short] = {
+    import MediaCodec.{AdpcmIndexTable, AdpcmSamplesPerBlock, AdpcmStepTable}
+    val out = new Array[Short](samples.length)
+    var index = 0
+    var i = 0
+    while (i < samples.length) {
+      var pred: Int = samples(i)
+      out(i) = pred.toShort
+      i += 1
+      var k = 1
+      while (k < AdpcmSamplesPerBlock && i < samples.length) {
+        val step = AdpcmStepTable(index)
+        var delta = samples(i) - pred
+        var code = 0
+        if (delta < 0) { code = 8; delta = -delta }
+        if (delta >= step) { code |= 4; delta -= step }
+        if (delta >= (step >> 1)) { code |= 2; delta -= step >> 1 }
+        if (delta >= (step >> 2)) code |= 1
+        var diff = step >> 3
+        if ((code & 4) != 0) diff += step
+        if ((code & 2) != 0) diff += step >> 1
+        if ((code & 1) != 0) diff += step >> 2
+        pred = math.max(-32768, math.min(32767,
+          if ((code & 8) != 0) pred - diff else pred + diff))
+        index = math.min(88, math.max(0, index + AdpcmIndexTable(code)))
+        out(i) = pred.toShort
+        i += 1
+        k += 1
+      }
+    }
+    out
+  }
+
+  private def sampleBytesSum(s: Array[Short]): Long =
+    s.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
+
   /** Codec-free twin of one payload's FULL content sum: the synthesis
-    * rule only (splitmix64 per pixel/sample), never MediaCodec — the
-    * st16 oracle inlines these as VALUES, so a decode bug anywhere in
-    * the four-container sniff→parse path breaks the driver compare. */
+    * rule only (splitmix64 per pixel/sample) — plus, for the LOSSY
+    * container, the [[adpcmReplay]] quantizer twin — never MediaCodec.
+    * The st16 oracle inlines these as VALUES, so a decode bug anywhere
+    * in the five-container sniff→parse path breaks the driver compare. */
   private[graft] def st16ContentSum(id: Long): Long =
-    if (id % 3 == 0) {
+    if (id % 6 == 3) {
+      // IMA ADPCM: the decoded content is the quantizer's output,
+      // not the synthesized samples
+      sampleBytesSum(adpcmReplay(synthSamples(id)))
+    } else if (id % 3 == 0) {
       val n = wavN(id)
       var sum = 0L
       var i = 0
@@ -1147,13 +1476,15 @@ object BinaryPipeline {
        |      $csums),
        |m AS (SELECT id,
        |    CASE WHEN id % 3 = 0 THEN 'audio' ELSE 'image' END AS modality,
-       |    CASE WHEN id % 3 = 0 THEN 'wav'
+       |    CASE WHEN id % 6 = 0 THEN 'wav'
+       |         WHEN id % 6 = 3 THEN 'adpcm'
        |         WHEN id % 6 = 1 THEN 'bmp'
        |         WHEN id % 6 = 4 THEN 'tga' ELSE 'ppm' END AS container,
        |    id % 40 + 8 AS w, id % 30 + 8 AS h, id % 1024 + 256 AS ns
        |  FROM (SELECT UNNEST(range(0, $NMedia)) AS id)),
        |p AS (SELECT modality, container, csum,
        |    CASE WHEN container = 'wav' THEN 44 + 2 * ns
+       |         WHEN container = 'adpcm' THEN 60 + 256 * ((ns + 504) // 505)
        |         WHEN container = 'bmp' THEN 54 + ((3 * w + 3) // 4 * 4) * h
        |         WHEN container = 'tga' THEN tlen
        |         ELSE length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||

@@ -1151,13 +1151,18 @@ object StreamQueries {
 
   /** Once-per-session chunked replay dir for the synthetic media corpus
     * (the st16 source): [[ReplayFiles]] single-file parquet chunks
-    * striped by media_id % ReplayFiles — every chunk carries all four
-    * containers — with increasing mtimes, so `maxFilesPerTrigger=1`
-    * streams one chunk per micro-batch in order (the events replayDir
-    * discipline; no jitter needed — st16's aggregate is commutative, the
-    * multi-batch split exercises the cross-batch state merge, not
-    * lateness). Cache-keyed on the app id only: the corpus is a pure
-    * function of range(0, NMedia), independent of the sf dir. */
+    * striped by CONTIGUOUS id range (media_id / ceil(NMedia/4)) — not by
+    * media_id % 4, which interferes with the id % 6 container assignment
+    * (BMP ids are odd, TGA ids even, so mod-4 chunks each miss one image
+    * container). A contiguous 500-id block contains every id % 6 class,
+    * so every chunk genuinely carries all four containers — pinned by
+    * StreamQueriesSpec's per-chunk coverage assertion. Chunks get
+    * increasing mtimes, so `maxFilesPerTrigger=1` streams one chunk per
+    * micro-batch in order (the events replayDir discipline; no jitter
+    * needed — st16's aggregate is commutative, the multi-batch split
+    * exercises the cross-batch state merge, not lateness). Cache-keyed
+    * on the app id + NMedia: the corpus is a pure function of
+    * range(0, NMedia), independent of the sf dir. */
   private val mediaReplayCache = new graft.SnapshotCache[String]
 
   /** Test hook: the replay dir path, so the spec can assert its
@@ -1172,14 +1177,17 @@ object StreamQueries {
       s"synth:${graft.multimodal.BinaryPipeline.NMedia}") {
       val out = graft.TempDirs.create("graft_replay_media")
       val base = System.currentTimeMillis() - 3600L * 1000
+      val nMedia = graft.multimodal.BinaryPipeline.NMedia
       val media = graft.multimodal.BinaryPipeline
-        .synthesize(spark, graft.multimodal.BinaryPipeline.NMedia).toDF()
+        .synthesize(spark, nMedia).toDF()
+      val chunkIds = (nMedia + ReplayFiles - 1) / ReplayFiles
       (0 until ReplayFiles).foreach { i =>
         val tmp = graft.TempDirs.create(s"graft_replay_media_chunk_$i")
         // coalesce(1): one file per chunk so maxFilesPerTrigger=1 is one
         // micro-batch per chunk — bounded (a chunk is NMedia/4 = 500
-        // payloads), not a general big-corpus writer
-        media.filter(col("media_id") % ReplayFiles === i)
+        // payloads at the graded size), not a general big-corpus writer
+        media.filter(col("media_id") >= i.toLong * chunkIds &&
+            col("media_id") < (i + 1).toLong * chunkIds)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet"))

@@ -209,6 +209,56 @@ class DedupFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 threshold sweep equals union-find + both survivorship " +
+    "policies per tau over the exact-verified pair graph") {
+    val grams = FixtureData.docTexts.map { case (id, text) =>
+      id -> HashImpls.ngramHashes(arr(toks(text)), 3).toSet
+    }.toMap
+    val ntk: Map[Long, Long] = FixtureData.docTexts.map { case (id, text) =>
+      id -> toks(text).count(_.nonEmpty).toLong
+    }.toMap
+    val expected = Seq(3L, 5L, 7L, 9L).flatMap { tau =>
+      val pairs = bandPairs.filter { case (i, j) =>
+        val s = grams(i).intersect(grams(j)).size.toLong
+        val u = grams(i).union(grams(j)).size.toLong
+        s * 10 >= u * 3 && s * 10 >= u * tau
+      }
+      if (pairs.isEmpty) None
+      else {
+        val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x
+          else { val r = find(parent(x)); parent(x) = r; r }
+        pairs.foreach { case (i, j) =>
+          val (ri, rj) = (find(i), find(j))
+          if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+        }
+        val clusters = pairs.flatMap(p => Seq(p._1, p._2)).toSet.groupBy(find)
+        val rows = clusters.values.toSeq.map { members =>
+          val best = members.toSeq.minBy(id => (-ntk(id), id))
+          val naive = members.min
+          (members.size.toLong, if (best != naive) 1L else 0L,
+            ntk(best), ntk(naive))
+        }
+        Some((tau, clusters.size.toLong, rows.map(_._1).sum,
+          rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum))
+      }
+    }
+    val got = Dedup.d16(t).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"d16 $got != $expected")
+    // the fixture must exercise the sweep non-vacuously (>=2 operating
+    // points with clusters) and the blast radius must be monotone
+    // non-increasing as tau tightens
+    assert(got.size >= 2, s"d16 fixture sweep too thin: $got")
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3,
+        s"n_docs must shrink as tau tightens: $got")
+      case _ => ()
+    }
+  }
+
   test("min-label propagation: diameter > cap throws; raised cap converges on a path graph") {
     val spark = t.spark
     import spark.implicits._

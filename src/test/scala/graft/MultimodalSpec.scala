@@ -268,8 +268,9 @@ class MultimodalSpec extends AnyFunSuite {
     "twin payload by payload") {
     import spark.implicits._
     // the m06 aggregate compares per-modality SUMS; this pins the
-    // per-payload equality the sums are built from, over all three
-    // containers (id % 3 covers WAV/BMP/PPM in any 3-consecutive run)
+    // per-payload equality the sums are built from, over all FIVE
+    // containers (45 consecutive ids cover every id % 6 class: WAV,
+    // IMA ADPCM, BMP, TGA, PPM)
     val sample = (0L until 45L)
     val viaCodec = BinaryPipeline
       .resize(BinaryPipeline.synthesize(spark, 45), 16)
@@ -278,8 +279,8 @@ class MultimodalSpec extends AnyFunSuite {
           case "bmp" | "ppm" | "tga" =>
             MediaCodec.decodeImage(r.payload)._3
               .foldLeft(0L)((a, b) => a + (b & 0xff))
-          case "wav" =>
-            MediaCodec.decodeWav(r.payload)._2
+          case "wav" | "adpcm" =>
+            MediaCodec.decodeAudio(r.payload)._2
               .foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
         }
         r.media_id -> body
@@ -333,7 +334,12 @@ class MultimodalSpec extends AnyFunSuite {
       if (id % 3 == 0) {
         assert(f.modality == "audio")
         assert(f.width == BinaryPipeline.wavN(id) && f.height == 1)
-        assert(f.n_bytes == 44 + 2L * BinaryPipeline.wavN(id))
+        // audio arithmetic forks by coding: PCM is 44 + 2 bytes/sample,
+        // IMA ADPCM (id%6==3) is the closed block form
+        val expectAudio =
+          if (id % 6 == 3) MediaCodec.adpcmBytes(BinaryPipeline.wavN(id))
+          else 44 + 2L * BinaryPipeline.wavN(id)
+        assert(f.n_bytes == expectAudio, s"id=$id audio container size")
       } else {
         assert(f.modality == "image")
         val (w, h) = (BinaryPipeline.imgW(id), BinaryPipeline.imgH(id))
@@ -376,7 +382,11 @@ class MultimodalSpec extends AnyFunSuite {
         assert(w == r.width && h == r.height)
         assert(w <= 16 || h <= 16)
       } else {
-        val (_, s) = MediaCodec.decodeWav(r.payload) // still a valid WAV
+        // audio also round-trips in its arrival coding: ADPCM stays
+        // ADPCM (re-quantized), PCM stays PCM
+        val expectKind = if (r.media_id % 6 == 3) "adpcm" else "wav"
+        assert(MediaCodec.sniff(r.payload) == expectKind, s"id=${r.media_id}")
+        val (_, s) = MediaCodec.decodeAudio(r.payload) // still valid
         assert(s.length == r.width && s.length <= 16)
       }
     }
@@ -394,16 +404,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("graded corpus exercises all four containers through the sniff " +
-    "dispatch (WAV by id%3, BMP/TGA/PPM by id%6), and decode is " +
+  test("graded corpus exercises all five containers through the sniff " +
+    "dispatch (WAV/ADPCM/BMP/TGA/PPM by id%6), and decode is " +
     "magic-driven") {
     val media = BinaryPipeline.synthesize(spark, 99).collect()
     val byKind = media.groupBy(m => MediaCodec.sniff(m.payload))
       .view.mapValues(_.length).toMap
-    // 0..98: id%3==0 → 33 WAV; id%6==1 (1,7,…,97) → 17 BMP;
-    // id%6==4 (4,10,…,94) → 16 TGA; id%3==2 → 33 PPM
-    assert(byKind ==
-      Map("wav" -> 33, "bmp" -> 17, "tga" -> 16, "ppm" -> 33), byKind)
+    // 0..98: id%6==0 (0,6,…,96) → 17 PCM WAV; id%6==3 (3,…,93) → 16
+    // IMA ADPCM; id%6==1 (1,7,…,97) → 17 BMP; id%6==4 (4,…,94) → 16
+    // TGA; id%3==2 → 33 PPM
+    assert(byKind == Map("wav" -> 17, "adpcm" -> 16, "bmp" -> 17,
+      "tga" -> 16, "ppm" -> 33), byKind)
     // the two image containers carry the SAME decoded content for the
     // same id-rule pixels: decode(BMP(id)) at id and decode(PPM(id'))
     // agree with their own synthesis rule, and features are computed
@@ -508,6 +519,66 @@ class MultimodalSpec extends AnyFunSuite {
     val gotBlast = BinaryPipeline.m05(spark).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(gotBlast == wantBlast, s"m05 $gotBlast != expected $wantBlast")
+  }
+
+  test("IMA ADPCM: lossy round trip equals the quantizer-replay twin, " +
+    "byte size is the closed block form, multi-block state carries") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 20) {
+      // lengths straddle the 505-sample block boundary: single-block,
+      // exact-boundary, and multi-block payloads all round-trip
+      val n = if (trial % 4 == 0) 505 * (1 + trial / 4)
+              else 1 + rnd.nextInt(1300)
+      val s = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val p = MediaCodec.encodeAdpcm(8000, s)
+      assert(p.length == MediaCodec.adpcmBytes(n), s"n=$n byte size")
+      assert(MediaCodec.sniff(p) == "adpcm")
+      val (rate, back) = MediaCodec.decodeAdpcm(p)
+      assert(rate == 8000 && back.length == n)
+      // decode(encode(s)) must equal the independent replay — the twin
+      // every csum oracle VALUES row is computed from
+      assert(back.toSeq == BinaryPipeline.adpcmReplay(s).toSeq,
+        s"n=$n decode != quantizer replay")
+      // block anchors: every 505th sample is stored RAW in the block
+      // header, so it reconstructs exactly
+      var k = 0
+      while (k < n) { assert(back(k) == s(k), s"block anchor $k"); k += 505 }
+    }
+    // the coding tracks a smooth signal closely: reconstruction error
+    // bounded by the adaptive step (loose sanity bound, not a golden)
+    val smooth = Array.tabulate(600)(i =>
+      (8000 * math.sin(i / 25.0)).toShort)
+    val (_, rec) = MediaCodec.decodeAdpcm(MediaCodec.encodeAdpcm(8000, smooth))
+    val maxErr = smooth.zip(rec).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 2000, s"smooth-signal max error $maxErr")
+  }
+
+  test("IMA ADPCM rejects truncation and corruption loudly") {
+    val s = Array.fill(700)(123.toShort)
+    val p = MediaCodec.encodeAdpcm(8000, s)
+    // truncated mid-block: the fact count promises more samples than
+    // the data chunk holds
+    val cut = java.util.Arrays.copyOf(p, p.length - 100)
+    // fix the RIFF + data sizes so the CHUNK walk succeeds and the
+    // block-bound check is what fires
+    def put32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    put32(cut, 4, cut.length - 8)
+    put32(cut, 56, cut.length - 60)
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeAdpcm(cut))
+    assert(e.getMessage.contains("too short"), e.getMessage)
+    // corrupt step index past the 89-entry table
+    val bad = p.clone()
+    bad(62) = 120.toByte // block header step index
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodeAdpcm(bad))
+    assert(e2.getMessage.contains("step index"), e2.getMessage)
+    // an unsupported WAVE format tag is a loud sniff error
+    val alien = p.clone()
+    alien(20) = 2 // MS ADPCM, not implemented
+    val e3 = intercept[Exception](MediaCodec.sniff(alien))
+    assert(e3.getMessage.contains("format tag"), e3.getMessage)
   }
 
   test("st16's codec-free twins match the real containers for EVERY id: " +

@@ -241,13 +241,14 @@ class StreamQueriesSpec extends AnyFunSuite {
       .orderBy("modality", "container")
     assert(streamed.columns.toSeq == batch.columns.toSeq)
     val (s, b) = (canon(streamed), canon(batch))
-    assert(s.size == 4 && s == b) // wav + bmp + tga + ppm rows
+    assert(s.size == 5 && s == b) // wav + adpcm + bmp + tga + ppm rows
     // decoded content must also equal the codec-FREE twins (synthesis
     // rule only): sums per (modality, container) from st16ContentSum,
     // independent of every MediaCodec code path
     val twin = (0L until BinaryPipeline.NMedia).map { id =>
       val key =
-        if (id % 3 == 0) ("audio", "wav")
+        if (id % 6 == 0) ("audio", "wav")
+        else if (id % 6 == 3) ("audio", "adpcm")
         else if (id % 6 == 1) ("image", "bmp")
         else if (id % 6 == 4) ("image", "tga")
         else ("image", "ppm")
@@ -259,8 +260,25 @@ class StreamQueriesSpec extends AnyFunSuite {
     // the source must genuinely deliver multiple micro-batches: the
     // replay dir is one file per chunk and the stream reads
     // maxFilesPerTrigger=1
-    val chunks = new java.io.File(StreamQueries.mediaReplayDirForTest(spark))
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(chunks >= 4, s"expected >=4 media replay chunks, got $chunks")
+    val chunkFiles = new java.io.File(StreamQueries.mediaReplayDirForTest(spark))
+      .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(chunkFiles.length >= 4,
+      s"expected >=4 media replay chunks, got ${chunkFiles.length}")
+    // AND every chunk carries all five containers: contiguous-range
+    // striping guarantees each 500-id block holds every id % 6 class
+    // (mod-4 striping would make even chunks BMP-free and odd chunks
+    // TGA-free — the round-9 advice finding)
+    chunkFiles.foreach { f =>
+      val containers = spark.read.parquet(f.getPath)
+        .select(col("media_id")).collect().map { r =>
+          val id = r.getLong(0)
+          if (id % 6 == 0) "wav"
+          else if (id % 6 == 3) "adpcm"
+          else if (id % 6 == 1) "bmp"
+          else if (id % 6 == 4) "tga" else "ppm"
+        }.toSet
+      assert(containers == Set("wav", "adpcm", "bmp", "tga", "ppm"),
+        s"chunk ${f.getName} missing containers: got $containers")
+    }
   }
 }

@@ -3,14 +3,16 @@
 (m01_media_features, m04_phash_neardup, m05_cross_modal_blast).
 
 The graded Spark path runs: synthesize content from splitmix64 ->
-encode a REAL container (RIFF/WAVE by id%3; BMP / RLE TGA / P6 PPM by
-id%6 for images) -> sniff by magic bytes -> decode -> feature/pHash
-math. This script rebuilds the same results in pure Python FROM THE
-SYNTHESIS RULES AND THE CONTAINER LAYOUT SPECS (BinaryPipeline.scala
-synthesis constants; BMP bottom-up padded BGR, PPM top-down RGB after
-the ASCII header, TGA type-10 RLE packets bottom-up BGR with the 2.0
-footer, WAV s16le) with no JVM and no Spark, then compares against the
-graft.Verify dumps. m04/m05
+encode a REAL container (PCM WAV / IMA ADPCM / BMP / RLE TGA / P6 PPM
+by id%6) -> sniff by magic bytes -> decode -> feature/pHash math. This
+script rebuilds the same results in pure Python FROM THE SYNTHESIS
+RULES AND THE CONTAINER LAYOUT SPECS (BinaryPipeline.scala synthesis
+constants; BMP bottom-up padded BGR, PPM top-down RGB after the ASCII
+header, TGA type-10 RLE packets bottom-up BGR with the 2.0 footer,
+WAV s16le, IMA ADPCM 256-byte blocks with the published step/index
+tables — the LOSSY leg, replayed here with this file's OWN table
+literals and quantizer transcription) with no JVM and no Spark, then
+compares against the graft.Verify dumps. m04/m05
 are integer arithmetic end to end -> exact equality required; m01's
 avg_f0 is a rounded mean of float32 features -> compared to 2e-4 (the
 round-4 quantum), counts/bytes/max_width exact.
@@ -76,6 +78,98 @@ def row_stride(w):
     return (3 * w + 3) // 4 * 4
 
 
+# ---- IMA ADPCM (id%6==3): the published step-table quantizer,
+#      transcribed independently of the Scala codec ----
+ADPCM_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767]
+ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+ADPCM_BLOCK = 256
+ADPCM_SPB = (ADPCM_BLOCK - 4) * 2 + 1  # 505
+
+
+def adpcm_quant(sample, pred, index):
+    """One quantize step -> (code, new predictor, new index); the
+    predictor tracks the decoder's reconstruction exactly."""
+    step = ADPCM_STEP[index]
+    delta = sample - pred
+    code = 0
+    if delta < 0:
+        code = 8
+        delta = -delta
+    if delta >= step:
+        code |= 4
+        delta -= step
+    if delta >= step >> 1:
+        code |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        code |= 1
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + ADPCM_INDEX[code]))
+    return code, pred, index
+
+
+def adpcm_replay(samples):
+    """Decoded samples of the encode->decode round trip (the decoded
+    stream IS the encoder's predictor sequence; block anchors raw)."""
+    out = []
+    index = 0
+    i = 0
+    n = len(samples)
+    while i < n:
+        pred = samples[i]
+        out.append(pred)
+        i += 1
+        k = 1
+        while k < ADPCM_SPB and i < n:
+            _, pred, index = adpcm_quant(samples[i], pred, index)
+            out.append(pred)
+            i += 1
+            k += 1
+    return out
+
+
+def adpcm_data_bytes(samples):
+    """The data-chunk byte stream (block headers + packed nibbles, low
+    nibble first; last block zero-padded to the 256-byte align) — what
+    bodyOffset points at, so the m04 pHash hashes exactly these."""
+    out = bytearray()
+    index = 0
+    i = 0
+    n = len(samples)
+    while i < n:
+        pred = samples[i]
+        out += struct.pack("<h", pred)
+        out.append(index)
+        out.append(0)
+        i += 1
+        nibbles = []
+        for _ in range(1, ADPCM_SPB):
+            code = 0
+            if i < n:
+                code, pred, index = adpcm_quant(samples[i], pred, index)
+                i += 1
+            nibbles.append(code)
+        for j in range(0, len(nibbles), 2):
+            out.append(nibbles[j] | (nibbles[j + 1] << 4))
+    return bytes(out)
+
+
 def tga_packets(w, h, rgb):
     """RLE type-10 packet stream (storage order: bottom-up rows, BGR) —
     the same packetization rule as MediaCodec.encodeTga / m06TgaLen:
@@ -111,7 +205,10 @@ def tga_packets(w, h, rgb):
 
 def body_bytes(i):
     """Content bytes as laid out INSIDE the container (what bodyOffset
-    points at): WAV s16le / BMP bottom-up padded BGR / PPM top-down RGB."""
+    points at): WAV s16le / ADPCM coded blocks / BMP bottom-up padded
+    BGR / PPM top-down RGB."""
+    if i % 6 == 3:
+        return adpcm_data_bytes(wav_samples(i))
     if i % 3 == 0:
         s = wav_samples(i)
         return b"".join(struct.pack("<h", v) for v in s)
@@ -133,6 +230,8 @@ def body_bytes(i):
 
 
 def payload_len(i):
+    if i % 6 == 3:  # IMA ADPCM: RIFF+fmt+fact+data headers + full blocks
+        return 60 + ADPCM_BLOCK * ((wav_n(i) + ADPCM_SPB - 1) // ADPCM_SPB)
     if i % 3 == 0:
         return 44 + 2 * wav_n(i)
     w, h = img_dims(i)
@@ -153,6 +252,8 @@ def m01_expected():
     for i in range(N_MEDIA):
         if i % 3 == 0:
             s = wav_samples(i)
+            if i % 6 == 3:  # the LOSSY leg: features see decoded samples
+                s = adpcm_replay(s)
             mod, width = "audio", len(s)
             f0 = f32(sum(float(v) for v in s) / len(s) / 32768.0)
         else:
@@ -219,11 +320,19 @@ def m06_expected():
             ns = wav_n(i)
             scale = (ns + RESIZE_MAX_DIM - 1) // RESIZE_MAX_DIM
             nw, nh = ns // scale, 1
-            plen = 44 + 2 * nw
-            csum = 0
-            for j in range(nw):
-                v = mix64(((i << 20) ^ (j * scale)) & MASK) & 0xFFFF
-                csum += (v & 0xFF) + (v >> 8)
+            if i % 6 == 3:
+                # ADPCM double round trip: replay(decimate(replay(synth)))
+                d1 = adpcm_replay(wav_samples(i))
+                dec = [d1[j * scale] for j in range(nw)]
+                d2 = adpcm_replay(dec)
+                plen = 60 + ADPCM_BLOCK * ((nw + ADPCM_SPB - 1) // ADPCM_SPB)
+                csum = sum((v & 0xFF) + ((v >> 8) & 0xFF) for v in d2)
+            else:
+                plen = 44 + 2 * nw
+                csum = 0
+                for j in range(nw):
+                    v = mix64(((i << 20) ^ (j * scale)) & MASK) & 0xFFFF
+                    csum += (v & 0xFF) + (v >> 8)
             mod = "audio"
         else:
             w, h = img_dims(i)

@@ -10,6 +10,30 @@ original 25 nations / 5 regions, matching how a warehouse actually grows
 are byte-identical across copies: exact-duplicate documents/vectors are
 the realistic web-scale duplication load for the dedup/ANN operators.
 
+Round 10: PLANTED NEAR-DUPS. Byte-identical document copies are d01's
+(exact-dup) load; at factor >= 65 every LSH bucket of an exact-dup
+family exceeds the engines' MaxBucket=64 hot-bucket gate and is
+(correctly) dropped, which made the sf10 d02/d07 pair-mass compare
+vacuous (0 pairs, round-9 verdict item 5). So for a deterministic set
+of base docs (doc_id % 100 == 7 AND >= 60 tokens; 21 docs at sf0.1),
+copies 0 and 1 are rewritten as a pure function of the base doc_id:
+  - every 3rd token (positions 2, 5, 8, ...) becomes the salt
+    nd<doc>, so no token trigram survives against the UNCHANGED
+    copies (>= 2..factor-1) -> the pair is far from the exact-dup
+    family and lands in its own size-2 buckets at any factor;
+  - position 0 becomes m0 in copy 0 and m1 in copy 1, so the pair
+    differs in exactly ONE token -> exact 3-gram Jaccard
+    (n-5)/(n+1) >= 0.9 at n >= 60: a genuine HIGH-J near-dup the
+    banded candidate paths must recover.
+J >= 0.9 is deliberate: it keeps the d04/d12/d16 exact-all-pairs
+oracles inside the documented banding-recall class (miss odds
+(1-J^4)^8 <= 2e-4/pair; a first attempt with mid-J 4-member groups
+measurably broke d04 at sf1 with 2 missed pairs). The >= 0.9 pairs
+also survive every d16 threshold leg ((n-5)*10 >= (n+1)*9 iff
+n >= 59). Both engines read the same parquet, so every oracle
+recomputes over the planted corpus; nothing downstream assumes
+copy-0 text equals the base corpus.
+
 Usage: scale_up.py SRC_DIR DST_DIR FACTOR
 e.g.:  python3 tools/scale_up.py /root/testdata/sf0.1 /tmp/testdata/sf1 10
 
@@ -42,6 +66,52 @@ OFFSETS = {
 }
 
 
+PLANT_MOD = 100
+PLANT_RESIDUE = 7
+PLANT_MIN_TOKENS = 60
+
+
+def plant_text(text, base_doc_id, copy):
+    """Deterministic near-dup rewrite of one planted doc copy (see module
+    docstring). Only copies 0 and 1 are rewritten; the pair differs in
+    exactly one token (position 0), giving exact 3-gram Jaccard
+    (n-5)/(n+1) >= 0.9 at the >= 60-token eligibility floor."""
+    toks = text.split()
+    if copy > 1 or len(toks) < PLANT_MIN_TOKENS:
+        return text
+    out = list(toks)
+    for p in range(2, len(out), 3):
+        out[p] = f"nd{base_doc_id}"
+    out[0] = f"m{copy}"
+    return " ".join(out)
+
+
+def plant_documents(tbl, copy):
+    """Apply the near-dup plant to one copy of the base documents table
+    (before key offsetting). Planted rows move to the end of the copy --
+    parquet row order carries no semantics here."""
+    if copy > 1:
+        return tbl
+    doc_ids = tbl["doc_id"]
+    mask = pc.equal(
+        pc.subtract(doc_ids,
+                    pc.multiply(pc.divide(doc_ids, PLANT_MOD), PLANT_MOD)),
+        PLANT_RESIDUE)
+    planted = tbl.filter(mask)
+    rest = tbl.filter(pc.invert(mask))
+    if planted.num_rows == 0:
+        return tbl
+    idx = planted.schema.get_field_index("text")
+    field = planted.schema.field("text")
+    new_text = pa.array(
+        [plant_text(t, d, copy)
+         for d, t in zip(planted["doc_id"].to_pylist(),
+                         planted["text"].to_pylist())],
+        type=field.type)
+    planted = planted.set_column(idx, field, new_text)
+    return pa.concat_tables([rest, planted])
+
+
 def main(src, dst, factor):
     os.makedirs(dst, exist_ok=True)
     tables = {t: pq.read_table(os.path.join(src, f"{t}.parquet"))
@@ -62,7 +132,7 @@ def main(src, dst, factor):
         else:
             copies = []
             for i in range(factor):
-                c = tbl
+                c = plant_documents(tbl, i) if t == "documents" else tbl
                 for col, space in OFFSETS[t].items():
                     idx = c.schema.get_field_index(col)
                     field = c.schema.field(col)
