@@ -41,7 +41,9 @@ object SparkEntry {
         "m05_cross_modal_blast" -> ((s: SparkSession, _: String) =>
           graft.multimodal.BinaryPipeline.m05(s)),
         "m06_media_resize" -> ((s: SparkSession, _: String) =>
-          graft.multimodal.BinaryPipeline.m06(s)))
+          graft.multimodal.BinaryPipeline.m06(s)),
+        "m07_audio_transcode" -> ((s: SparkSession, _: String) =>
+          graft.multimodal.BinaryPipeline.m07(s)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -69,6 +71,10 @@ object SparkEntry {
         // resize round trip: dims/byte sizes as integer arithmetic over
         // range(0, NMedia), content sums from the codec-free VALUES twin
         "m06_media_resize" -> graft.multimodal.BinaryPipeline.m06OracleSql,
+        // transcode-to-PCM: bytes in/out as closed forms per container,
+        // content sums from the SAME codec-free twin as st16 (PCM
+        // re-encode is lossless over the decoded stream)
+        "m07_audio_transcode" -> graft.multimodal.BinaryPipeline.m07OracleSql,
         // the streaming queries must reproduce their batch twins exactly,
         // so they share the twins' oracle SQL verbatim
         "st01_stream_window_agg" -> Relational.oracles("q30_time_bucket_agg"),

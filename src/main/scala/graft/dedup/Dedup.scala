@@ -251,12 +251,31 @@ object Dedup {
     * CTEs off ONE materialized pair computation, d15's window-rank
     * survivorship, rolled up per τ. */
   def d16(t: Tables): DataFrame = {
+    // materialized BEFORE the legs spawn (localCheckpoint is eager), so
+    // the four threads share one artifact instead of racing to build it
     val pairs = candidatePairs(t)
-    val labeled = D16Thresholds.map { tau =>
-      val at = pairs.filter(col("n_shared") * 10 >= col("n_union") * tau)
-      val (labels, _) = minLabelPropagation(at)
-      labels.select(lit(tau).as("threshold_x10"), col("id"), col("comp"))
-    }.reduce(_ unionByName _)
+    // The four propagations are independent chains of SMALL jobs whose
+    // rounds are driver-synchronized barriers — run serially, each
+    // leg's per-round scheduling latency is dead time on 31 idle cores.
+    // Submitting the legs from concurrent driver threads (the standard
+    // multi-job Spark pattern; a production sweep submits its operating
+    // points the same way) overlaps one leg's barrier with another
+    // leg's work: wall ≈ max(legs), not sum. Output is unchanged — the
+    // legs never share mutable state (each owns its labels chain and
+    // per-round Observations; the shared `pairs` checkpoint is
+    // read-only).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val legs = D16Thresholds.map { tau =>
+      Future {
+        val at = pairs.filter(col("n_shared") * 10 >= col("n_union") * tau)
+        val (labels, _) = minLabelPropagation(at)
+        labels.select(lit(tau).as("threshold_x10"), col("id"), col("comp"))
+      }
+    }
+    val labeled = Await.result(Future.sequence(legs), Duration.Inf)
+      .reduce(_ unionByName _)
     val quality = t.documentsWide.select(col("doc_id").as("id"),
       graft.functions.exprs.quality_scan(col("text"))
         .getField("n_tokens").cast("bigint").as("ntk"))

@@ -1203,6 +1203,106 @@ object BinaryPipeline {
       .orderBy("modality")
   }
 
+  /** m07 — audio transcode-to-PCM normalization (round 10): every
+    * audio payload is decoded through the sniff dispatch and re-encoded
+    * as PCM s16le — the "normalize the zoo of ingest codings to ONE
+    * training-friendly format" pass every audio pipeline runs before
+    * feature extraction; images pass through untouched (the pass is
+    * modality-targeted, not a blind rewrite). Per ARRIVAL container:
+    * payload count, bytes in, bytes out (the compression-ratio audit —
+    * what the cheap 4-bit coding was saving), and the content sum of
+    * the TRANSCODED payloads' decoded samples/pixels.
+    *
+    * Fully SQL-oracled, and deliberately so: PCM re-encode is lossless
+    * over the decoded stream, so the transcoded content sum per id IS
+    * [[st16ContentSum]] (quantizer-replayed for the ADPCM ids) — the
+    * transcode is graded by the same codec-free VALUES twin as the
+    * ingest checksum, and bytes in/out are closed forms of the id. A
+    * decode bug, a lossy re-encode, or a dropped sample anywhere in
+    * decode→encodeWav→decode breaks the compare.
+    *
+    * Scale shape: map-only per payload (decode/re-encode never leave
+    * the partition, the m01/m06 mapPartitions discipline); only the
+    * 5-row per-container aggregate shuffles. */
+  def m07(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synthesize(spark, NMedia)
+      .mapPartitions { rows =>
+        rows.map { m =>
+          MediaCodec.sniff(m.payload) match {
+            case aud @ ("wav" | "adpcm") =>
+              val (rate, s) = MediaCodec.decodeAudio(m.payload)
+              val out = MediaCodec.encodeWav(rate, s)
+              val (_, back) = MediaCodec.decodeWav(out)
+              (aud, m.payload.length.toLong, out.length.toLong,
+                back.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff)))
+            case img =>
+              // images pass through: bytes out = bytes in, content sum
+              // over the decoded pixels (the integrity signal is still
+              // computed — a normalization pass verifies what it skips)
+              val (_, _, rgb) = MediaCodec.decodeImage(m.payload)
+              (img, m.payload.length.toLong, m.payload.length.toLong,
+                rgb.foldLeft(0L)((a, b) => a + (b & 0xff)))
+          }
+        }
+      }
+      .toDF("container", "bytes_in", "bytes_out", "csum")
+      .groupBy(col("container"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("bytes_in")).as("bytes_in"),
+        sum(col("bytes_out")).as("bytes_out"),
+        sum(col("csum")).as("content_sum"))
+      .orderBy("container")
+  }
+
+  /** The m07 oracle: arrival-container mapping, closed-form byte sizes
+    * on BOTH sides of the transcode (ADPCM blocks in, 44+2n PCM out;
+    * images identical in/out), and content sums from the SAME
+    * codec-free [[st16ContentSum]] VALUES twin the ingest checksum is
+    * graded by — PCM re-encode is lossless over the decoded stream, so
+    * transcoded content ≡ ingest content per id. */
+  def m07OracleSql: String = {
+    val csums = (0L until NMedia).map(i => s"($i,${st16ContentSum(i)})")
+      .grouped(128).map(_.mkString(",")).mkString(",\n      ")
+    s"""WITH cs(id, csum) AS (VALUES
+       |      $csums),
+       |m AS (SELECT id,
+       |    CASE WHEN id % 6 = 0 THEN 'wav'
+       |         WHEN id % 6 = 3 THEN 'adpcm'
+       |         WHEN id % 6 = 1 THEN 'bmp'
+       |         WHEN id % 6 = 4 THEN 'tga' ELSE 'ppm' END AS container,
+       |    id % 40 + 8 AS w, id % 30 + 8 AS h, id % 1024 + 256 AS ns
+       |  FROM (SELECT UNNEST(range(0, $NMedia)) AS id)),
+       |p AS (SELECT container, csum,
+       |    CASE WHEN container = 'wav' THEN 44 + 2 * ns
+       |         WHEN container = 'adpcm' THEN 60 + 256 * ((ns + 504) // 505)
+       |         WHEN container = 'bmp' THEN 54 + ((3 * w + 3) // 4 * 4) * h
+       |         WHEN container = 'tga' THEN tlen
+       |         ELSE length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+       |                     CAST(h AS VARCHAR) || chr(10) || '255' ||
+       |                     chr(10)) + 3 * w * h
+       |    END AS bytes_in,
+       |    CASE WHEN container IN ('wav', 'adpcm') THEN 44 + 2 * ns
+       |         ELSE NULL END AS pcm_out
+       |  FROM m JOIN cs ON cs.id = m.id
+       |  LEFT JOIN (VALUES $m07TgaLenValues) AS tl(tid, tlen)
+       |    ON tl.tid = m.id)
+       |SELECT container, count(*) AS n_media,
+       |  CAST(sum(bytes_in) AS BIGINT) AS bytes_in,
+       |  CAST(sum(coalesce(pcm_out, bytes_in)) AS BIGINT) AS bytes_out,
+       |  CAST(sum(csum) AS BIGINT) AS content_sum
+       |FROM p GROUP BY container ORDER BY container""".stripMargin
+  }
+
+  /** Full-res TGA byte lengths as a VALUES list for the m07 oracle —
+    * the same [[st16TgaLen]] codec-free packet-walk rule st16's plen
+    * column uses (TGA is the one container whose size has no closed
+    * form). */
+  private def m07TgaLenValues: String =
+    (0L until NMedia).filter(_ % 6 == 4)
+      .map(i => s"($i,${st16TgaLen(i)})")
+      .grouped(128).map(_.mkString(",")).mkString(",\n      ")
+
   /** Codec-free twin of one resized payload's content sum: synthesis
     * rule + resample positions only — never touches MediaCodec. The m06
     * oracle inlines these as VALUES; equality with the Spark side's

@@ -581,6 +581,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("format tag"), e3.getMessage)
   }
 
+  test("m07 transcode-to-PCM: lossless over the decoded stream, images " +
+    "pass through byte-identical, per-container rollup is exact") {
+    // full-corpus expectation from the synthesis rules + twins: the
+    // transcoded content sum per id IS st16ContentSum (PCM re-encode is
+    // lossless over the decoded samples); bytes in/out from the
+    // container layout arithmetic (TGA in-bytes via the real payload —
+    // the packet walk has no closed form)
+    val got = BinaryPipeline.m07(spark)
+    val wantFull = (0L until BinaryPipeline.NMedia).map { id =>
+      val container =
+        if (id % 6 == 0) "wav" else if (id % 6 == 3) "adpcm"
+        else if (id % 6 == 1) "bmp" else if (id % 6 == 4) "tga" else "ppm"
+      val plenIn =
+        if (id % 6 == 3) graft.multimodal.BinaryPipeline.MediaCodec
+          .adpcmBytes(BinaryPipeline.wavN(id))
+        else if (id % 3 == 0) 44L + 2L * BinaryPipeline.wavN(id)
+        else BinaryPipeline.synthPayload(id).length.toLong
+      val plenOut =
+        if (id % 3 == 0) 44L + 2L * BinaryPipeline.wavN(id) else plenIn
+      (container, plenIn, plenOut, BinaryPipeline.st16ContentSum(id))
+    }.groupBy(_._1).view.mapValues { rows =>
+      (rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum)
+    }.toMap
+    val rows = got.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows == wantFull, s"m07 $rows != $wantFull")
+    // the compression-ratio audit must be non-trivial: ADPCM bytes_out
+    // (PCM) is ~2.7x bytes_in over this corpus (4-bit codes ~4x, minus
+    // the 60-byte header + 256-byte block padding on short files);
+    // images are identical in/out
+    val ad = rows("adpcm")
+    assert(ad._3 > 2 * ad._2, s"ADPCM expansion missing: $ad")
+    Seq("bmp", "tga", "ppm").foreach { c =>
+      assert(rows(c)._2 == rows(c)._3, s"$c must pass through: ${rows(c)}")
+    }
+    assert(rows.keySet == Set("wav", "adpcm", "bmp", "tga", "ppm"))
+  }
+
   test("st16's codec-free twins match the real containers for EVERY id: " +
     "full-res TGA length rule and full-content sums vs actual decode") {
     (0L until BinaryPipeline.NMedia).foreach { id =>
