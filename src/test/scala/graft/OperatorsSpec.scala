@@ -26,7 +26,7 @@ class OperatorsSpec extends AnyFunSuite {
         text.TextOps.queries.size +
         dedup.Dedup.queries.size + similarity.Similarity.queries.size +
         pipeline.PipelineQueries.queries.size +
-        streaming.StreamQueries.queries.size + 6 // the 6 inline m-entries
+        streaming.StreamQueries.queries.size + 7 // the 7 inline m-entries
     assert(qs.size == moduleSizes,
       s"key collision between module query maps: ${qs.size} != $moduleSizes")
   }
