@@ -119,6 +119,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 scans the document corpus ONCE: the quality projection " +
+    "joins the union of the four checkpointed labelings, not per leg") {
+    // the four tau-legs are checkpointed RDD scans by the time the
+    // terminal plan runs; the expensive term is the quality_scan over
+    // documents, which must appear against ONE parquet scan — a per-leg
+    // quality join would plan four
+    val plan = dedup.Dedup.d16(TestSpark.tables)
+      .queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans == 1,
+      s"d16 must scan documents exactly once (got $docScans):\n$plan")
+    // and the four legs arrive as checkpointed scans (no re-derived
+    // LSH/gram chain in the terminal plan)
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 4,
+      s"d16's legs must be checkpointed label scans:\n$plan")
+  }
+
   test("t26's bucket-LM probe broadcasts: the 256-row feature table is " +
     "constant-size at any corpus scale") {
     val plan = text.TextOps.t26(TestSpark.tables)
