@@ -47,19 +47,35 @@ object Bench {
     // Default 3 runs/query; SPARK_GRAFT_BENCH_RUNS=2 reproduces the round
     // driver's min-of-2 protocol for like-for-like baseline comparisons.
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // Optional wall-clock timeline (SPARK_GRAFT_BENCH_TIMELINE=path,
+    // round 10): one TSV row per (query, run) with epoch-second start/
+    // end, joinable against a concurrent `vmstat -t` trace — the
+    // incident-level drift attribution tools/quiet_bench.sh arms
+    // (tools/drift_join.py does the join). Opt-in and side-channel:
+    // the driver-facing stdout/JSON contract is untouched.
+    val timeline = sys.env.get("SPARK_GRAFT_BENCH_TIMELINE")
+      .map(p => new java.io.PrintWriter(new java.io.FileWriter(p)))
+    timeline.foreach(_.println("query\trun\tstart_epoch\tend_epoch\tsec"))
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+      val times = (1 to runs).flatMap { r =>
+        val w0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
           catch { case _: Throwable => false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val sec = (System.nanoTime() - t0) / 1e9
+        timeline.foreach { tl =>
+          tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f")
+          tl.flush()
+        }
+        if (ok) Some(sec) else None
       }
       // min over SUCCESSFUL runs; -1 only if every run failed (a -1
       // sentinel inside min would let one transient failure mask two
       // good runs and corrupt the total)
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    timeline.foreach(_.close())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -27,4 +27,7 @@ trap 'kill "$vpid" 2>/dev/null || true' EXIT
 SPARK_GRAFT_BENCH_RUNS=$runs \
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   SPARK_GRAFT_BENCH_OUT="$out" \
+  SPARK_GRAFT_BENCH_TIMELINE="${vm%.log}.timeline.tsv" \
   sbt -batch "runMain graft.Bench"
+# incident-level join: per-run host counters while each query executed
+# (tools/drift_join.py "${vm%.log}.timeline.tsv" "$vm")
