@@ -8,6 +8,21 @@ import org.apache.spark.sql.SparkSession
   * query's time reflects the query, not first-touch initialization.
   */
 object Bench {
+  /** Which sidecar files a run may refresh (pure so BenchSinkSpec can
+    * gate it; round-11 verdict item 1). EVERY run writes BENCH_LAST.json
+    * — the driver/judge can always read the latest reading — but the
+    * canonical BENCH_SUMMARY.json is refreshed ONLY by a full-suite run
+    * under the quiet frozen protocol (quiet_bench.sh sets
+    * SPARK_GRAFT_BENCH_PROTOCOL=quiet after arming the vmstat trace).
+    * The round-10 driver's hot full-suite run clobbered the 156.2 s
+    * validation-F record, proving "full-suite" alone is not a
+    * sufficient guard for the frozen-protocol yardstick. */
+  private[graft] def summarySinks(targeted: Boolean,
+                                  protocol: Option[String]): Seq[String] =
+    if (!targeted && protocol.contains("quiet"))
+      Seq("BENCH_LAST.json", "BENCH_SUMMARY.json")
+    else Seq("BENCH_LAST.json")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -27,6 +42,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ADVICE r10: refuse a stray GRAFT_NMEDIA (it rescales corpus AND
+    // oracles together, so nothing else would flag it) and stamp the
+    // effective size into the log + summary.
+    graft.multimodal.BinaryPipeline.assertGradedCorpusOrAudit("bench")
+    val nMedia = graft.multimodal.BinaryPipeline.NMedia
 
     // warm-up: codegen + shuffle + parquet reader paths
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
@@ -55,27 +76,41 @@ object Bench {
     // the driver-facing stdout/JSON contract is untouched.
     val timeline = sys.env.get("SPARK_GRAFT_BENCH_TIMELINE")
       .map(p => new java.io.PrintWriter(new java.io.FileWriter(p)))
-    timeline.foreach(_.println("query\trun\tstart_epoch\tend_epoch\tsec"))
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { r =>
-        val w0 = System.currentTimeMillis()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
-          catch { case _: Throwable => false }
-        val sec = (System.nanoTime() - t0) / 1e9
-        timeline.foreach { tl =>
-          tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f")
-          tl.flush()
+    // ok column (ADVICE r10): a run that errored out is otherwise
+    // indistinguishable from a measured run in the timeline, so drift
+    // attribution could "explain" a duration that was actually a failure.
+    timeline.foreach(_.println("query\trun\tstart_epoch\tend_epoch\tsec\tok"))
+    // try/finally (ADVICE r10): a fatal abort mid-suite must still close
+    // the writer, and a swallowed I/O error (PrintWriter never throws)
+    // must be surfaced — a silently truncated timeline would be joined
+    // by drift_join.py without complaint.
+    val results =
+      try selected.map { case (name, fn) =>
+        val times = (1 to runs).flatMap { r =>
+          val w0 = System.currentTimeMillis()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+            catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          timeline.foreach { tl =>
+            tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f\t$ok")
+            tl.flush()
+          }
+          if (ok) Some(sec) else None
         }
-        if (ok) Some(sec) else None
+        // min over SUCCESSFUL runs; -1 only if every run failed (a -1
+        // sentinel inside min would let one transient failure mask two
+        // good runs and corrupt the total)
+        name -> (if (times.nonEmpty) times.min else -1.0)
       }
-      // min over SUCCESSFUL runs; -1 only if every run failed (a -1
-      // sentinel inside min would let one transient failure mask two
-      // good runs and corrupt the total)
-      name -> (if (times.nonEmpty) times.min else -1.0)
-    }
-    timeline.foreach(_.close())
+      finally timeline.foreach { tl =>
+        tl.close()
+        if (tl.checkError())
+          System.err.println("[bench] WARNING: timeline write FAILED — " +
+            "the TSV is truncated or missing rows; drift attribution over " +
+            "this run is unreliable")
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -136,8 +171,14 @@ object Bench {
         },"n_over":${over.size},"max_ratio":${r3(maxR._2)},"max_q":"${maxR._1}""""
       } else ""
       val failed = results.count(_._2 < 0)
+      // protocol stamp (round-11 verdict item 1): a record written by a
+      // hot/ad-hoc session is self-labeling even if copied around later.
+      val proto = sys.env.get("SPARK_GRAFT_BENCH_PROTOCOL").getOrElse("ad-hoc")
+      val media = if (nMedia != graft.multimodal.BinaryPipeline.GradedNMedia)
+        s""","nmedia":$nMedia""" else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size
-        },"failed":$failed,"sf":"${sfDir.split('/').last}"$gated}"""
+        },"failed":$failed,"protocol":"$proto"$media,"sf":"${
+        sfDir.split('/').last}"$gated}"""
     }
     println(summary)
     // Five rounds of BENCH artifacts carry "parsed": null — the driver
@@ -148,13 +189,15 @@ object Bench {
     // merged with the per-query map: one self-contained JSON object the
     // driver/judge can read without any stdout parsing.
     val merged = summary.dropRight(1) + s""","queries":$qs}"""
-    // Only a FULL-suite run may refresh the canonical sidecar: a
-    // SPARK_GRAFT_BENCH_ONLY-filtered iteration run would otherwise
-    // silently clobber the 207-query record the driver/judge read
-    // (it happened — the round-8 advice file carries the scar).
-    if (only.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+    // Sink routing (round-11 verdict item 1): BENCH_LAST.json always;
+    // BENCH_SUMMARY.json ONLY from a full-suite quiet-protocol run.
+    // Targeted-filter clobbering bit round 8; hot-session clobbering bit
+    // round 10 — summarySinks (spec-gated) encodes both scars.
+    summarySinks(only.nonEmpty,
+        sys.env.get("SPARK_GRAFT_BENCH_PROTOCOL")).foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (merged + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ADVICE r10: refuse a stray GRAFT_NMEDIA (it rescales the graded
+    // media corpus AND every generated oracle together, so the compare
+    // itself cannot flag it); decade audits declare GRAFT_NMEDIA_AUDIT=1.
+    graft.multimodal.BinaryPipeline.assertGradedCorpusOrAudit("verify")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated name filter for targeted local iteration
     // (unset in driver runs → full dump).

@@ -20,6 +20,9 @@ if [ ! -f "$OUT_DIR/oracle_sql.json" ]; then
   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
 fi
 
+echo "== gate 0/6: drift-attribution tooling selftest (synthetic hot window)"
+python3 tools/drift_join_selftest.py
+
 echo "== gate 1/6: driver-style DuckDB oracle compare"
 python3 tools/check_oracle.py "$SF_DIR" "$OUT_DIR"
 

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Incident-level drift attribution: join a Bench per-run timeline
-(SPARK_GRAFT_BENCH_TIMELINE TSV — query, run, epoch start/end, sec)
+(SPARK_GRAFT_BENCH_TIMELINE TSV — query, run, epoch start/end, sec, ok)
 against a concurrent `vmstat -t 2` trace, and report, for each query
 run, the host counters observed WHILE it executed: max/mean CPU steal,
 max iowait, and swap activity. This is the final step of the round-10
@@ -8,17 +8,28 @@ attribution chain: when a query reads slow, this tool answers "was the
 host stealing cycles during exactly that window?" with numbers instead
 of pattern-matching.
 
-Usage: tools/drift_join.py TIMELINE_TSV VMSTAT_LOG [--threshold-ratio R]
-  With --threshold-ratio and a BASELINE.md in the cwd, only runs whose
-  sec exceeds R x the query's frozen value are printed (default: print
-  the 15 runs with the highest max-steal overlap).
+Usage: tools/drift_join.py TIMELINE_TSV VMSTAT_LOG
+         [--threshold-ratio R] [--tz utc|local] [--stats-json]
+  --threshold-ratio R  with a BASELINE.md in the cwd, only print runs
+      whose sec exceeds R x the query's frozen value (default: print
+      the 15 runs with the highest max-steal overlap).
+  --tz utc|local  how to interpret vmstat -t timestamps (vmstat prints
+      LOCAL time; default 'local' resolves via the host zone, which on
+      a UTC box is identical to 'utc' — the flag exists so a non-UTC
+      host cannot silently join wrong windows).
+  --stats-json  print ONE JSON object summarizing steal exposure over
+      the whole session (for quiet_bench.sh to merge into the bench
+      record) instead of the per-run table.
 """
+import json
 import re
 import sys
 from datetime import datetime, timezone
 
+HOT_STEAL_PCT = 5  # a run is "hot" if max steal in its window >= this
 
-def parse_vmstat(path):
+
+def parse_vmstat(path, tz="local"):
     """[(epoch_sec, steal, iowait, swap_in+swap_out)] from vmstat -t."""
     out = []
     for line in open(path):
@@ -29,8 +40,13 @@ def parse_vmstat(path):
             try:
                 ts = datetime.strptime(
                     parts[-2] + " " + parts[-1], "%Y-%m-%d %H:%M:%S")
-                # vmstat prints LOCAL time; the box runs UTC
-                epoch = ts.replace(tzinfo=timezone.utc).timestamp()
+                # vmstat prints LOCAL wall time (ADVICE r10: hardcoding
+                # UTC silently mis-joins every window on a non-UTC host).
+                # astimezone() on a naive datetime attaches the host zone.
+                if tz == "utc":
+                    epoch = ts.replace(tzinfo=timezone.utc).timestamp()
+                else:
+                    epoch = ts.astimezone().timestamp()
                 si, so = int(parts[6]), int(parts[7])
                 wa, st = int(parts[15]), int(parts[16])
                 out.append((epoch, st, wa, si + so))
@@ -40,16 +56,25 @@ def parse_vmstat(path):
 
 
 def parse_timeline(path):
+    """[(query, run, start, end, sec, ok)] — ok defaults True for the
+    5-column pre-round-11 format so archived timelines stay joinable."""
     rows = []
     for line in open(path):
         if line.startswith("query\t"):
             continue
-        q, r, a, b, sec = line.rstrip("\n").split("\t")
-        rows.append((q, int(r), float(a), float(b), float(sec)))
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 5:
+            continue
+        ok = f[5].strip().lower() == "true" if len(f) >= 6 else True
+        rows.append((f[0], int(f[1]), float(f[2]), float(f[3]),
+                     float(f[4]), ok))
     return rows
 
 
 def frozen_map():
+    """query -> frozen seconds; value may legitimately be 0.0, and a
+    missing query is represented by ABSENCE (ADVICE r10: callers must
+    use `is not None`, not truthiness)."""
     frozen = {}
     try:
         intable = False
@@ -68,35 +93,76 @@ def frozen_map():
     return frozen
 
 
-def main():
-    timeline, vmlog = sys.argv[1], sys.argv[2]
-    ratio = None
-    if "--threshold-ratio" in sys.argv:
-        ratio = float(sys.argv[sys.argv.index("--threshold-ratio") + 1])
-    vm = parse_vmstat(vmlog)
-    runs = parse_timeline(timeline)
-    frozen = frozen_map()
-    joined = []
-    for q, r, a, b, sec in runs:
+def join(vm, runs, frozen):
+    """[(q, run, sec, frozen|None, max_st, mean_st, max_wa, swap, ok)].
+    Runs overlapping ZERO vmstat samples are reported to stderr (ADVICE
+    r10: skipping them silently hides a dead/late trace) and excluded."""
+    joined, missed = [], 0
+    for q, r, a, b, sec, ok in runs:
         # pad half a sample either side: a 2 s cadence can straddle
         window = [v for v in vm if a - 1 <= v[0] <= b + 1]
         if not window:
+            missed += 1
             continue
         mx_st = max(v[1] for v in window)
         mean_st = sum(v[1] for v in window) / len(window)
         mx_wa = max(v[2] for v in window)
         swap = sum(v[3] for v in window)
-        fr = frozen.get(q)
-        joined.append((q, r, sec, fr, mx_st, mean_st, mx_wa, swap))
+        joined.append((q, r, sec, frozen.get(q), mx_st, mean_st, mx_wa,
+                       swap, ok))
+    if missed:
+        print(f"WARNING: {missed}/{len(runs)} timeline runs overlap ZERO "
+              "vmstat samples — trace dead, late, or joined with the wrong "
+              "--tz; their attribution is MISSING, not clean.",
+              file=sys.stderr)
+    return joined, missed
+
+
+def stats(joined, missed, n_runs):
+    """Session-level steal exposure for the bench record (verdict item 4)."""
+    if not joined:
+        return {"steal_max": None, "steal_mean": None, "hot_runs": None,
+                "joined_runs": 0, "timeline_runs": n_runs,
+                "zero_overlap_runs": missed, "failed_runs": 0}
+    return {
+        "steal_max": max(j[4] for j in joined),
+        "steal_mean": round(sum(j[5] for j in joined) / len(joined), 3),
+        "hot_runs": sum(1 for j in joined if j[4] >= HOT_STEAL_PCT),
+        "joined_runs": len(joined),
+        "timeline_runs": n_runs,
+        "zero_overlap_runs": missed,
+        "failed_runs": sum(1 for j in joined if not j[8]),
+    }
+
+
+def main():
+    timeline, vmlog = sys.argv[1], sys.argv[2]
+    ratio = None
+    if "--threshold-ratio" in sys.argv:
+        ratio = float(sys.argv[sys.argv.index("--threshold-ratio") + 1])
+    tz = "local"
+    if "--tz" in sys.argv:
+        tz = sys.argv[sys.argv.index("--tz") + 1]
+    vm = parse_vmstat(vmlog, tz)
+    runs = parse_timeline(timeline)
+    frozen = frozen_map()
+    joined, missed = join(vm, runs, frozen)
+    if "--stats-json" in sys.argv:
+        print(json.dumps(stats(joined, missed, len(runs))))
+        return
     if ratio is not None:
-        picked = [j for j in joined if j[3] and j[2] > ratio * j[3]]
-        picked.sort(key=lambda j: -(j[2] / j[3]))
+        picked = [j for j in joined
+                  if j[3] is not None and j[2] > ratio * j[3]]
+        picked.sort(key=lambda j: -(j[2] / j[3] if j[3] else float("inf")))
     else:
         picked = sorted(joined, key=lambda j: -j[4])[:15]
-    print("query                          run    sec  frozen  maxSt%  meanSt%  maxWa%  swap")
-    for q, r, sec, fr, mx, mn, wa, sw in picked:
-        fr_s = f"{fr:7.3f}" if fr else "      -"
-        print(f"{q:30s} {r:3d} {sec:7.3f} {fr_s} {mx:6d} {mn:8.2f} {wa:7d} {sw:5d}")
+    print("query                          run    sec  frozen  maxSt%  "
+          "meanSt%  maxWa%  swap  ok")
+    for q, r, sec, fr, mx, mn, wa, sw, ok in picked:
+        fr_s = f"{fr:7.3f}" if fr is not None else "      -"
+        ok_s = "" if ok else "  FAILED-RUN"
+        print(f"{q:30s} {r:3d} {sec:7.3f} {fr_s} {mx:6d} {mn:8.2f} "
+              f"{wa:7d} {sw:5d}{ok_s}")
     if not picked:
         print("(no runs matched)")
 

@@ -8,12 +8,20 @@
 # joining them against the vmstat timeline by timestamp localizes any
 # anomaly to an OS cause (or rules one out).
 #
+# Round 11: this script IS the frozen protocol — it sets
+# SPARK_GRAFT_BENCH_PROTOCOL=quiet, which is the ONLY way Bench will
+# refresh the canonical BENCH_SUMMARY.json (BenchSinkSpec gates the
+# routing), and it runs tools/drift_join.py automatically afterward,
+# merging the session's steal exposure into every bench record it
+# produced — any future over-2x reading arrives pre-attributed.
+#
 # Usage: tools/quiet_bench.sh OUT_JSON VMSTAT_LOG [RUNS]
 #   OUT_JSON   where Bench writes its one-line JSON
 #   VMSTAT_LOG where the vmstat -t trace lands
 #   RUNS       min-of-N per query (default 3; the re-freeze protocol)
 # Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-#      SPARK_GRAFT_BENCH_ONLY for targeted probes.
+#      SPARK_GRAFT_BENCH_ONLY for targeted probes (these never touch
+#      BENCH_SUMMARY.json — Bench routes them to BENCH_LAST.json).
 #
 # The box must be otherwise idle (no concurrent sbt/spark/python jobs)
 # or the run is invalid for freezing — BASELINE.md protocol.
@@ -21,13 +29,41 @@ set -euo pipefail
 out=$1
 vm=$2
 runs=${3:-3}
-vmstat -t 2 > "$vm" &
+tl="${vm%.log}.timeline.tsv"
+# stdbuf: vmstat block-buffers into a redirect; line-buffering keeps the
+# trace tail intact when we kill it (the last samples cover the last runs)
+stdbuf -oL vmstat -t 2 > "$vm" &
 vpid=$!
 trap 'kill "$vpid" 2>/dev/null || true' EXIT
 SPARK_GRAFT_BENCH_RUNS=$runs \
   SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
   SPARK_GRAFT_BENCH_OUT="$out" \
-  SPARK_GRAFT_BENCH_TIMELINE="${vm%.log}.timeline.tsv" \
+  SPARK_GRAFT_BENCH_TIMELINE="$tl" \
+  SPARK_GRAFT_BENCH_PROTOCOL=quiet \
   sbt -batch "runMain graft.Bench"
-# incident-level join: per-run host counters while each query executed
-# (tools/drift_join.py "${vm%.log}.timeline.tsv" "$vm")
+kill "$vpid" 2>/dev/null || true
+wait "$vpid" 2>/dev/null || true
+
+# Incident-level attribution, now part of the protocol (round-11 verdict
+# item 4): per-run steal/iowait/swap table to stdout, and the session
+# steal summary merged into every record this run wrote.
+echo "== drift_join: top steal-overlap runs"
+python3 tools/drift_join.py "$tl" "$vm" || true
+steal=$(python3 tools/drift_join.py "$tl" "$vm" --stats-json)
+echo "== steal stats: $steal"
+merge() {
+  [ -f "$1" ] || return 0
+  python3 - "$1" "$steal" <<'EOF'
+import json, sys
+path, steal = sys.argv[1], json.loads(sys.argv[2])
+rec = json.load(open(path))
+rec["steal"] = steal
+with open(path, "w") as f:
+    json.dump(rec, f, separators=(",", ":"))
+    f.write("\n")
+EOF
+}
+merge "$out"
+merge BENCH_LAST.json
+# Only when THIS run refreshed the canonical record (full-suite quiet):
+if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then merge BENCH_SUMMARY.json; fi
