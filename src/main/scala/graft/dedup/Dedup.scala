@@ -293,7 +293,22 @@ object Dedup {
         sum(when(col("best.id") =!= col("naive_id"), 1L).otherwise(0L))
           .as("changed_survivors"),
         sum(col("best.ntk")).as("survivor_tokens"),
-        sum(col("naive_ntk")).as("naive_tokens"))
+        sum(col("naive_ntk")).as("naive_tokens"),
+        // Per-τ cluster-SIZE histogram (round-11 verdict item 5): log2-
+        // width buckets over n_members, rolled up as conditional sums in
+        // the SAME aggregate (the q71 single-scan idiom — zero extra
+        // passes, the per-(τ,comp) relation already carries the size).
+        // The survivorship story's depth axis: tightening τ should drain
+        // the big buckets first (a giant component fragmenting), and at
+        // the planted decade SFs the 100-way exact groups land in h_17p.
+        sum(when(col("n_members") === 2, 1L).otherwise(0L)).as("h_2"),
+        sum(when(col("n_members").between(3, 4), 1L).otherwise(0L))
+          .as("h_3_4"),
+        sum(when(col("n_members").between(5, 8), 1L).otherwise(0L))
+          .as("h_5_8"),
+        sum(when(col("n_members").between(9, 16), 1L).otherwise(0L))
+          .as("h_9_16"),
+        sum(when(col("n_members") >= 17, 1L).otherwise(0L)).as("h_17p"))
       .orderBy("threshold_x10")
   }
 
@@ -1082,7 +1097,17 @@ object Dedup {
        |  CAST(sum(CASE WHEN b.node <> n.node THEN 1 ELSE 0 END) AS BIGINT)
        |    AS changed_survivors,
        |  CAST(sum(b.ntk) AS BIGINT) AS survivor_tokens,
-       |  CAST(sum(n.ntk) AS BIGINT) AS naive_tokens
+       |  CAST(sum(n.ntk) AS BIGINT) AS naive_tokens,
+       |  CAST(sum(CASE WHEN b.n_members = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS h_2,
+       |  CAST(sum(CASE WHEN b.n_members BETWEEN 3 AND 4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS h_3_4,
+       |  CAST(sum(CASE WHEN b.n_members BETWEEN 5 AND 8 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS h_5_8,
+       |  CAST(sum(CASE WHEN b.n_members BETWEEN 9 AND 16 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS h_9_16,
+       |  CAST(sum(CASE WHEN b.n_members >= 17 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS h_17p
        |FROM (SELECT * FROM ranked WHERE q_rn = 1) b
        |JOIN (SELECT * FROM ranked WHERE n_rn = 1) n
        |  ON b.threshold_x10 = n.threshold_x10 AND b.l = n.l

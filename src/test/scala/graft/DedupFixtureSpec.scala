@@ -240,14 +240,30 @@ class DedupFixtureSpec extends AnyFunSuite {
           (members.size.toLong, if (best != naive) 1L else 0L,
             ntk(best), ntk(naive))
         }
+        // cluster-size histogram (round-11: log2-width buckets)
+        val sizes = rows.map(_._1)
+        val hist = Seq(
+          sizes.count(_ == 2).toLong,
+          sizes.count(s => s >= 3 && s <= 4).toLong,
+          sizes.count(s => s >= 5 && s <= 8).toLong,
+          sizes.count(s => s >= 9 && s <= 16).toLong,
+          sizes.count(_ >= 17).toLong)
         Some((tau, clusters.size.toLong, rows.map(_._1).sum,
-          rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum))
+          rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum,
+          hist))
       }
     }
     val got = Dedup.d16(t).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toSeq
+        r.getLong(4), r.getLong(5),
+        Seq(r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9),
+          r.getLong(10)))).toSeq
     assert(got == expected, s"d16 $got != $expected")
+    // histogram mass must equal the cluster count per tau
+    got.foreach { row =>
+      assert(row._7.sum == row._2,
+        s"d16 tau=${row._1}: histogram mass ${row._7.sum} != n_clusters ${row._2}")
+    }
     // the fixture must exercise the sweep non-vacuously (>=2 operating
     // points with clusters) and the blast radius must be monotone
     // non-increasing as tau tightens
