@@ -207,10 +207,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("overruns"))
   }
 
-  test("the dispatch seam: the same pixels through BMP, PPM and TGA " +
-    "produce identical decoded images and identical features") {
-    // BGR-bottom-up-padded vs RGB-top-down-unpadded vs RLE-packetized:
-    // if any decoder mishandles its layout, the containers disagree here
+  test("the dispatch seam: the same pixels through BMP, PPM, TGA and " +
+    "PNG produce identical decoded images and identical features") {
+    // BGR-bottom-up-padded vs RGB-top-down-unpadded vs RLE-packetized
+    // vs filtered-entropy-coded: if any decoder mishandles its layout,
+    // the containers disagree here
     val rnd = new scala.util.Random(17)
     for (_ <- 1 to 10) {
       val w = 1 + rnd.nextInt(30)
@@ -219,16 +220,22 @@ class MultimodalSpec extends AnyFunSuite {
       val bmp = MediaCodec.encodeBmp(w, h, rgb)
       val ppm = MediaCodec.encodePpm(w, h, rgb)
       val tga = MediaCodec.encodeTga(w, h, rgb)
+      val png = MediaCodec.encodePng(w, h, rgb)
       assert(MediaCodec.decodeImage(bmp)._3.toSeq ==
         MediaCodec.decodeImage(ppm)._3.toSeq)
       assert(MediaCodec.decodeImage(bmp)._3.toSeq ==
         MediaCodec.decodeImage(tga)._3.toSeq)
+      assert(MediaCodec.decodeImage(bmp)._3.toSeq ==
+        MediaCodec.decodeImage(png)._3.toSeq)
       val (mb, wb, hb, fb) = MediaCodec.features(bmp)
       val (mp, wp, hp, fp) = MediaCodec.features(ppm)
       val (mt, wt, ht, ft) = MediaCodec.features(tga)
+      val (mg, wg, hg, fg) = MediaCodec.features(png)
       assert(mb == mp && wb == wp && hb == hp)
       assert(mb == mt && wb == wt && hb == ht)
-      assert(fb.toSeq == fp.toSeq && fb.toSeq == ft.toSeq,
+      assert(mb == mg && wb == wg && hb == hg)
+      assert(fb.toSeq == fp.toSeq && fb.toSeq == ft.toSeq &&
+        fb.toSeq == fg.toSeq,
         "features must be bit-identical across containers")
     }
   }
@@ -268,15 +275,15 @@ class MultimodalSpec extends AnyFunSuite {
     "twin payload by payload") {
     import spark.implicits._
     // the m06 aggregate compares per-modality SUMS; this pins the
-    // per-payload equality the sums are built from, over all FIVE
+    // per-payload equality the sums are built from, over all SIX
     // containers (45 consecutive ids cover every id % 6 class: WAV,
-    // IMA ADPCM, BMP, TGA, PPM)
+    // IMA ADPCM, BMP, TGA, PNG, PPM)
     val sample = (0L until 45L)
     val viaCodec = BinaryPipeline
       .resize(BinaryPipeline.synthesize(spark, 45), 16)
       .collect().map { r =>
         val body = MediaCodec.sniff(r.payload) match {
-          case "bmp" | "ppm" | "tga" =>
+          case "bmp" | "ppm" | "tga" | "png" =>
             MediaCodec.decodeImage(r.payload)._3
               .foldLeft(0L)((a, b) => a + (b & 0xff))
           case "wav" | "adpcm" =>
@@ -345,14 +352,17 @@ class MultimodalSpec extends AnyFunSuite {
         val (w, h) = (BinaryPipeline.imgW(id), BinaryPipeline.imgH(id))
         assert(f.width == w)
         assert(f.height == h)
-        // container arithmetic per the round-9 graded dispatch:
+        // container arithmetic per the round-11 graded dispatch:
         // id%6==1 → BMP (54-byte header + 4-padded bottom-up rows),
         // id%6==4 → RLE TGA (header + packet stream + footer; byte cost
         //           from the spec-local packetization twin),
-        // id%3==2 → PPM (ASCII "P6\nw h\n255\n" header + packed RGB)
+        // id%6==5 → PNG (byte cost from the codec-free st16PngLen
+        //           twin, itself pinned against the encoder above),
+        // id%6==2 → PPM (ASCII "P6\nw h\n255\n" header + packed RGB)
         val expectBytes =
           if (id % 6 == 1) 54 + MediaCodec.rowStride(w).toLong * h
           else if (id % 6 == 4) { val (_, _, rgb) = synthRgb(id); tgaLen(w, h, rgb) }
+          else if (id % 6 == 5) BinaryPipeline.st16PngLen(id)
           else s"P6\n$w $h\n255\n".length.toLong + 3L * w * h
         assert(f.n_bytes == expectBytes, s"id=$id container size")
       }
@@ -371,11 +381,12 @@ class MultimodalSpec extends AnyFunSuite {
     resized.foreach { r =>
       if (r.modality == "image") {
         // resize must preserve the arrival container: BMP stays BMP,
-        // TGA stays TGA, PPM stays PPM (sniffed, never trusted from
-        // metadata)
+        // TGA stays TGA, PNG stays PNG, PPM stays PPM (sniffed, never
+        // trusted from metadata)
         val expectKind =
           if (r.media_id % 6 == 1) "bmp"
           else if (r.media_id % 6 == 4) "tga"
+          else if (r.media_id % 6 == 5) "png"
           else "ppm"
         assert(MediaCodec.sniff(r.payload) == expectKind, s"id=${r.media_id}")
         val (w, h, _) = MediaCodec.decodeImage(r.payload) // still valid
@@ -404,17 +415,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("graded corpus exercises all five containers through the sniff " +
-    "dispatch (WAV/ADPCM/BMP/TGA/PPM by id%6), and decode is " +
+  test("graded corpus exercises all six containers through the sniff " +
+    "dispatch (WAV/ADPCM/BMP/TGA/PNG/PPM by id%6), and decode is " +
     "magic-driven") {
     val media = BinaryPipeline.synthesize(spark, 99).collect()
     val byKind = media.groupBy(m => MediaCodec.sniff(m.payload))
       .view.mapValues(_.length).toMap
     // 0..98: id%6==0 (0,6,…,96) → 17 PCM WAV; id%6==3 (3,…,93) → 16
     // IMA ADPCM; id%6==1 (1,7,…,97) → 17 BMP; id%6==4 (4,…,94) → 16
-    // TGA; id%3==2 → 33 PPM
+    // TGA; id%6==5 (5,…,95) → 16 PNG; id%6==2 → 17 PPM
     assert(byKind == Map("wav" -> 17, "adpcm" -> 16, "bmp" -> 17,
-      "tga" -> 16, "ppm" -> 33), byKind)
+      "tga" -> 16, "png" -> 16, "ppm" -> 17), byKind)
     // the two image containers carry the SAME decoded content for the
     // same id-rule pixels: decode(BMP(id)) at id and decode(PPM(id'))
     // agree with their own synthesis rule, and features are computed
@@ -592,7 +603,8 @@ class MultimodalSpec extends AnyFunSuite {
     val wantFull = (0L until BinaryPipeline.NMedia).map { id =>
       val container =
         if (id % 6 == 0) "wav" else if (id % 6 == 3) "adpcm"
-        else if (id % 6 == 1) "bmp" else if (id % 6 == 4) "tga" else "ppm"
+        else if (id % 6 == 1) "bmp" else if (id % 6 == 4) "tga"
+        else if (id % 6 == 5) "png" else "ppm"
       val plenIn =
         if (id % 6 == 3) graft.multimodal.BinaryPipeline.MediaCodec
           .adpcmBytes(BinaryPipeline.wavN(id))
@@ -614,10 +626,10 @@ class MultimodalSpec extends AnyFunSuite {
     // images are identical in/out
     val ad = rows("adpcm")
     assert(ad._3 > 2 * ad._2, s"ADPCM expansion missing: $ad")
-    Seq("bmp", "tga", "ppm").foreach { c =>
+    Seq("bmp", "tga", "png", "ppm").foreach { c =>
       assert(rows(c)._2 == rows(c)._3, s"$c must pass through: ${rows(c)}")
     }
-    assert(rows.keySet == Set("wav", "adpcm", "bmp", "tga", "ppm"))
+    assert(rows.keySet == Set("wav", "adpcm", "bmp", "tga", "png", "ppm"))
   }
 
   test("st16's codec-free twins match the real containers for EVERY id: " +
@@ -630,6 +642,12 @@ class MultimodalSpec extends AnyFunSuite {
       if (id % 6 == 4)
         assert(BinaryPipeline.st16TgaLen(id) == p.length,
           s"id=$id st16TgaLen != real TGA length ${p.length}")
+      // the oracle's PNG plen column comes from st16PngLen — the
+      // independent filter-choice + fixed-Huffman-bit-cost arithmetic —
+      // pinned against the real encoder's output byte-for-byte
+      if (id % 6 == 5)
+        assert(BinaryPipeline.st16PngLen(id) == p.length,
+          s"id=$id st16PngLen != real PNG length ${p.length}")
       // the oracle's csum column comes from the synthesis rule, never
       // from the codec — pin it against the real encode→sniff→decode
       val (_, _, plen, csum) = BinaryPipeline.decodeIngest(
@@ -638,6 +656,221 @@ class MultimodalSpec extends AnyFunSuite {
       assert(plen == p.length)
       assert(csum == BinaryPipeline.st16ContentSum(id),
         s"id=$id decoded content sum != synthesis-rule twin")
+    }
+  }
+
+  // ---- PNG (round 11): the entropy-coded sixth container ----
+
+  /** Spec-local PNG chunk walk (no CRC check — the codec does that). */
+  private def pngChunks(p: Array[Byte]): Seq[(String, Array[Byte])] = {
+    def be32(off: Int): Int = ((p(off) & 0xff) << 24) |
+      ((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) |
+      (p(off + 3) & 0xff)
+    var off = 8
+    val out = scala.collection.mutable.Buffer[(String, Array[Byte])]()
+    while (off + 8 <= p.length) {
+      val len = be32(off)
+      out += new String(p, off + 4, 4, "US-ASCII") ->
+        java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
+      off += 12 + len
+    }
+    out.toSeq
+  }
+
+  /** Spec-local PNG builder — an INDEPENDENT encoder path: chunk + CRC
+    * framing written here, the zlib stream produced by
+    * java.util.zip.Deflater (real LZ77 + Huffman), so decodePng is
+    * proven against a second DEFLATE implementation, not just the
+    * codec's own fixed-Huffman subset. Options exercise the spec rules
+    * the codec's encoder never emits: multi-IDAT and ancillary chunks. */
+  private def specPng(w: Int, h: Int, filtered: Array[Byte],
+                      multiIdat: Boolean = false,
+                      extraChunk: Option[String] = None,
+                      colorType: Int = 2): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(t, 0, 4)
+      crc.update(data, 0, data.length)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    out.write(MediaCodec.PngSignature, 0, 8)
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered)
+    d.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](1024)
+    while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val z = buf.toByteArray
+    if (multiIdat) {
+      val cut = z.length / 2
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut))
+      extraChunk.foreach(t => chunk(t, "meta".getBytes("US-ASCII")))
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length))
+    } else {
+      extraChunk.foreach(t => chunk(t, "meta".getBytes("US-ASCII")))
+      chunk("IDAT", z)
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Spec-local filter application for a FORCED filter type — a second
+    * transcription of the five spec filters (never calls the codec). */
+  private def forceFilter(t: Int, w: Int, h: Int,
+                          rgb: Array[Byte]): Array[Byte] = {
+    val stride = 3 * w
+    val filtered = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      filtered(y * (1 + stride)) = t.toByte
+      for (i <- 0 until stride) {
+        val x = rgb(y * stride + i) & 0xff
+        val a = if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xff
+                else 0
+        val pred = t match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val pa = math.abs(b - c)
+            val pb = math.abs(a - c)
+            val pc = math.abs(a + b - 2 * c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered(y * (1 + stride) + 1 + i) = (x - pred).toByte
+      }
+    }
+    filtered
+  }
+
+  test("PNG round-trip: adaptive filters + hand-rolled fixed-Huffman " +
+    "DEFLATE decode back to the exact pixels via the JDK's inflater") {
+    val rnd = new scala.util.Random(77)
+    for ((w, h) <- Seq((1, 1), (1, 9), (9, 1), (8, 8), (37, 23))) {
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val p = MediaCodec.encodePng(w, h, rgb)
+      assert(MediaCodec.sniff(p) == "png")
+      val (dw, dh, back) = MediaCodec.decodePng(p)
+      assert((dw, dh) == ((w, h)))
+      assert(back.sameElements(rgb), s"${w}x$h round trip")
+    }
+    // structured content must engage the ADAPTIVE choice (noise mostly
+    // ties; a constant image makes Sub/Up win different rows): read the
+    // winning filter types back out of the real payload
+    val const = Array.fill(3 * 12 * 12)(42.toByte)
+    val p = MediaCodec.encodePng(12, 12, const)
+    assert(MediaCodec.decodePng(p)._3.sameElements(const))
+    val idat = pngChunks(p).collect { case ("IDAT", d) => d }
+      .reduce(_ ++ _)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat)
+    val raw = new Array[Byte](12 * (1 + 36))
+    var got = 0
+    while (!inf.finished() && got < raw.length)
+      got += inf.inflate(raw, got, raw.length - got)
+    inf.end()
+    val types = (0 until 12).map(y => raw(y * 37) & 0xff)
+    assert(types.forall(_ <= 4))
+    assert(types.distinct.length >= 2,
+      s"adaptive filter choice degenerate on structured content: $types")
+  }
+
+  test("PNG decoder inverts all five spec filters and accepts a second " +
+    "DEFLATE implementation (JDK Deflater), multi-IDAT streams and " +
+    "ancillary chunks") {
+    val rnd = new scala.util.Random(99)
+    val (w, h) = (11, 7)
+    val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+    (0 to 4).foreach { t =>
+      val (dw, dh, back) =
+        MediaCodec.decodePng(specPng(w, h, forceFilter(t, w, h, rgb)))
+      assert((dw, dh) == ((w, h)) && back.sameElements(rgb),
+        s"filter type $t")
+    }
+    // mixed filters per row + the stream split across two IDAT chunks
+    // with an ancillary chunk between them (lowercase first letter →
+    // skip, per spec §5.4)
+    val stride = 3 * w
+    val mixed = new Array[Byte](h * (1 + stride))
+    (0 until h).foreach { y =>
+      val one = forceFilter(y % 5, w, h, rgb)
+      System.arraycopy(one, y * (1 + stride), mixed, y * (1 + stride),
+        1 + stride)
+    }
+    val (dw, dh, back) = MediaCodec.decodePng(
+      specPng(w, h, mixed, multiIdat = true, extraChunk = Some("tEXt")))
+    assert((dw, dh) == ((w, h)) && back.sameElements(rgb))
+  }
+
+  test("PNG decoder rejects corruption loudly: CRC flip, truncation, " +
+    "unknown critical chunk, bad filter type, over/undersized IDAT, " +
+    "unsupported color type") {
+    val rgb = Array.tabulate(3 * 9 * 5)(i => (i * 7).toByte)
+    val good = MediaCodec.encodePng(9, 5, rgb)
+    // flip one byte INSIDE the IDAT data: chunk framing intact, CRC must
+    // catch it before the inflater ever runs
+    val crcFlip = good.clone()
+    val off = MediaCodec.bodyOffset(good) + 3
+    crcFlip(off) = (crcFlip(off) ^ 0x40).toByte
+    val e1 = intercept[Exception](MediaCodec.decodePng(crcFlip))
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    // truncation mid-chunk
+    intercept[Exception](
+      MediaCodec.decodePng(java.util.Arrays.copyOf(good, good.length - 6)))
+    // unknown CRITICAL chunk (uppercase first letter) must reject
+    val e2 = intercept[Exception](MediaCodec.decodePng(
+      specPng(9, 5, forceFilter(0, 9, 5, rgb), extraChunk = Some("JUNK"))))
+    assert(e2.getMessage.contains("critical"), e2.getMessage)
+    // filter type 7 is not a spec filter
+    val badFilter = forceFilter(0, 9, 5, rgb)
+    badFilter(0) = 7
+    val e3 = intercept[Exception](MediaCodec.decodePng(specPng(9, 5, badFilter)))
+    assert(e3.getMessage.contains("filter"), e3.getMessage)
+    // IDAT inflating to more / fewer bytes than IHDR implies
+    intercept[Exception](MediaCodec.decodePng(
+      specPng(9, 5, forceFilter(0, 9, 5, rgb) :+ 0.toByte)))
+    intercept[Exception](MediaCodec.decodePng(
+      specPng(9, 5, forceFilter(0, 9, 5, rgb).dropRight(1))))
+    // grayscale (color type 0) is not this decoder's subset
+    val e4 = intercept[Exception](MediaCodec.decodePng(
+      specPng(9, 5, forceFilter(0, 9, 5, rgb), colorType = 0)))
+    assert(e4.getMessage.contains("truecolor"), e4.getMessage)
+  }
+
+  test("PNG flows through resize (stays PNG, m06PngLen twin matches), " +
+    "frame sampling and pHash body offsets") {
+    import spark.implicits._
+    // graded PNG ids: id%6==5
+    val ids = (0L until 120L).filter(_ % 6 == 5)
+    val media = spark.createDataset(
+      ids.map(id => BinaryPipeline.MediaRow(
+        id, "image", BinaryPipeline.synthPayload(id), id / 4)))
+    val resized = BinaryPipeline.resize(media, 16).collect()
+    resized.foreach { r =>
+      assert(MediaCodec.sniff(r.payload) == "png", "resize must stay PNG")
+      val (w, h, _) = MediaCodec.decodePng(r.payload)
+      assert(w == r.width && h == r.height)
+      assert(BinaryPipeline.m06PngLen(r.media_id) == r.payload.length,
+        s"id=${r.media_id} m06PngLen != resized PNG length")
+    }
+    // pHash hashes the zlib body located via the real chunk walk
+    ids.foreach { id =>
+      val p = BinaryPipeline.synthPayload(id)
+      val off = MediaCodec.bodyOffset(p)
+      // the body starts with the zlib header this encoder writes
+      assert((p(off) & 0xff) == 0x78 && (p(off + 1) & 0xff) == 0x01)
     }
   }
 }

@@ -241,7 +241,7 @@ class StreamQueriesSpec extends AnyFunSuite {
       .orderBy("modality", "container")
     assert(streamed.columns.toSeq == batch.columns.toSeq)
     val (s, b) = (canon(streamed), canon(batch))
-    assert(s.size == 5 && s == b) // wav + adpcm + bmp + tga + ppm rows
+    assert(s.size == 6 && s == b) // wav/adpcm + bmp/tga/png/ppm rows
     // decoded content must also equal the codec-FREE twins (synthesis
     // rule only): sums per (modality, container) from st16ContentSum,
     // independent of every MediaCodec code path
@@ -251,6 +251,7 @@ class StreamQueriesSpec extends AnyFunSuite {
         else if (id % 6 == 3) ("audio", "adpcm")
         else if (id % 6 == 1) ("image", "bmp")
         else if (id % 6 == 4) ("image", "tga")
+        else if (id % 6 == 5) ("image", "png")
         else ("image", "ppm")
       key -> BinaryPipeline.st16ContentSum(id)
     }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
@@ -264,7 +265,7 @@ class StreamQueriesSpec extends AnyFunSuite {
       .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     assert(chunkFiles.length >= 4,
       s"expected >=4 media replay chunks, got ${chunkFiles.length}")
-    // AND every chunk carries all five containers: contiguous-range
+    // AND every chunk carries all six containers: contiguous-range
     // striping guarantees each 500-id block holds every id % 6 class
     // (mod-4 striping would make even chunks BMP-free and odd chunks
     // TGA-free — the round-9 advice finding)
@@ -275,9 +276,10 @@ class StreamQueriesSpec extends AnyFunSuite {
           if (id % 6 == 0) "wav"
           else if (id % 6 == 3) "adpcm"
           else if (id % 6 == 1) "bmp"
-          else if (id % 6 == 4) "tga" else "ppm"
+          else if (id % 6 == 4) "tga"
+          else if (id % 6 == 5) "png" else "ppm"
         }.toSet
-      assert(containers == Set("wav", "adpcm", "bmp", "tga", "ppm"),
+      assert(containers == Set("wav", "adpcm", "bmp", "tga", "png", "ppm"),
         s"chunk ${f.getName} missing containers: got $containers")
     }
   }

@@ -30,6 +30,7 @@ check_all.sh can invoke every gate uniformly.)
 import os
 import sys
 import struct
+import zlib
 
 import duckdb
 
@@ -173,6 +174,129 @@ def adpcm_data_bytes(samples):
     return bytes(out)
 
 
+# ---- PNG (id%6==5, round 11): the entropy-coded container. The body
+#      is rebuilt here bit-for-bit — adaptive filters + fixed-Huffman
+#      DEFLATE — and CPython's zlib INFLATES it as the independent
+#      decoder of the hand-rolled deflate rule (the "independent inflate
+#      replay" the round-10 carry-forward called for). ----
+
+
+def paeth(a, b, c):
+    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_filtered(w, h, rgb):
+    """Filtered scanline stream under the codec's adaptive heuristic
+    (all five spec filters against the raw prior row, min sum of
+    |filtered byte as signed|, ties -> lowest type) — this file's OWN
+    transcription, never the JVM's."""
+    stride = 3 * w
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride:(y + 1) * stride]
+        best_t, best_f, best_s = 0, None, None
+        for t in range(5):
+            f = bytearray(stride)
+            s = 0
+            for i in range(stride):
+                x = row[i]
+                a = row[i - 3] if i >= 3 else 0
+                b = prior[i]
+                c = prior[i - 3] if i >= 3 else 0
+                if t == 0:
+                    pred = 0
+                elif t == 1:
+                    pred = a
+                elif t == 2:
+                    pred = b
+                elif t == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = paeth(a, b, c)
+                v = (x - pred) & 0xFF
+                f[i] = v
+                s += v if v < 128 else 256 - v
+            if best_s is None or s < best_s:
+                best_t, best_f, best_s = t, f, s
+        out.append(best_t)
+        out += best_f
+        prior = row
+    return bytes(out)
+
+
+# fixed-Huffman literal codes, pre-bit-reversed: DEFLATE packs Huffman
+# codes MSB-first into an LSB-first stream, so pushing the REVERSED code
+# LSB-first is equivalent and 8x faster in Python
+_FIXED = []
+for _v in range(256):
+    if _v < 144:
+        _code, _n = 0x30 + _v, 8
+    else:
+        _code, _n = 0x190 + (_v - 144), 9
+    _FIXED.append((int(bin(_code)[2:].zfill(_n)[::-1], 2), _n))
+
+
+def fixed_deflate(data):
+    """Fixed-Huffman literals-only DEFLATE, one final block — the
+    codec's pricing rule re-packed bit-for-bit in pure Python."""
+    out = bytearray()
+    acc = 1 | (1 << 1)  # BFINAL=1 then BTYPE=01, LSB-first
+    nacc = 3
+    for v in data:
+        rev, n = _FIXED[v]
+        acc |= rev << nacc
+        nacc += n
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    nacc += 7  # end-of-block: 7 zero bits
+    while nacc >= 8:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def png_zlib(filtered):
+    """The zlib stream inside IDAT (what bodyOffset points at)."""
+    return b"\x78\x01" + fixed_deflate(filtered) + \
+        struct.pack(">I", zlib.adler32(filtered) & 0xFFFFFFFF)
+
+
+def png_unfilter(w, h, raw):
+    """Invert the five spec filters — used by the inflate replay to
+    prove the filtered stream reconstructs the synthesis-rule pixels."""
+    stride = 3 * w
+    rgb = bytearray(stride * h)
+    for y in range(h):
+        t = raw[y * (1 + stride)]
+        ro = y * (1 + stride) + 1
+        for i in range(stride):
+            x = raw[ro + i]
+            a = rgb[y * stride + i - 3] if i >= 3 else 0
+            b = rgb[(y - 1) * stride + i] if y > 0 else 0
+            c = rgb[(y - 1) * stride + i - 3] if y > 0 and i >= 3 else 0
+            if t == 0:
+                v = x
+            elif t == 1:
+                v = x + a
+            elif t == 2:
+                v = x + b
+            elif t == 3:
+                v = x + (a + b) // 2
+            else:
+                v = x + paeth(a, b, c)
+            rgb[y * stride + i] = v & 0xFF
+    return bytes(rgb)
+
+
 def tga_packets(w, h, rgb):
     """RLE type-10 packet stream (storage order: bottom-up rows, BGR) —
     the same packetization rule as MediaCodec.encodeTga / m06TgaLen:
@@ -229,6 +353,8 @@ def body_bytes(i):
         return bytes(body)
     if i % 6 == 4:  # RLE TGA: the body IS the packet stream
         return tga_packets(w, h, rgb)
+    if i % 6 == 5:  # PNG: the body IS the IDAT zlib stream
+        return png_zlib(png_filtered(w, h, rgb))
     return rgb  # PPM: raw top-down RGB after the ASCII header
 
 
@@ -242,6 +368,8 @@ def payload_len(i):
         return 54 + row_stride(w) * h
     if i % 6 == 4:  # TGA: 18-byte header + packets + 26-byte 2.0 footer
         return 18 + len(body_bytes(i)) + 26
+    if i % 6 == 5:  # PNG: sig + IHDR/IEND + chunk framing + zlib stream
+        return 57 + len(body_bytes(i))
     return len(b"P6\n%d %d\n255\n" % (w, h)) + 3 * w * h
 
 
@@ -357,6 +485,9 @@ def m06_expected():
                 plen = 54 + row_stride(nw) * nh
             elif i % 6 == 4:  # TGA re-encode: content-dependent length
                 plen = 18 + len(tga_packets(nw, nh, bytes(resampled))) + 26
+            elif i % 6 == 5:  # PNG re-encode: filtered + entropy-coded
+                plen = 57 + len(png_zlib(
+                    png_filtered(nw, nh, bytes(resampled))))
             else:
                 plen = len(b"P6\n%d %d\n255\n" % (nw, nh)) + 3 * nw * nh
             mod = "image"
@@ -375,6 +506,23 @@ def main():
             f"SELECT * FROM '{out_dir}/{name}/*.parquet' ORDER BY modality"
         ).fetchall()
         return {r[0]: r[1:] for r in rows}
+
+    # ---- PNG inflate replay (round 11): rebuild the IDAT zlib stream
+    # bit-for-bit in pure Python, have CPython's zlib INFLATE it (an
+    # independent decoder of the hand-rolled fixed-Huffman deflate —
+    # adler and bitstream validity checked by a third engine), unfilter,
+    # and require the synthesis-rule pixels back exactly.
+    png_ids = [i for i in range(N_MEDIA) if i % 6 == 5][:8]
+    for i in png_ids:
+        w, h, rgb = rgb_bytes(i)
+        z = png_zlib(png_filtered(w, h, rgb))
+        raw = zlib.decompress(z)
+        if len(raw) != h * (1 + 3 * w):
+            failures.append(f"png id={i}: inflate length {len(raw)}")
+        elif png_unfilter(w, h, raw) != rgb:
+            failures.append(f"png id={i}: unfiltered pixels mismatch")
+    print(f"png: zlib-inflate replay of {len(png_ids)} hand-packed "
+          f"DEFLATE streams: {'OK' if not failures else 'MISMATCH'}")
 
     # ---- m01: counts/bytes/max_width exact, avg_f0 to the round-4 quantum
     exp = m01_expected()
