@@ -312,6 +312,109 @@ object Dedup {
       .orderBy("threshold_x10")
   }
 
+  // d17's edit-distance threshold and title width (tokens). K=2 keeps
+  // the PassJoin segment count at K+1=3 and the probe fan-out ≤ 75
+  // keys/doc; 8 tokens is the "headline" granularity where syndicated
+  // rewrites differ by a character or two.
+  private val D17MaxEd = 2
+  private val D17TitleTokens = 8
+  // Titles shorter than K+1 segments of ≥1 char each cannot be
+  // partitioned; 9 chars ≈ any real 8-token (even 2-token) title. The
+  // SAME floor is applied in the oracle — it is part of the semantics.
+  private val D17MinLen = 9
+
+  /** The K+1 PassJoin segments of `title` as array<struct<i,m,s>>: an
+    * even split with the remainder widening the LAST r segments —
+    * seg i of a length-m string starts at i*(m div 3) + max(0, i-(3-r))
+    * and is (m div 3) + (i >= 3-r ? 1 : 0) chars. Index-side keys. */
+  private val d17SegmentsSql =
+    """transform(sequence(0, 2), i -> named_struct(
+      |  'i', i, 'm', length(title),
+      |  's', substring(title,
+      |    1 + i * (length(title) div 3)
+      |      + greatest(0, i - (3 - length(title) % 3)),
+      |    (length(title) div 3)
+      |      + if(i >= 3 - length(title) % 3, 1, 0))))""".stripMargin
+
+  /** Probe-side keys: for every indexed length m within ±K of this
+    * title's length and every segment slot i, all substrings of the
+    * indexed segment's length l_i(m) starting within ±K of its indexed
+    * position p_i(m) — the PassJoin position bound (an edit script with
+    * ≤K errors shifts an untouched segment by at most K chars).
+    * array_distinct collapses shift aliases (equal substrings reached
+    * from different (dm, sh)) before the explode. */
+  private val d17ProbesSql =
+    """array_distinct(flatten(transform(sequence(-2, 2), dm ->
+      |  flatten(transform(sequence(0, 2), i ->
+      |    transform(
+      |      filter(transform(sequence(-2, 2), sh ->
+      |        named_struct('m', length(title) + dm,
+      |          'st', i * ((length(title) + dm) div 3)
+      |            + greatest(0, i - (3 - (length(title) + dm) % 3)) + sh,
+      |          'ln', ((length(title) + dm) div 3)
+      |            + if(i >= 3 - (length(title) + dm) % 3, 1, 0))),
+      |        x -> x.m >= 9 AND x.st >= 0
+      |          AND x.st + x.ln <= length(title)),
+      |      x -> named_struct('i', i, 'm', x.m,
+      |        's', substring(title, x.st + 1, x.ln))))))))""".stripMargin
+
+  /** d17 — fuzzy entity join: cross-document matching under an EDIT
+    * DISTANCE threshold (Levenshtein ≤ 2) over an 8-token title key —
+    * the entity-resolution flavor of dedup (syndicated headlines, OCR'd
+    * titles, catalog names) that token-set Jaccard (d04) cannot express:
+    * a one-character typo inside a token destroys every containing
+    * n-gram but is ED 1.
+    *
+    * Algorithm: PassJoin segment blocking (Li/Deng/Feng/Wang, PVLDB
+    * 2011) with GUARANTEED recall — each title is partitioned into
+    * K+1=3 contiguous segments; by pigeonhole any pair within ED ≤ K
+    * shares at least one segment VERBATIM, whose position shifts by at
+    * most K. The index side emits its 3 exact segments keyed
+    * (slot, len, substring); the probe side (the LARGER doc_id, so each
+    * unordered pair is generated once in its guaranteed direction)
+    * emits every substring an indexed segment could match — ≤ 75 keys
+    * per doc at K=2. Candidates = one equi-join on the key; the exact
+    * `levenshtein` verify (codegen'd) runs only on candidates. Recall
+    * is exact by construction, so the DuckDB oracle can be the brute
+    * all-pairs join (length-banded, |Δlen| ≤ K — itself implied by
+    * ED ≤ K) with no banding-miss caveat.
+    *
+    * Scale shape at 100 TB: signature/probe generation is map-only
+    * (O(1) keys per doc); the ONE shuffle is the candidate equi-join on
+    * (slot, len, segment) — shuffle volume O(docs × keys), never
+    * O(pairs); verification cost is O(candidates), and candidates for
+    * near-unique titles are rare-key collisions. Byte-identical
+    * replication (the scaled corpora) makes every family member share
+    * all keys — candidates grow with TRUE match mass (those pairs ARE
+    * ED-0 matches), which no recall-preserving scheme can avoid; a
+    * production run points the title at a higher-entropy key or
+    * pre-collapses d01 exact groups first. */
+  def d17(t: Tables): DataFrame = {
+    val titleCol = lower(array_join(
+      slice(tokensCol, 1, D17TitleTokens), " "))
+    val docs = t.documentsWide
+      .select(col("doc_id"), titleCol.as("title"))
+      .filter(length(col("title")) >= D17MinLen)
+    val idx = docs
+      .select(col("doc_id").as("doc_a"), col("title"),
+        explode(expr(d17SegmentsSql)).as("k"))
+      .select(col("doc_a"), col("title").as("t_a"), col("k.i").as("i"),
+        col("k.m").as("m"), col("k.s").as("key"))
+    val probe = docs
+      .select(col("doc_id").as("doc_b"), col("title"),
+        explode(expr(d17ProbesSql)).as("k"))
+      .select(col("doc_b"), col("title").as("t_b"), col("k.i").as("i"),
+        col("k.m").as("m"), col("k.s").as("key"))
+    idx.join(probe, Seq("i", "m", "key"))
+      .filter(col("doc_b") > col("doc_a"))
+      .select("doc_a", "t_a", "doc_b", "t_b").distinct()
+      .withColumn("edit_dist",
+        levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(col("edit_dist") <= D17MaxEd)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // d05's multi-table LSH geometry, shared with its oracle's inlined
   // hyperplane VALUES table
   private val D05Tables = 8
@@ -860,7 +963,8 @@ object Dedup {
     "d03_dedup_simhash" -> d03,
     "d04_ngram_jaccard" -> d04,
     "d12_threshold_curve" -> d12,
-    "d16_threshold_dedup" -> d16)
+    "d16_threshold_dedup" -> d16,
+    "d17_fuzzy_join" -> d17)
 
   /** d02's DuckDB twin — the md5-MinHash pipeline replayed end-to-end in
     * SQL: the same 3-gram strings (D04PairsSql's gram builder), one md5
@@ -1296,6 +1400,27 @@ object Dedup {
     // applies where dup-group sizes ≤ MaxBucket — the d02/d03 scaladoc's
     // documented semantics.
     "d04_ngram_jaccard" -> (D04PairsSql + "\nORDER BY doc_a, doc_b"),
+    // d17's twin is the BRUTE all-pairs edit-distance join over the same
+    // 8-token lowercase title (identical derivation: whitespace split of
+    // trimmed text, first 8 tokens, single-space join, lower) banded by
+    // |Δlen| ≤ 2 — implied by ED ≤ 2, so the band is a pure pruning, not
+    // a semantic change. PassJoin recall is EXACT by pigeonhole, so
+    // unlike d02/d04 there is no banding-miss caveat: any divergence is
+    // a bug. The min-length floor is part of the operator's semantics
+    // and appears on both sides.
+    "d17_fuzzy_join" ->
+      raw"""WITH t AS (SELECT doc_id,
+         |    lower(array_to_string(
+         |      (string_split_regex(trim(text), '\s+'))[1:8], ' '))
+         |      AS title
+         |  FROM documents),
+         |f AS (SELECT doc_id, title FROM t WHERE length(title) >= 9)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  levenshtein(a.title, b.title) AS edit_dist
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  AND abs(length(a.title) - length(b.title)) <= 2
+         |WHERE levenshtein(a.title, b.title) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // same exact all-pairs core, re-aggregated into the operating-point
     // curve: pair count + distinct-doc blast radius per threshold
     "d12_threshold_curve" ->

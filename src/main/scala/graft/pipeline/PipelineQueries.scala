@@ -291,12 +291,75 @@ object PipelineQueries {
     graft.CacheHygiene.materializeAndRelease(out, Seq(docs))
   }
 
+  /** p06 — the incremental-ingest ADMISSION pipeline: p01 is the
+    * from-scratch curation run; production corpora grow by daily
+    * batches, and re-running p01 over corpus+batch is O(corpus) per day
+    * — the one cost profile a 100 TB pipeline cannot afford. p06 is the
+    * admission decision for ONE batch against a STANDING corpus: the
+    * batch (d11's hash split: last md5(doc_id) hex ≥ 'd', ~19% of the
+    * corpus; bench docs doc_id % 50 == 0 held out as the eval set)
+    * passes the quality gate, drops docs whose canonical fingerprint
+    * the standing index already holds, exact-dedups within itself
+    * (min-doc_id survivor), then decontaminates against the eval set —
+    * reporting per-source survivors at each stage, admitted token mass,
+    * and the admit fraction.
+    *
+    * Scale shape: every stage is O(batch) — the standing corpus is
+    * touched ONLY as its one-column distinct-fp index (probed via
+    * left_anti join; a production index is bucketed on fp, the q81
+    * layout, making the probe exchange-free on the index side), bench
+    * grams broadcast (eval sets are tiny), and the stage functions are
+    * the SAME TrainingDataPipeline kernels p01 grades — one live
+    * definition of quality/dedup/decontamination semantics. */
+  def p06(t: Tables): DataFrame = {
+    import TrainingDataPipeline._
+    import graft.functions.exprs.{canon_fp, quality_scan}
+    val input = t.documents
+    val bench = input.filter(col("doc_id") % 50 === 0)
+    val corpus = input.filter(col("doc_id") % 50 =!= 0)
+    val split = substring(md5(col("doc_id").cast("string")), 32, 1)
+    val baseFps = corpus.filter(split < "d")
+      .select(canon_fp(col("text")).as("fp")).distinct()
+    val incoming = corpus.filter(split >= "d")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = qualityFilter(incoming).persist(StorageLevel.MEMORY_AND_DISK)
+    val novel = q.withColumn("fp", canon_fp(col("text")))
+      .join(baseFps, Seq("fp"), "left_anti").drop("fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val uniq = exactDedup(novel).persist(StorageLevel.MEMORY_AND_DISK)
+    val admitted = decontaminate(uniq, bench)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    val admTok = admitted
+      .withColumn("ntk",
+        quality_scan(col("text")).getField("n_tokens").cast("bigint"))
+      .groupBy("source").agg(sum(col("ntk")).as("admitted_tokens"))
+    val result = cnt(incoming, "n_incoming")
+      .join(cnt(q, "n_quality"), Seq("source"), "left")
+      .join(cnt(novel, "n_novel"), Seq("source"), "left")
+      .join(cnt(uniq, "n_unique"), Seq("source"), "left")
+      .join(cnt(admitted, "n_admitted"), Seq("source"), "left")
+      .join(admTok, Seq("source"), "left")
+      .na.fill(0L, Seq("n_quality", "n_novel", "n_unique", "n_admitted",
+        "admitted_tokens"))
+      // exact-integer basis points (the p01 kept_frac pattern): float
+      // division rounds differently across engines on representation ties
+      .withColumn("admit_frac", expr(
+        "((20000 * n_admitted + n_incoming) div (2 * n_incoming))" +
+          " / cast(10000 as double)"))
+      .orderBy("source")
+    graft.CacheHygiene.materializeAndRelease(result,
+      Seq(incoming, q, novel, uniq, admitted))
+  }
+
   val queries: Map[String, Tables => DataFrame] = Map(
     "p01_curation_pipeline" -> p01,
     "p02_observe_metrics" -> p02,
     "p03_mixture_builder" -> p03,
     "p04_ablation_matrix" -> p04,
-    "p05_dedup_aware_mixture" -> p05)
+    "p05_dedup_aware_mixture" -> p05,
+    "p06_incremental_curation" -> p06)
 
   // The composed oracle: each CTE is the DuckDB twin of one stage's
   // already-oracled semantics, chained on the previous stage's survivors.
@@ -562,6 +625,88 @@ object PipelineQueries {
          |  - least(10000, (tot_raw // (2 * n_sources)) * 10000
          |    // raw_tokens) AS shift_bp
          |FROM j, tot ORDER BY source""".stripMargin,
+    // the admission chain composed from already-oracled stage twins:
+    // d11's md5 split + canonical fp, p01's quality rule and in-batch
+    // min-doc_id dedup, t10/p01's 8-gram decontamination — each CTE on
+    // the previous stage's survivors, batch-side only
+    "p06_incremental_curation" ->
+      raw"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id % 50 <> 0),
+         |sp AS (
+         |  SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 32, 1) < 'd'
+         |    AS is_base
+         |  FROM corpus),
+         |base_fp AS (
+         |  SELECT DISTINCT
+         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         |  FROM sp WHERE is_base),
+         |inc AS (SELECT doc_id, source, text FROM sp WHERE NOT is_base),
+         |q AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT *,
+         |      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+         |        AS ntk,
+         |      length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS npunct,
+         |      length(text) AS nch
+         |    FROM inc)
+         |  WHERE ntk BETWEEN 10 AND 1000 AND npunct * 1.0 / nch < 0.2),
+         |qf AS (
+         |  SELECT *,
+         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+         |  FROM q),
+         |novel AS (
+         |  SELECT * FROM qf WHERE fp NOT IN (SELECT fp FROM base_fp)),
+         |uniq AS (
+         |  SELECT n.* FROM novel n JOIN (
+         |    SELECT min(doc_id) AS doc_id FROM novel GROUP BY fp) s
+         |  USING (doc_id)),
+         |utoks AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+         |            AS tk FROM uniq),
+         |ug AS (SELECT DISTINCT doc_id, g FROM (
+         |   SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+         |   FROM utoks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |   WHERE len(tk) >= 8
+         |   UNION ALL
+         |   SELECT doc_id, array_to_string(tk, ' ') FROM utoks
+         |   WHERE len(tk) < 8)),
+         |btoks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+         |          FROM documents WHERE doc_id % 50 = 0),
+         |bgrams AS (SELECT DISTINCT g FROM (
+         |   SELECT array_to_string(tk[i:i+7], ' ') AS g
+         |   FROM btoks, UNNEST(range(1, len(tk) - 6)) AS t(i)
+         |   WHERE len(tk) >= 8
+         |   UNION ALL
+         |   SELECT array_to_string(tk, ' ') FROM btoks WHERE len(tk) < 8)),
+         |contaminated AS (SELECT DISTINCT doc_id FROM ug
+         |                 JOIN bgrams USING (g)),
+         |adm AS (SELECT * FROM uniq
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |admtok AS (
+         |  SELECT source,
+         |    CAST(sum(CAST(len(string_split_regex(trim(text), '\s+'))
+         |      AS BIGINT)) AS BIGINT) AS admitted_tokens
+         |  FROM adm GROUP BY source)
+         |SELECT i.source AS source, i.n AS n_incoming,
+         |  CAST(coalesce(qn.n, 0) AS BIGINT) AS n_quality,
+         |  CAST(coalesce(nn.n, 0) AS BIGINT) AS n_novel,
+         |  CAST(coalesce(un.n, 0) AS BIGINT) AS n_unique,
+         |  CAST(coalesce(an.n, 0) AS BIGINT) AS n_admitted,
+         |  CAST(coalesce(at.admitted_tokens, 0) AS BIGINT)
+         |    AS admitted_tokens,
+         |  ((20000 * CAST(coalesce(an.n, 0) AS BIGINT) + i.n)
+         |    // (2 * i.n)) / 10000.0 AS admit_frac
+         |FROM (SELECT source, count(*) AS n FROM inc GROUP BY source) i
+         |LEFT JOIN (SELECT source, count(*) AS n FROM q GROUP BY source) qn
+         |  USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM novel
+         |           GROUP BY source) nn USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM uniq
+         |           GROUP BY source) un USING (source)
+         |LEFT JOIN (SELECT source, count(*) AS n FROM adm
+         |           GROUP BY source) an USING (source)
+         |LEFT JOIN admtok at USING (source)
+         |ORDER BY source""".stripMargin,
     // weight → rate-sample → pack, each CTE the DuckDB twin of the
     // already-oracled t24 / t23-hash / t16 semantics; the sample filter
     // is the identical exact int64 cross-multiply

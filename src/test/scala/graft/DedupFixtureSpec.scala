@@ -294,6 +294,76 @@ class DedupFixtureSpec extends AnyFunSuite {
       "every path node must join the min-id component")
   }
 
+  // --- d17 fuzzy join: PassJoin blocking vs brute-force levenshtein ---
+
+  /** Classic DP Levenshtein — the independent in-JVM twin of both
+    * engines' `levenshtein`. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Titles engineered around every ED/length boundary: exact dup (0),
+    * single sub (1), two subs (2), three subs (3 → out), +2-char insert
+    * (in, at the |Δlen| = 2 edge), +3-char insert (out, |Δlen| = 3), a
+    * +3-char insert (out, just past the |Δlen| ≤ 2 band), a token-shift
+    * (inside the band, large ED — verify must kill it), an uppercase
+    * twin (exercises lower()), and a pair of 9/10-char minimum-length
+    * titles. */
+  private val d17Texts: Seq[(Long, String)] = Seq(
+    10L -> "alpha beta gamma delta epsilon zeta eta theta tail one",
+    11L -> "alpha beta gamma delta epsilon zeta eta theta other tail",
+    12L -> "alpha beta gamja delta epsilon zeta eta theta",
+    13L -> "alpha bexa gamja delta epsilon zeta eta theta zz",
+    14L -> "alxha bexa gamja delta epsilon zeta eta theta",
+    15L -> "alpha beta gamma delta epsilon zeta eta thetaxx oops",
+    16L -> "alpha beta gamma delta epsilon zeta eta thetaxxx",
+    17L -> "prefix alpha beta gamma delta epsilon zeta eta theta",
+    18L -> "completely different words entirely other content here now",
+    19L -> "short doc",
+    20L -> "shorty doc",
+    21L -> "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA upper tail")
+
+  private def d17Title(text: String): String =
+    text.trim.split("\\s+").take(8).mkString(" ").toLowerCase
+
+  test("d17 PassJoin fuzzy join equals brute-force levenshtein ≤ 2 over titles") {
+    val spark = t.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-d17-fixture").toString
+    d17Texts.map { case (id, text) =>
+      (id, text, "en", s"src$id", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val titles = d17Texts.map { case (id, tx) => id -> d17Title(tx) }
+      .filter(_._2.length >= 9)
+    val expected = (for {
+      (a, ta) <- titles; (b, tb) <- titles if a < b
+      d = lev(ta, tb) if d <= 2
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    // the fixture must actually exercise the boundaries it claims
+    val eds = expected.map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(eds((10L, 11L)) == 0L, "exact-title pair")
+    assert(eds((10L, 21L)) == 0L, "case-folded pair")
+    assert(eds((10L, 12L)) == 1L, "single-substitution pair")
+    assert(eds((10L, 13L)) == 2L, "double-substitution pair")
+    assert(eds((10L, 15L)) == 2L, "insert pair at the |Δlen|=2 edge")
+    assert(!eds.contains((10L, 14L)), "ED-3 pair must be out")
+    assert(!eds.contains((10L, 16L)), "|Δlen|=3 pair must be out")
+    assert(eds.contains((19L, 20L)), "minimum-length titles still match")
+    assert(!eds.contains((10L, 17L)), "token-shifted pair must be out")
+    val got = Dedup.d17(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"PassJoin candidates + verify must equal brute force:\n got=$got\n exp=$expected")
+  }
+
   test("min-label propagation: a large star cluster converges in O(1) rounds, not O(nodes)") {
     val spark = t.spark
     import spark.implicits._

@@ -209,6 +209,50 @@ class PipelineSpec extends AnyFunSuite {
       s"only the verified near-copy (higher id) drops (kept: $kept)")
   }
 
+  test("p06 admission rollup matches an independently composed stage chain") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.exprs.canon_fp
+    val out = pipeline.PipelineQueries.p06(t).collect()
+    // independent composition of the same graded stage functions — a
+    // wiring check of p06's per-stage rollup joins and fills (join keys,
+    // left-join fill zeros, frac arithmetic); VALUES are gated by the
+    // DuckDB oracle at sf0.01
+    val input = t.documents
+    val bench = input.filter(col("doc_id") % 50 === 0)
+    val corpus = input.filter(col("doc_id") % 50 =!= 0)
+    val split = substring(md5(col("doc_id").cast("string")), 32, 1)
+    val baseFps = corpus.filter(split < "d")
+      .select(canon_fp(col("text")).as("fp")).distinct()
+    val incoming = corpus.filter(split >= "d")
+    val q = TrainingDataPipeline.qualityFilter(incoming)
+    val novel = q.withColumn("fp", canon_fp(col("text")))
+      .join(baseFps, Seq("fp"), "left_anti").drop("fp")
+    val uniq = TrainingDataPipeline.exactDedup(novel)
+    val adm = TrainingDataPipeline.decontaminate(uniq, bench)
+    def per(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (pi, pq, pn, pu, pa) = (per(incoming), per(q), per(novel),
+      per(uniq), per(adm))
+    assert(out.nonEmpty && out.map(_.getString(0)).toSeq ==
+      out.map(_.getString(0)).toSeq.sorted)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val Seq(nInc, nQ, nNov, nUniq, nAdm) = (1 to 5).map(r.getLong)
+      assert(nInc == pi(src) && nQ == pq.getOrElse(src, 0L) &&
+        nNov == pn.getOrElse(src, 0L) && nUniq == pu.getOrElse(src, 0L) &&
+        nAdm == pa.getOrElse(src, 0L), s"stage counts for $src")
+      assert(nInc >= nQ && nQ >= nNov && nNov >= nUniq && nUniq >= nAdm,
+        s"admission chain must be monotone for $src")
+      val frac = r.getDouble(7)
+      assert(frac == ((20000 * nAdm + nInc) / (2 * nInc)) / 10000.0,
+        s"admit_frac integer rounding for $src")
+    }
+    // the hash split must route a nontrivial batch AND a nontrivial base
+    assert(out.map(_.getLong(1)).sum > 0)
+    assert(out.map(_.getLong(1)).sum < corpus.count())
+  }
+
   test("observe metrics accumulate data-quality counters during the job") {
     val df = TrainingDataPipeline.curatedWithMetrics(t)
     // the metrics belong to the QueryExecution that ran the action, so
