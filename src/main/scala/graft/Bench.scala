@@ -23,6 +23,22 @@ object Bench {
       Seq("BENCH_LAST.json", "BENCH_SUMMARY.json")
     else Seq("BENCH_LAST.json")
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line, or
+    * None where unreadable. Sampled immediately before/after each run,
+    * the delta is that run's EXACT hypervisor-steal exposure over its
+    * own window — the round-11 run-B lesson: a 2 s vmstat cadence can
+    * average a sub-window steal spike down to zero, so the timeline now
+    * carries its own per-run steal column that no sampling grid can
+    * blind (SURVEY §8j carry-forward 3). */
+  private[graft] def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -79,7 +95,12 @@ object Bench {
     // ok column (ADVICE r10): a run that errored out is otherwise
     // indistinguishable from a measured run in the timeline, so drift
     // attribution could "explain" a duration that was actually a failure.
-    timeline.foreach(_.println("query\trun\tstart_epoch\tend_epoch\tsec\tok"))
+    // steal_ticks/steal_pct: per-run /proc/stat steal delta (exact over
+    // the run's own window; '-' where /proc/stat is unreadable).
+    // drift_join.py treats the columns as optional so archived 5/6-col
+    // timelines stay joinable.
+    timeline.foreach(_.println(
+      "query\trun\tstart_epoch\tend_epoch\tsec\tok\tsteal_ticks\tsteal_pct"))
     // try/finally (ADVICE r10): a fatal abort mid-suite must still close
     // the writer, and a swallowed I/O error (PrintWriter never throws)
     // must be surfaced — a silently truncated timeline would be joined
@@ -87,14 +108,23 @@ object Bench {
     val results =
       try selected.map { case (name, fn) =>
         val times = (1 to runs).flatMap { r =>
+          val j0 = if (timeline.isDefined) cpuJiffies() else None
           val w0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
             catch { case _: Throwable => false }
           val sec = (System.nanoTime() - t0) / 1e9
+          val steal = for {
+            (s0, tt0) <- j0
+            (s1, tt1) <- cpuJiffies()
+            if tt1 > tt0
+          } yield (s1 - s0, 100.0 * (s1 - s0) / (tt1 - tt0))
           timeline.foreach { tl =>
-            tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f\t$ok")
+            val (stT, stP) = steal
+              .map { case (t, p) => (t.toString, f"$p%.2f") }
+              .getOrElse(("-", "-"))
+            tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f\t$ok\t$stT\t$stP")
             tl.flush()
           }
           if (ok) Some(sec) else None

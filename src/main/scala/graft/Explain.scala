@@ -8,9 +8,33 @@ import org.apache.spark.sql.SparkSession
   * With SPARK_GRAFT_EXPLAIN_RUN=1 the query is EXECUTED first and the
   * final adaptive plan is printed instead — this is where AQE's runtime
   * decisions (ReusedExchange/stage reuse, skew splits, bhj conversions)
-  * become visible; the static plan hides them.
+  * become visible; the static plan hides them. Executed runs also print
+  * a `-- metrics --` line with the query's total shuffle write
+  * bytes/records (summed from per-task metrics via a SparkListener):
+  * the number a shuffle-volume claim ("payload X no longer rides
+  * exchange Y") must cite, since plan text shows shape but not bytes.
   */
 object Explain {
+  /** Sums shuffle write volume across all tasks between reset() calls.
+    * Shuffle WRITE is the right side to meter: every exchange is written
+    * exactly once (reads can be retried/reused), so the sum is the
+    * query's true shuffle volume. */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong
+    private val records = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def reset(): Unit = { bytes.set(0); records.set(0) }
+    def report: String =
+      s"shuffle_write_bytes=${bytes.get} shuffle_write_records=${records.get}"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -25,12 +49,27 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val meter = new ShuffleMeter
+    if (run) spark.sparkContext.addSparkListener(meter)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (run) {
+        meter.reset()
         df.queryExecution.toRdd.foreach(_ => ())
         println(df.queryExecution.executedPlan.toString)
+        // the listener bus is async and has no public drain; poll until
+        // the counter is stable (all task-end events for a finished job
+        // post within milliseconds)
+        var last = ""
+        var same = 0
+        var waited = 0
+        while (same < 3 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val cur = meter.report
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+        println(s"-- metrics -- ${meter.report}")
       } else df.explain("formatted")
     }
     spark.stop()

@@ -341,8 +341,10 @@ object Dedup {
     * indexed segment's length l_i(m) starting within ±K of its indexed
     * position p_i(m) — the PassJoin position bound (an edit script with
     * ≤K errors shifts an untouched segment by at most K chars).
-    * array_distinct collapses shift aliases (equal substrings reached
-    * from different (dm, sh)) before the explode. */
+    * array_distinct collapses shift aliases within the same (i, m) slot
+    * (equal substrings reached from different sh) before the explode;
+    * equal substrings under different (i, m) are distinct keys by
+    * construction, since the struct carries both. */
   private val d17ProbesSql =
     """array_distinct(flatten(transform(sequence(-2, 2), dm ->
       |  flatten(transform(sequence(0, 2), i ->
@@ -380,10 +382,16 @@ object Dedup {
     * ED ≤ K) with no banding-miss caveat.
     *
     * Scale shape at 100 TB: signature/probe generation is map-only
-    * (O(1) keys per doc); the ONE shuffle is the candidate equi-join on
-    * (slot, len, segment) — shuffle volume O(docs × keys), never
-    * O(pairs); verification cost is O(candidates), and candidates for
-    * near-unique titles are rare-key collisions. Byte-identical
+    * (O(1) keys per doc); the ONE corpus-sized shuffle is the candidate
+    * equi-join on (slot, len, segment) — shuffle volume O(docs × keys),
+    * never O(pairs) — and both sides ship ONLY (doc_id, key): the title
+    * payload would otherwise ride the ≤75-key probe fan-out, multiplying
+    * shuffle bytes by the fan-out. Candidates dedup as bare id pairs;
+    * titles re-attach afterward via two id-equi joins against the
+    * one-row-per-doc title relation (O(candidates) + O(docs) shuffle,
+    * strictly less than titles × fan-out). Verification cost is
+    * O(candidates), and candidates for near-unique titles are rare-key
+    * collisions. Byte-identical
     * replication (the scaled corpora) makes every family member share
     * all keys — candidates grow with TRUE match mass (those pairs ARE
     * ED-0 matches), which no recall-preserving scheme can avoid; a
@@ -395,19 +403,27 @@ object Dedup {
     val docs = t.documentsWide
       .select(col("doc_id"), titleCol.as("title"))
       .filter(length(col("title")) >= D17MinLen)
+    // both join sides ship bare (doc_id, i, m, key) — no title payload
+    // on the fan-out (the explode exprs read `title` without projecting
+    // it into the shuffle)
     val idx = docs
-      .select(col("doc_id").as("doc_a"), col("title"),
+      .select(col("doc_id").as("doc_a"),
         explode(expr(d17SegmentsSql)).as("k"))
-      .select(col("doc_a"), col("title").as("t_a"), col("k.i").as("i"),
+      .select(col("doc_a"), col("k.i").as("i"),
         col("k.m").as("m"), col("k.s").as("key"))
     val probe = docs
-      .select(col("doc_id").as("doc_b"), col("title"),
+      .select(col("doc_id").as("doc_b"),
         explode(expr(d17ProbesSql)).as("k"))
-      .select(col("doc_b"), col("title").as("t_b"), col("k.i").as("i"),
+      .select(col("doc_b"), col("k.i").as("i"),
         col("k.m").as("m"), col("k.s").as("key"))
-    idx.join(probe, Seq("i", "m", "key"))
+    val cands = idx.join(probe, Seq("i", "m", "key"))
       .filter(col("doc_b") > col("doc_a"))
-      .select("doc_a", "t_a", "doc_b", "t_b").distinct()
+      .select("doc_a", "doc_b").distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("title").as("t_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("title").as("t_b")), Seq("doc_b"))
       .withColumn("edit_dist",
         levenshtein(col("t_a"), col("t_b")).cast("long"))
       .filter(col("edit_dist") <= D17MaxEd)

@@ -628,7 +628,15 @@ object PipelineQueries {
     // the admission chain composed from already-oracled stage twins:
     // d11's md5 split + canonical fp, p01's quality rule and in-batch
     // min-doc_id dedup, t10/p01's 8-gram decontamination — each CTE on
-    // the previous stage's survivors, batch-side only
+    // the previous stage's survivors, batch-side only.
+    // Known representational divergence (inherited from the t10/p01
+    // twins): the Spark decontaminate stage joins 64-bit FNV n-gram
+    // HASHES while this twin joins the literal gram STRINGS — a 64-bit
+    // collision between a batch gram and a bench gram would drop a doc
+    // Spark-side that the oracle keeps (conservative direction: false
+    // drop, never false admit). Expected collisions ~n_b*n_c/2^64 —
+    // negligible at any realistic gram count; documented rather than
+    // papered over, as d02/d04 document their banding caveats.
     "p06_incremental_curation" ->
       raw"""WITH corpus AS (
          |  SELECT doc_id, source, text FROM documents

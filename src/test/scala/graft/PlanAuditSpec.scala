@@ -136,6 +136,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"d16's legs must be checkpointed label scans:\n$plan")
   }
 
+  test("d17 plans ONE segment-key equi-join feeding bare-id candidates, " +
+    "verify above the joins, never a cartesian") {
+    // PassJoin's whole value is that the candidate join is an EQUI-join
+    // on (slot, len, segment) — a future Spark upgrade (or an edit to
+    // the probe expr) that stops the key columns resolving would
+    // silently re-plan this as a nested-loop over the corpus. Audit
+    // without auto-broadcast so the shape is the 100 TB shape.
+    val plan = withoutAutoBroadcast {
+      dedup.Dedup.d17(TestSpark.tables).queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"d17 must never plan a product join:\n$plan")
+    // exactly three shuffle equi-joins: candidates on (i, m, key) plus
+    // the two title re-attach joins on doc ids (nit-2 shape: the title
+    // payload must NOT ride the 75-key probe fan-out or the candidate
+    // distinct)
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
+    assert(joins == 3,
+      s"d17 should plan exactly 3 equi-joins (got $joins):\n$plan")
+    // the exact verify runs ONLY above the joins (on deduped candidates)
+    // — plan prints top-down, so levenshtein must appear before (above)
+    // the first join node
+    val lev = plan.indexOf("levenshtein")
+    val firstJoin = "(SortMergeJoin|ShuffledHashJoin)".r
+      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
+    assert(lev >= 0 && firstJoin >= 0 && lev < firstJoin,
+      s"levenshtein must verify above the candidate join:\n$plan")
+    // and the candidate distinct aggregates bare ids — no title bytes in
+    // the dedup exchange (the ids function-determine the titles)
+    val distinctKeys =
+      "HashAggregate\\(keys=\\[doc_[ab]#\\d+L?, doc_[ab]#\\d+L?\\]"
+        .r.findAllIn(plan).size
+    assert(distinctKeys >= 1,
+      s"d17 candidate distinct must key on bare (doc_a, doc_b):\n$plan")
+    assert("HashAggregate\\(keys=\\[[^\\]]*t_[ab]".r.findFirstIn(plan).isEmpty,
+      s"d17 candidate distinct must not carry title columns:\n$plan")
+  }
+
   test("t26's bucket-LM probe broadcasts: the 256-row feature table is " +
     "constant-size at any corpus scale") {
     val plan = text.TextOps.t26(TestSpark.tables)

@@ -56,8 +56,13 @@ def parse_vmstat(path, tz="local"):
 
 
 def parse_timeline(path):
-    """[(query, run, start, end, sec, ok)] — ok defaults True for the
-    5-column pre-round-11 format so archived timelines stay joinable."""
+    """[(query, run, start, end, sec, ok, proc_steal_pct|None)] — ok
+    defaults True for the 5-column pre-round-11 format, and
+    proc_steal_pct is None for pre-round-12 timelines (no per-run
+    /proc/stat column), so archived timelines stay joinable. When
+    present, proc_steal_pct is the run's EXACT steal share over its own
+    window — authoritative where the 2 s vmstat grid can average a
+    sub-window spike down to zero (the round-11 run-B blindness)."""
     rows = []
     for line in open(path):
         if line.startswith("query\t"):
@@ -66,8 +71,14 @@ def parse_timeline(path):
         if len(f) < 5:
             continue
         ok = f[5].strip().lower() == "true" if len(f) >= 6 else True
+        proc_st = None
+        if len(f) >= 8 and f[7].strip() not in ("", "-"):
+            try:
+                proc_st = float(f[7])
+            except ValueError:
+                pass
         rows.append((f[0], int(f[1]), float(f[2]), float(f[3]),
-                     float(f[4]), ok))
+                     float(f[4]), ok, proc_st))
     return rows
 
 
@@ -94,22 +105,28 @@ def frozen_map():
 
 
 def join(vm, runs, frozen):
-    """[(q, run, sec, frozen|None, max_st, mean_st, max_wa, swap, ok)].
-    Runs overlapping ZERO vmstat samples are reported to stderr (ADVICE
-    r10: skipping them silently hides a dead/late trace) and excluded."""
+    """[(q, run, sec, frozen|None, max_st, mean_st, max_wa, swap, ok,
+    proc_st|None)]. Runs overlapping ZERO vmstat samples are reported to
+    stderr (ADVICE r10: skipping them silently hides a dead/late trace)
+    and excluded — unless the run carries its OWN /proc/stat steal
+    column, which needs no trace to attribute."""
     joined, missed = [], 0
-    for q, r, a, b, sec, ok in runs:
+    for q, r, a, b, sec, ok, proc_st in runs:
         # pad half a sample either side: a 2 s cadence can straddle
         window = [v for v in vm if a - 1 <= v[0] <= b + 1]
         if not window:
+            # the warning below still fires (iowait/swap attribution IS
+            # missing), but a run carrying its own /proc/stat column is
+            # steal-attributable without any trace — keep it
             missed += 1
-            continue
-        mx_st = max(v[1] for v in window)
-        mean_st = sum(v[1] for v in window) / len(window)
-        mx_wa = max(v[2] for v in window)
+            if proc_st is None:
+                continue
+        mx_st = max((v[1] for v in window), default=0)
+        mean_st = (sum(v[1] for v in window) / len(window)) if window else 0.0
+        mx_wa = max((v[2] for v in window), default=0)
         swap = sum(v[3] for v in window)
         joined.append((q, r, sec, frozen.get(q), mx_st, mean_st, mx_wa,
-                       swap, ok))
+                       swap, ok, proc_st))
     if missed:
         print(f"WARNING: {missed}/{len(runs)} timeline runs overlap ZERO "
               "vmstat samples — trace dead, late, or joined with the wrong "
@@ -118,16 +135,29 @@ def join(vm, runs, frozen):
     return joined, missed
 
 
+def hot(j):
+    """A run is hot if EITHER signal says so: the vmstat window max OR
+    the run's own /proc/stat delta (which catches sub-window spikes the
+    2 s grid averages away — the round-11 run-B class)."""
+    return j[4] >= HOT_STEAL_PCT or \
+        (j[9] is not None and j[9] >= HOT_STEAL_PCT)
+
+
 def stats(joined, missed, n_runs):
     """Session-level steal exposure for the bench record (verdict item 4)."""
     if not joined:
         return {"steal_max": None, "steal_mean": None, "hot_runs": None,
+                "proc_steal_max": None,
                 "joined_runs": 0, "timeline_runs": n_runs,
                 "zero_overlap_runs": missed, "failed_runs": 0}
+    proc = [j[9] for j in joined if j[9] is not None]
     return {
         "steal_max": max(j[4] for j in joined),
         "steal_mean": round(sum(j[5] for j in joined) / len(joined), 3),
-        "hot_runs": sum(1 for j in joined if j[4] >= HOT_STEAL_PCT),
+        "hot_runs": sum(1 for j in joined if hot(j)),
+        # exact per-run /proc/stat ceiling (None on pre-round-12
+        # timelines): the sub-window-proof counterpart of steal_max
+        "proc_steal_max": round(max(proc), 2) if proc else None,
         "joined_runs": len(joined),
         "timeline_runs": n_runs,
         "zero_overlap_runs": missed,
@@ -155,14 +185,17 @@ def main():
                   if j[3] is not None and j[2] > ratio * j[3]]
         picked.sort(key=lambda j: -(j[2] / j[3] if j[3] else float("inf")))
     else:
-        picked = sorted(joined, key=lambda j: -j[4])[:15]
+        picked = sorted(
+            joined,
+            key=lambda j: -max(j[4], j[9] if j[9] is not None else 0))[:15]
     print("query                          run    sec  frozen  maxSt%  "
-          "meanSt%  maxWa%  swap  ok")
-    for q, r, sec, fr, mx, mn, wa, sw, ok in picked:
+          "meanSt%  procSt%  maxWa%  swap  ok")
+    for q, r, sec, fr, mx, mn, wa, sw, ok, pst in picked:
         fr_s = f"{fr:7.3f}" if fr is not None else "      -"
+        pst_s = f"{pst:7.2f}" if pst is not None else "      -"
         ok_s = "" if ok else "  FAILED-RUN"
         print(f"{q:30s} {r:3d} {sec:7.3f} {fr_s} {mx:6d} {mn:8.2f} "
-              f"{wa:7d} {sw:5d}{ok_s}")
+              f"{pst_s} {wa:7d} {sw:5d}{ok_s}")
     if not picked:
         print("(no runs matched)")
 

@@ -5,7 +5,10 @@ steal window, and asserts that drift_join (a) attributes the hot window
 to exactly the run that executed inside it, (b) counts it in
 --stats-json, (c) reports zero-overlap runs loudly instead of silently
 skipping them, (d) still parses the 5-column pre-round-11 timeline
-format, and (e) distinguishes failed (ok=false) runs.
+format, (e) distinguishes failed (ok=false) runs, and (f — round 12)
+catches SUB-WINDOW steal: a run whose 2 s vmstat windows all read zero
+but whose own /proc/stat column (Bench's per-run steal delta) reads hot
+must be counted hot — the round-11 run-B blindness class.
 
 Run: python3 tools/drift_join_selftest.py   (exit 0 = gate works)
 """
@@ -51,8 +54,12 @@ def main():
 
     # timeline: q_cold runs inside the quiet region, q_hot run 2 inside
     # the hot window, q_failed errored (ok=false), q_orphan is outside
-    # the trace entirely (zero-overlap).
-    rows = [
+    # the trace entirely (zero-overlap, no proc column → excluded),
+    # q_subwin runs in a ZERO-steal vmstat region but its own /proc/stat
+    # column reads 12.5% (the sub-window spike the 2 s grid hides), and
+    # q_orphan2 is outside the trace but carries a proc column (warned
+    # about, yet still steal-attributable).
+    rows6 = [
         ("q_cold", 1, BASE + 2, BASE + 8, 6.0, "true"),
         ("q_cold", 2, BASE + 10, BASE + 16, 6.0, "true"),
         ("q_hot", 1, BASE + 34, BASE + 40, 6.0, "true"),
@@ -60,34 +67,51 @@ def main():
         ("q_failed", 1, BASE + 42, BASE + 44, 2.0, "false"),
         ("q_orphan", 1, BASE + 500, BASE + 506, 6.0, "true"),
     ]
+    rows8 = [
+        ("q_subwin", 1, BASE + 46, BASE + 52, 6.0, "true", 48, 12.50),
+        ("q_orphan2", 1, BASE + 510, BASE + 516, 6.0, "true", 3, 0.75),
+    ]
     with open(tl_path, "w") as f:
-        f.write("query\trun\tstart_epoch\tend_epoch\tsec\tok\n")
-        for q, r, a, b, sec, ok in rows:
-            f.write(f"{q}\t{r}\t{a:.1f}\t{b:.1f}\t{sec:.3f}\t{ok}\n")
+        f.write("query\trun\tstart_epoch\tend_epoch\tsec\tok"
+                "\tsteal_ticks\tsteal_pct\n")
+        for q, r, a, b, sec, ok in rows6:
+            f.write(f"{q}\t{r}\t{a:.1f}\t{b:.1f}\t{sec:.3f}\t{ok}\t-\t-\n")
+        for q, r, a, b, sec, ok, tk, pct in rows8:
+            f.write(f"{q}\t{r}\t{a:.1f}\t{b:.1f}\t{sec:.3f}\t{ok}"
+                    f"\t{tk}\t{pct:.2f}\n")
 
     vm = drift_join.parse_vmstat(vm_path)
     assert len(vm) == 30, f"vmstat parse: {len(vm)} != 30"
     runs = drift_join.parse_timeline(tl_path)
-    assert len(runs) == 6
+    assert len(runs) == 8
     assert runs[4][5] is False, "ok=false not parsed"
+    assert runs[6][6] == 12.50, "proc steal_pct not parsed"
+    assert runs[0][6] is None, "'-' proc column should parse as None"
 
     joined, missed = drift_join.join(vm, runs, {})
-    assert missed == 1, f"zero-overlap count {missed} != 1 (q_orphan)"
+    assert missed == 2, f"zero-overlap count {missed} != 2 (both orphans)"
     by = {(j[0], j[1]): j for j in joined}
     assert ("q_orphan", 1) not in by
+    # a trace-less run WITH a proc column stays attributable
+    assert by[("q_orphan2", 1)][9] == 0.75
     # (a) hot window lands on exactly q_hot run 2
     assert by[("q_hot", 2)][4] == 15, "hot run max steal != 15"
-    hot = [k for k, j in by.items() if j[4] >= drift_join.HOT_STEAL_PCT]
-    assert hot == [("q_hot", 2)], f"hot attribution wrong: {hot}"
+    hots = sorted(k for k, j in by.items() if drift_join.hot(j))
+    # (f) the sub-window run is hot via its proc column despite zero
+    # visible vmstat steal
+    assert by[("q_subwin", 1)][4] == 0, "q_subwin vmstat window not quiet"
+    assert hots == [("q_hot", 2), ("q_subwin", 1)], \
+        f"hot attribution wrong: {hots}"
     assert by[("q_cold", 1)][4] == 0 and by[("q_hot", 1)][4] == 0
     # (e) failed run flagged
     assert by[("q_failed", 1)][8] is False
 
     # (b) stats summary
     st = drift_join.stats(joined, missed, len(runs))
-    assert st["steal_max"] == 15 and st["hot_runs"] == 1
-    assert st["zero_overlap_runs"] == 1 and st["failed_runs"] == 1
-    assert st["joined_runs"] == 5 and st["timeline_runs"] == 6
+    assert st["steal_max"] == 15 and st["hot_runs"] == 2
+    assert st["proc_steal_max"] == 12.50
+    assert st["zero_overlap_runs"] == 2 and st["failed_runs"] == 1
+    assert st["joined_runs"] == 7 and st["timeline_runs"] == 8
 
     # (d) 5-column legacy format still parses, ok defaults True
     legacy = os.path.join(d, "legacy.tsv")
@@ -95,7 +119,7 @@ def main():
         f.write("query\trun\tstart_epoch\tend_epoch\tsec\n")
         f.write(f"q_old\t1\t{BASE + 2:.1f}\t{BASE + 8:.1f}\t6.000\n")
     lr = drift_join.parse_timeline(legacy)
-    assert lr == [("q_old", 1, BASE + 2.0, BASE + 8.0, 6.0, True)]
+    assert lr == [("q_old", 1, BASE + 2.0, BASE + 8.0, 6.0, True, None)]
 
     # (c) CLI end-to-end: warning on stderr, stats on stdout
     p = subprocess.run(
@@ -103,7 +127,7 @@ def main():
                                       "drift_join.py"),
          tl_path, vm_path, "--stats-json"],
         capture_output=True, text=True, check=True)
-    assert "zero_overlap_runs\": 1".replace(" ", "") in \
+    assert "zero_overlap_runs\": 2".replace(" ", "") in \
         p.stdout.replace(" ", ""), p.stdout
     assert "WARNING" in p.stderr and "ZERO vmstat samples" in p.stderr
 
