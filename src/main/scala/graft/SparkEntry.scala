@@ -142,6 +142,12 @@ object SparkEntry {
         // pair relation batch d02 computes, so it shares d02's md5-MinHash
         // oracle verbatim (round-7: the md5 rebase made both oracle-able)
         "st14_stream_neardup" -> Dedup.oracles("d02_dedup_minhash"),
+        // the micro-batched admission stream must reproduce p06's batch
+        // admission decision exactly (first-arrival-wins over the
+        // doc_id-range replay ≡ min-doc_id survivorship), so it shares
+        // p06's composed oracle verbatim
+        "st17_stream_admission" ->
+          graft.pipeline.PipelineQueries.oracles("p06_incremental_curation"),
         // streaming decode-at-ingest: the cross-batch (modality,
         // container) rollup must equal the codec-free synthesis-rule
         // arithmetic (closed-form WAV/BMP/PPM sizes, RLE-walk TGA

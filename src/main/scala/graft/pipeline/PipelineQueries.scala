@@ -313,7 +313,7 @@ object PipelineQueries {
     * definition of quality/dedup/decontamination semantics. */
   def p06(t: Tables): DataFrame = {
     import TrainingDataPipeline._
-    import graft.functions.exprs.{canon_fp, quality_scan}
+    import graft.functions.exprs.canon_fp
     val input = t.documents
     val bench = input.filter(col("doc_id") % 50 === 0)
     val corpus = input.filter(col("doc_id") % 50 =!= 0)
@@ -329,13 +329,28 @@ object PipelineQueries {
     val uniq = exactDedup(novel).persist(StorageLevel.MEMORY_AND_DISK)
     val admitted = decontaminate(uniq, bench)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = admissionRollup(incoming, q, novel, uniq, admitted)
+    graft.CacheHygiene.materializeAndRelease(result,
+      Seq(incoming, q, novel, uniq, admitted))
+  }
+
+  /** The per-source admission rollup shared by p06 and its streaming twin
+    * st17 (ONE live definition of the reporting semantics, as the stage
+    * kernels are one live definition of the gate semantics): survivors at
+    * every stage, admitted token mass, exact-integer admit fraction. Each
+    * input needs a `source` column; `admitted` additionally needs `text`
+    * (token mass is computed here, from the same quality_scan kernel the
+    * gate uses). */
+  private[graft] def admissionRollup(incoming: DataFrame, q: DataFrame,
+      novel: DataFrame, uniq: DataFrame, admitted: DataFrame): DataFrame = {
+    import graft.functions.exprs.quality_scan
     def cnt(df: DataFrame, name: String) =
       df.groupBy("source").agg(count(lit(1)).as(name))
     val admTok = admitted
       .withColumn("ntk",
         quality_scan(col("text")).getField("n_tokens").cast("bigint"))
       .groupBy("source").agg(sum(col("ntk")).as("admitted_tokens"))
-    val result = cnt(incoming, "n_incoming")
+    cnt(incoming, "n_incoming")
       .join(cnt(q, "n_quality"), Seq("source"), "left")
       .join(cnt(novel, "n_novel"), Seq("source"), "left")
       .join(cnt(uniq, "n_unique"), Seq("source"), "left")
@@ -349,8 +364,6 @@ object PipelineQueries {
         "((20000 * n_admitted + n_incoming) div (2 * n_incoming))" +
           " / cast(10000 as double)"))
       .orderBy("source")
-    graft.CacheHygiene.materializeAndRelease(result,
-      Seq(incoming, q, novel, uniq, admitted))
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(

@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.storage.StorageLevel
 
 /** Driver-graded Structured Streaming queries (SURVEY §2 st01–st15).
   *
@@ -1234,7 +1235,144 @@ object StreamQueries {
       .orderBy("modality", "container")
   }
 
+  /** The incoming admission split as a 4-chunk multi-batch stream, split
+    * by doc_id RANGE in ascending mtime order (one file per trigger):
+    * unlike st14's hash chunks, RANGE chunks make arrival order equal
+    * doc_id order, which is what lets first-arrival-wins admission
+    * reproduce p06's min-doc_id in-batch survivorship exactly (see
+    * [[st17]]'s scaladoc). Cached per (app, table content) like the
+    * other replays. */
+  private def incomingReplayDir(spark: SparkSession, dir: String): String =
+    replayCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$dir:incoming",
+      graft.Tables.fingerprint(s"$dir/documents.parquet")) {
+      import graft.functions.exprs.canon_fp
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val split = substring(md5(col("doc_id").cast("string")), 32, 1)
+      val incoming = docs
+        .filter(col("doc_id") % 50 =!= 0 && split >= "d")
+      val maxId = incoming.agg(max("doc_id")).head.getLong(0)
+      val out = graft.TempDirs.create("graft_replay_incoming")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val bound = maxId / 4 + 1
+      (0 until 4).foreach { i =>
+        val tmp = graft.TempDirs.create(s"graft_replay_inc_chunk_$i")
+        incoming.filter(expr(s"doc_id div $bound") === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"incoming replay chunk $i: no parquet part"))
+        val dst = new java.io.File(out, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 60000L)
+      }
+      // the standing corpus's fingerprint index, snapshotted NEXT TO the
+      // replay (same cache key lifetime): one build per corpus snapshot,
+      // probed by every micro-batch — the d11 snapshot-index pattern
+      docs.filter(col("doc_id") % 50 =!= 0 && split < "d")
+        .select(canon_fp(col("text")).as("fp")).distinct()
+        .write.mode("overwrite").parquet(s"$out.index")
+      out
+    }
+
+  private def replayedIncomingStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    val rd = incomingReplayDir(spark, dir)
+    val schema = spark.read.parquet(rd).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(rd)
+  }
+
+  /** st17 — p06's incremental-admission decision as a MICRO-BATCHED
+    * STREAM: the production shape of daily ingest, where each
+    * micro-batch is one arriving batch and the admission gates run
+    * against STANDING state instead of the corpus. Per micro-batch the
+    * foreachBatch sink runs the SAME TrainingDataPipeline kernels p06
+    * (and p01) grade — quality gate, standing-index fingerprint drop
+    * (left_anti probe of the snapshot fp index), cross-batch + in-batch
+    * exact dedup, eval-set decontamination — and appends each stage's
+    * survivors idempotently (per-batch-id overwrite, the st15 sink
+    * contract). The cross-batch dedup state is an ACCUMULATING
+    * fingerprint index (each batch's unique novel fps append a snapshot;
+    * later batches left_anti-probe the union) — corpus-scale index state
+    * lives in snapshots, not the state store (the d11 rotation pattern;
+    * st14's state store holds LSH buckets, which are bounded per key).
+    *
+    * EXACT p06 parity, and why it needs the RANGE replay: p06 dedups the
+    * whole incoming split at once with a min-doc_id survivor; a stream
+    * admits first-arrival-wins (that IS the production semantics — an
+    * admitted doc is not retracted when a smaller id arrives a day
+    * later). With doc_id-RANGE chunks arriving in ascending order, the
+    * first arrival of a fingerprint is exactly its minimum doc_id, so
+    * the two policies coincide and the finite-replay gate can reuse
+    * p06's DuckDB oracle VERBATIM. Every stage stays O(batch): the
+    * standing index is probed, never scanned into the batch; quality /
+    * fp / decontamination are per-doc kernels; the final rollup reads
+    * the accumulated stage survivors (O(admitted), not O(corpus)). */
+  def st17(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs.canon_fp
+    import graft.pipeline.TrainingDataPipeline.{decontaminate, exactDedup, qualityFilter}
+    val stream = replayedIncomingStream(spark, dir)
+    val standingIdx = incomingReplayDir(spark, dir) + ".index"
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+    val out = graft.TempDirs.create("graft_st17_stages")
+    val stages = Seq("incoming", "quality", "novel", "uniq", "admitted")
+    def stageDir(s: String) = s"$out/$s"
+    def batchDirs(s: String): Seq[String] = {
+      val d = new java.io.File(stageDir(s))
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("batch_")).map(_.getPath).toSeq
+    }
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val baseFps = sp.read.parquet(standingIdx)
+        val qual = qualityFilter(batch)
+        val novel = qual.withColumn("fp", canon_fp(col("text")))
+          .join(baseFps, Seq("fp"), "left_anti").drop("fp")
+        // cross-batch dedup: probe the fps accumulated by PRIOR batches
+        val prior = batchDirs("seen_fps")
+        val crossNovel =
+          if (prior.isEmpty) novel
+          else novel.withColumn("fp", canon_fp(col("text")))
+            .join(sp.read.parquet(prior: _*), Seq("fp"), "left_anti")
+            .drop("fp")
+        val uniq = exactDedup(crossNovel)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val admitted = decontaminate(uniq, bench)
+        // idempotent per-batch-id overwrite (a retried batch replaces
+        // its own output, never duplicates it)
+        def sink(df: DataFrame, stage: String, cols: Seq[String]): Unit =
+          df.select(cols.map(col): _*).write.mode("overwrite")
+            .parquet(s"${stageDir(stage)}/batch_$batchId")
+        sink(batch, "incoming", Seq("doc_id", "source"))
+        sink(qual, "quality", Seq("doc_id", "source"))
+        sink(novel, "novel", Seq("doc_id", "source"))
+        sink(uniq, "uniq", Seq("doc_id", "source"))
+        sink(admitted, "admitted", Seq("doc_id", "source", "text"))
+        uniq.select(canon_fp(col("text")).as("fp")).distinct()
+          .write.mode("overwrite")
+          .parquet(s"${stageDir("seen_fps")}/batch_$batchId")
+        uniq.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val Seq(incoming, qual, novel, uniq, admitted) = stages.map { s =>
+      val dirs = batchDirs(s)
+      require(dirs.nonEmpty, s"st17: stage $s produced no batches")
+      spark.read.parquet(dirs: _*)
+    }
+    graft.pipeline.PipelineQueries
+      .admissionRollup(incoming, qual, novel, uniq, admitted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_stream_admission" -> ((s, dir) => st17(s, dir)),
     "st16_stream_media_ingest" -> ((s, _) => st16(s)),
     "st13_stream_leaderboard" -> ((s, dir) => st13(s, dir)),
     "st12_stream_threshold_alert" -> ((s, dir) => st12(s, dir)),

@@ -147,6 +147,17 @@ class StreamQueriesSpec extends AnyFunSuite {
       s"streaming pair set must equal batch d02 (${s.size} vs ${b.size})")
   }
 
+  test("st17 micro-batched admission equals batch p06 row-for-row " +
+    "(first-arrival-wins over the doc_id-range replay ≡ min-doc_id " +
+    "survivorship)") {
+    val streamed = StreamQueries.st17(spark, TestSpark.sfDir)
+    val batch = graft.pipeline.PipelineQueries.p06(TestSpark.tables)
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"streaming admission must equal batch p06:\n  stream: $s\n  batch : $b")
+  }
+
   test("st10 streaming curation gates equal the batch quality∘dedup " +
     "composition exactly") {
     import org.apache.spark.sql.functions._
