@@ -944,10 +944,392 @@ object BinaryPipeline {
       (rate, out)
     }
 
-    /** Decoded audio regardless of coding: PCM or IMA ADPCM. */
+    // ---- FLAC (round 12): the SEVENTH container and audio's
+    //      PREDICTIVE+ENTROPY-coded LOSSLESS leg — per-frame fixed
+    //      linear prediction (the spec's polynomial predictors) followed
+    //      by Rice coding of the residuals, inside CRC-8/CRC-16-protected
+    //      frames with an MD5 integrity signature in STREAMINFO. Pure
+    //      public spec (the FLAC format, RFC 9639); this encoder emits a
+    //      documented SUBSET (mono s16, fixed 256-sample blocksize,
+    //      FIXED predictors order 0–2, one Rice partition) and the
+    //      decoder accepts exactly the spec shapes it can prove correct
+    //      (FIXED 0–4), rejecting everything else loudly. The synthetic
+    //      splitmix64 samples are white noise, so order 0 nearly always
+    //      wins and Rice parameters sit at 15–16 (the RICE2 escape):
+    //      compression is not the point on this corpus — the coding
+    //      machinery is, and MultimodalSpec drives orders 1–2 with
+    //      crafted smooth signals. ----
+
+    private[graft] val FlacBlockSize = 256
+    /** FLAC's frame-header sample-rate code for 8 kHz (spec table). */
+    private val FlacRate8kCode = 4
+
+    /** CRC-8, poly x⁸+x²+x+1 (0x07), init 0, MSB-first — the FLAC
+      * frame-header CRC. */
+    private[graft] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= b(i) & 0xff
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+                else (crc << 1) & 0xff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** CRC-16, poly x¹⁶+x¹⁵+x²+1 (0x8005), init 0, MSB-first — the FLAC
+      * whole-frame CRC. */
+    private[graft] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+      var crc = 0
+      var i = from
+      while (i < until) {
+        crc ^= (b(i) & 0xff) << 8
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+                else (crc << 1) & 0xffff
+          k += 1
+        }
+        i += 1
+      }
+      crc
+    }
+
+    /** MSB-first bit writer (FLAC packs everything big-endian-bitwise,
+      * unlike DEFLATE's LSB-first stream). */
+    private final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var cur = 0
+      private var nBits = 0
+      def put(v: Long, n: Int): Unit = {
+        var k = n - 1
+        while (k >= 0) {
+          cur = (cur << 1) | ((v >> k) & 1L).toInt
+          nBits += 1
+          if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+          k -= 1
+        }
+      }
+      def putUnary(q: Int): Unit = { // q zero-bits then a one (spec rice)
+        var i = 0
+        while (i < q) { put(0, 1); i += 1 }
+        put(1, 1)
+      }
+      def alignToByte(): Unit = if (nBits > 0) put(0, 8 - nBits)
+      def toByteArray: Array[Byte] = { alignToByte(); out.toByteArray }
+    }
+
+    /** MSB-first bit reader with hard bounds (truncated frames fail as
+      * clean codec errors, never index errors). */
+    private final class BitReader(b: Array[Byte], startByte: Int) {
+      private var pos = startByte * 8L
+      def bitPos: Long = pos
+      def bytePos: Int = ((pos + 7) / 8).toInt
+      def take(n: Int): Long = {
+        require(pos + n <= b.length * 8L, "flac: bitstream truncated")
+        var v = 0L
+        var k = 0
+        while (k < n) {
+          v = (v << 1) | ((b((pos / 8).toInt) >> (7 - (pos % 8).toInt)) & 1)
+          pos += 1
+          k += 1
+        }
+        v
+      }
+      def takeUnary(): Int = {
+        var q = 0
+        while (take(1) == 0) q += 1
+        q
+      }
+      def alignToByte(): Unit = if (pos % 8 != 0) {
+        require(take((8 - pos % 8).toInt) == 0, "flac: nonzero frame padding")
+      }
+    }
+
+    /** FLAC's fixed polynomial predictor of `order` over the previous
+      * samples (spec §fixed predictors) — shared by encode, decode, and
+      * the codec-free [[BinaryPipeline.flacBytes]] length twin. */
+    private[multimodal] def flacPredict(s: Array[Int], i: Int, order: Int): Int =
+      order match {
+        case 0 => 0
+        case 1 => s(i - 1)
+        case 2 => 2 * s(i - 1) - s(i - 2)
+        case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
+        case _ => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
+      }
+
+    private def zigzag(r: Int): Long = ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
+
+    /** Exact Rice cost of one frame's residuals at parameter k. */
+    private def riceCost(res: Array[Long], k: Int): Long = {
+      var bits = 0L
+      var i = 0
+      while (i < res.length) { bits += (res(i) >>> k) + 1 + k; i += 1 }
+      bits
+    }
+
+    /** (order, riceK, residual bits) minimizing the subframe's exact bit
+      * cost over FIXED orders 0–2 and Rice parameters 0–30, deterministic
+      * tie-breaks (lowest k, then lowest order) — shared choice rule with
+      * [[BinaryPipeline.flacBytes]] and tools/media_oracle.py. */
+    private[graft] def flacChoose(s: Array[Int], n: Int): (Int, Int, Long) = {
+      var best = (-1, -1, Long.MaxValue)
+      var order = 0
+      while (order <= 2 && order < n) {
+        val res = new Array[Long](n - order)
+        var i = order
+        while (i < n) { res(i - order) = zigzag(s(i) - flacPredict(s, i, order)); i += 1 }
+        var k = 0
+        while (k <= 30) {
+          val bits = riceCost(res, k)
+          val total = 16L * order + (if (k <= 14) 4 else 5) + bits
+          if (total < best._3 ||
+              (total == best._3 && (order < best._1 ||
+                (order == best._1 && k < best._2)))) best = (order, k, total)
+          k += 1
+        }
+        order += 1
+      }
+      (best._1, best._2, best._3)
+    }
+
+    /** Mono s16 FLAC (subset, spec-valid bitstream): fLaC magic →
+      * STREAMINFO (with the REAL MD5 of the unencoded little-endian
+      * sample stream — the decoder recomputes and verifies it, the
+      * audio twin of PNG's Adler-32 self-check) → fixed-256-blocksize
+      * frames, each a FIXED-predictor subframe with one Rice partition,
+      * CRC-8-protected header and CRC-16-protected frame. */
+    def encodeFlac(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(samples.nonEmpty, "encodeFlac: no samples")
+      // frame headers carry the 8 kHz table code when applicable, else
+      // the "rate from STREAMINFO" code 0 — both spec shapes
+      require(sampleRate > 0 && sampleRate < (1 << 20),
+        "encodeFlac: rate must fit STREAMINFO's 20 bits")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('f'); out.write('L'); out.write('a'); out.write('C')
+      // STREAMINFO: last-block flag | type 0, 24-bit length 34
+      out.write(0x80); out.write(0); out.write(0); out.write(34)
+      val si = new BitWriter
+      si.put(FlacBlockSize, 16); si.put(FlacBlockSize, 16) // min/max blocksize
+      si.put(0, 24); si.put(0, 24)                          // min/max frame size: unknown
+      si.put(sampleRate, 20)
+      si.put(0, 3)  // channels - 1
+      si.put(15, 5) // bits per sample - 1
+      si.put(samples.length.toLong, 36)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      samples.foreach { v => md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte) }
+      val sib = si.toByteArray
+      out.write(sib, 0, sib.length)
+      val digest = md.digest()
+      out.write(digest, 0, 16)
+      var frame = 0
+      var off = 0
+      while (off < samples.length) {
+        val n = math.min(FlacBlockSize, samples.length - off)
+        val s = new Array[Int](n)
+        var i = 0
+        while (i < n) { s(i) = samples(off + i).toInt; i += 1 }
+        val (order, k, _) = flacChoose(s, n)
+        val w = new BitWriter
+        w.put(0x3ffe, 14)            // sync
+        w.put(0, 1)                  // reserved
+        w.put(0, 1)                  // blocking strategy: fixed blocksize
+        val short = n != FlacBlockSize
+        w.put(if (short) 6 else 8, 4) // blocksize: 8-bit-at-end | 256
+        w.put(if (sampleRate == 8000) FlacRate8kCode else 0, 4)
+        w.put(0, 4)                  // channel assignment: mono
+        w.put(4, 3)                  // sample size: 16 bits
+        w.put(0, 1)                  // reserved
+        putUtf8(w, frame)            // coded frame NUMBER (fixed blocksize)
+        if (short) w.put(n - 1L, 8)
+        val hdr = w.toByteArray      // header is byte-aligned here by construction
+        val w2 = new BitWriter
+        w2.put(crc8(hdr, 0, hdr.length), 8)
+        // subframe: zero pad, FIXED order, no wasted bits
+        w2.put(0, 1); w2.put(8 + order, 6); w2.put(0, 1)
+        i = 0
+        while (i < order) { w2.put(s(i).toLong & 0xffff, 16); i += 1 }
+        // residual method (RICE 4-bit / RICE2 5-bit params), partition order 0
+        if (k <= 14) { w2.put(0, 2); w2.put(0, 4); w2.put(k, 4) }
+        else { w2.put(1, 2); w2.put(0, 4); w2.put(k, 5) }
+        i = order
+        while (i < n) {
+          val u = zigzag(s(i) - flacPredict(s, i, order))
+          w2.putUnary((u >>> k).toInt)
+          w2.put(u & ((1L << k) - 1), k)
+          i += 1
+        }
+        val body = w2.toByteArray    // aligned: spec zero-padding to byte
+        val full = new Array[Byte](hdr.length + body.length + 2)
+        System.arraycopy(hdr, 0, full, 0, hdr.length)
+        System.arraycopy(body, 0, full, hdr.length, body.length)
+        val c16 = crc16(full, 0, hdr.length + body.length)
+        full(full.length - 2) = ((c16 >> 8) & 0xff).toByte
+        full(full.length - 1) = (c16 & 0xff).toByte
+        out.write(full, 0, full.length)
+        off += n
+        frame += 1
+      }
+      out.toByteArray
+    }
+
+    /** FLAC's UTF-8-style coded number (spec: frame number field). */
+    private def putUtf8(w: BitWriter, v: Int): Unit =
+      if (v < 0x80) w.put(v.toLong, 8)
+      else if (v < 0x800) {
+        w.put(0xc0L | (v >> 6), 8); w.put(0x80L | (v & 0x3f), 8)
+      } else {
+        w.put(0xe0L | (v >> 12), 8); w.put(0x80L | ((v >> 6) & 0x3f), 8)
+        w.put(0x80L | (v & 0x3f), 8)
+      }
+
+    private def takeUtf8(r: BitReader): Int = {
+      val b0 = r.take(8).toInt
+      if (b0 < 0x80) b0
+      else if ((b0 & 0xe0) == 0xc0)
+        ((b0 & 0x1f) << 6) | (r.take(8).toInt & 0x3f)
+      else if ((b0 & 0xf0) == 0xe0)
+        ((b0 & 0x0f) << 12) | ((r.take(8).toInt & 0x3f) << 6) |
+          (r.take(8).toInt & 0x3f)
+      else sys.error("decodeFlac: unsupported coded-number length")
+    }
+
+    def isFlac(p: Array[Byte]): Boolean =
+      p.length >= 4 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C'
+
+    /** Parse the FLAC subset → (sampleRate, samples). Every integrity
+      * rung the bitstream carries is VERIFIED, never assumed: metadata
+      * walk honors the last-block flag and skips unknown blocks; each
+      * frame's sync/CRC-8/CRC-16 are checked; FIXED predictors up to
+      * order 4 are reconstructed exactly; and the decoded stream's MD5
+      * must equal STREAMINFO's signature (an encoder bug anywhere in the
+      * predict→rice→pack chain cannot survive this). */
+    def decodeFlac(p: Array[Byte]): (Int, Array[Short]) = {
+      require(isFlac(p), "decodeFlac: not a FLAC stream")
+      var off = 4
+      var last = false
+      var rate = -1
+      var total = -1L
+      var md5: Array[Byte] = null
+      var minBs = -1
+      while (!last) {
+        require(off + 4 <= p.length, "decodeFlac: truncated metadata header")
+        last = (p(off) & 0x80) != 0
+        val typ = p(off) & 0x7f
+        val len = ((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) |
+          (p(off + 3) & 0xff)
+        require(off + 4 + len <= p.length,
+          s"decodeFlac: metadata block at $off declares len $len past end")
+        if (typ == 0) {
+          require(len == 34, "decodeFlac: STREAMINFO must be 34 bytes")
+          val r = new BitReader(p, off + 4)
+          minBs = r.take(16).toInt
+          val maxBs = r.take(16).toInt
+          require(minBs == maxBs, "decodeFlac: subset requires fixed blocksize")
+          r.take(24); r.take(24) // min/max frame size: unused
+          rate = r.take(20).toInt
+          require(r.take(3) == 0, "decodeFlac: only mono supported")
+          require(r.take(5) == 15, "decodeFlac: only s16 supported")
+          total = r.take(36)
+          md5 = java.util.Arrays.copyOfRange(p, off + 4 + 18, off + 4 + 34)
+        }
+        off += 4 + len
+      }
+      require(rate > 0 && total >= 0 && md5 != null,
+        "decodeFlac: missing STREAMINFO")
+      val out = new Array[Short](total.toInt)
+      var got = 0
+      var expectFrame = 0
+      while (got < total) {
+        val frameStart = off
+        val r = new BitReader(p, off)
+        require(r.take(14) == 0x3ffe, s"decodeFlac: bad frame sync at $off")
+        require(r.take(1) == 0, "decodeFlac: reserved bit set")
+        require(r.take(1) == 0, "decodeFlac: subset requires fixed blocksize")
+        val bsCode = r.take(4).toInt
+        val rateCode = r.take(4).toInt
+        require(rateCode == 0 ||
+          (rateCode == FlacRate8kCode && rate == 8000),
+          s"decodeFlac: rate code $rateCode inconsistent with STREAMINFO $rate")
+        require(r.take(4) == 0, "decodeFlac: only mono supported")
+        require(r.take(3) == 4, "decodeFlac: only s16 supported")
+        require(r.take(1) == 0, "decodeFlac: reserved bit set")
+        val frameNo = takeUtf8(r)
+        require(frameNo == expectFrame,
+          s"decodeFlac: frame number $frameNo, expected $expectFrame")
+        val n = bsCode match {
+          case 6 => r.take(8).toInt + 1
+          case 7 => r.take(16).toInt + 1
+          case 8 => 256
+          case c if c >= 9 && c <= 15 => 256 << (c - 8)
+          case c => sys.error(s"decodeFlac: unsupported blocksize code $c")
+        }
+        require(n <= total - got, "decodeFlac: frame overruns total samples")
+        val hdrEnd = r.bytePos
+        require(r.take(8).toInt == crc8(p, frameStart, hdrEnd),
+          s"decodeFlac: header CRC-8 mismatch at $frameStart")
+        // subframe
+        require(r.take(1) == 0, "decodeFlac: subframe padding bit set")
+        val typ = r.take(6).toInt
+        require(typ >= 8 && typ <= 12,
+          s"decodeFlac: unsupported subframe type $typ (FIXED only)")
+        val order = typ - 8
+        require(r.take(1) == 0, "decodeFlac: wasted bits unsupported")
+        val s = new Array[Int](n)
+        var i = 0
+        while (i < order) {
+          s(i) = (r.take(16).toInt << 16) >> 16 // sign-extend s16 warmup
+          i += 1
+        }
+        val method = r.take(2).toInt
+        require(method <= 1, s"decodeFlac: reserved residual method $method")
+        require(r.take(4) == 0, "decodeFlac: partitioned rice unsupported")
+        val k = r.take(if (method == 0) 4 else 5).toInt
+        val escape = (method == 0 && k == 15) || (method == 1 && k == 31)
+        val rawBits = if (escape) r.take(5).toInt else 0
+        i = order
+        while (i < n) {
+          val res =
+            if (escape) {
+              if (rawBits == 0) 0 // spec: zero-bit escape = all-zero residuals
+              else (r.take(rawBits).toInt << (32 - rawBits)) >> (32 - rawBits)
+            } else {
+              val u = (r.takeUnary().toLong << k) | r.take(k)
+              ((u >>> 1) ^ -(u & 1)).toInt // un-zigzag
+            }
+          val v = flacPredict(s, i, order) + res
+          require(v >= -32768 && v <= 32767,
+            s"decodeFlac: sample $v out of s16 range")
+          s(i) = v
+          i += 1
+        }
+        r.alignToByte()
+        val bodyEnd = r.bytePos
+        require(r.take(16).toInt == crc16(p, frameStart, bodyEnd),
+          s"decodeFlac: frame CRC-16 mismatch at $frameStart")
+        i = 0
+        while (i < n) { out(got + i) = s(i).toShort; i += 1 }
+        got += n
+        expectFrame += 1
+        off = r.bytePos
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      out.foreach { v => md.update((v & 0xff).toByte); md.update(((v >> 8) & 0xff).toByte) }
+      require(java.util.Arrays.equals(md.digest(), md5),
+        "decodeFlac: decoded-stream MD5 does not match STREAMINFO signature")
+      (rate, out)
+    }
+
+    /** Decoded audio regardless of coding: PCM, IMA ADPCM, or FLAC. */
     def decodeAudio(p: Array[Byte]): (Int, Array[Short]) = sniff(p) match {
       case "wav"   => decodeWav(p)
       case "adpcm" => decodeAdpcm(p)
+      case "flac"  => decodeFlac(p)
       case other   => sys.error(s"decodeAudio: not an audio container: $other")
     }
 
@@ -976,6 +1358,7 @@ object BinaryPipeline {
       * container sniffing (round 10, the fifth container). */
     def sniff(p: Array[Byte]): String =
       if (isPng(p)) "png" // 8-byte signature — the strongest head magic
+      else if (isFlac(p)) "flac"
       else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
       else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') "ppm"
       else if (p.length >= 4 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
@@ -1022,6 +1405,19 @@ object BinaryPipeline {
           off += 8 + len + (len & 1)
         }
         sys.error("MediaCodec: WAV without data chunk")
+      case "flac" => // first frame: walk metadata blocks to the last flag
+        var off = 4
+        var last = false
+        while (!last) {
+          require(off + 4 <= p.length, "bodyOffset: truncated FLAC metadata")
+          last = (p(off) & 0x80) != 0
+          val len = ((p(off + 1) & 0xff) << 16) | ((p(off + 2) & 0xff) << 8) |
+            (p(off + 3) & 0xff)
+          require(off + 4 + len <= p.length,
+            s"bodyOffset: FLAC metadata block at $off declares len $len past end")
+          off += 4 + len
+        }
+        off
     }
 
     /** Feature extraction from DECODED content — 8 floats per media.
@@ -1065,7 +1461,7 @@ object BinaryPipeline {
             (if (nG > 0) grad / nG / 255 else 0.0).toFloat,
             w.toFloat / h)
           ("image", w, h, f)
-        case "wav" | "adpcm" =>
+        case "wav" | "adpcm" | "flac" =>
           val (rate, s) = decodeAudio(p)
           val n = math.max(1, s.length)
           var sum = 0.0; var sumSq = 0.0; var sumAbs = 0.0
@@ -1141,13 +1537,14 @@ object BinaryPipeline {
         s(i) = (graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff).toShort
         i += 1
       }
-      // Two audio codings in the GRADED corpus (round 10): id%6==0
-      // encodes as PCM WAV, id%6==3 as IMA ADPCM — same synthesized
-      // samples, but ADPCM is LOSSY, so decoded-content results fork by
-      // container (the quantizer-replay twins). The plant rule (id-12)
-      // preserves id%6, so a near-dup always shares its original's
-      // coding.
+      // Three audio codings in the GRADED corpus (round 12): id%12==0
+      // encodes as FLAC (lossless predictive+entropy), id%12==6 as PCM
+      // WAV, id%6==3 as IMA ADPCM (lossy) — same synthesized samples,
+      // so FLAC/WAV decoded-content results agree while ADPCM forks
+      // (the quantizer-replay twins). The plant rule (id-12) preserves
+      // id%12, so a near-dup always shares its original's coding.
       if (id % 6 == 3) MediaCodec.encodeAdpcm(WavRate, s)
+      else if (id % 12 == 0) MediaCodec.encodeFlac(WavRate, s)
       else MediaCodec.encodeWav(WavRate, s)
     } else {
       val (w, h) = (imgW(id), imgH(id))
@@ -1241,7 +1638,7 @@ object BinaryPipeline {
             }
             ResizedMedia(m.media_id, m.modality, nw, nh,
               MediaCodec.encodeImage(img, nw, nh, out))
-          case aud @ ("wav" | "adpcm") =>
+          case aud @ ("wav" | "adpcm" | "flac") =>
             val (rate, s) = MediaCodec.decodeAudio(m.payload)
             val scale = math.max(1,
               (s.length + math.max(1, maxDim) - 1) / math.max(1, maxDim))
@@ -1249,10 +1646,13 @@ object BinaryPipeline {
             // same-container round trip (the PPM-stays-PPM discipline):
             // ADPCM re-encodes through the quantizer, so the resized
             // payload is lossy relative to the decimated samples — the
-            // m06 oracle twin replays exactly that
-            val enc =
-              if (aud == "adpcm") MediaCodec.encodeAdpcm(math.max(1, rate / scale), out)
-              else MediaCodec.encodeWav(math.max(1, rate / scale), out)
+            // m06 oracle twin replays exactly that; FLAC re-encodes
+            // losslessly at a content-dependent re-coded length
+            val enc = aud match {
+              case "adpcm" => MediaCodec.encodeAdpcm(math.max(1, rate / scale), out)
+              case "flac"  => MediaCodec.encodeFlac(math.max(1, rate / scale), out)
+              case _       => MediaCodec.encodeWav(math.max(1, rate / scale), out)
+            }
             ResizedMedia(m.media_id, m.modality, out.length, 1, enc)
         }
       }
@@ -1277,7 +1677,7 @@ object BinaryPipeline {
             (m.media_id, m.modality, y,
               java.util.Arrays.copyOfRange(rgb, y * w * 3, (y + 1) * w * 3))
           }
-        case "wav" | "adpcm" =>
+        case "wav" | "adpcm" | "flac" =>
           val (_, s) = MediaCodec.decodeAudio(m.payload)
           val nBlocks = (s.length + AudioBlock - 1) / AudioBlock
           (0 until nBlocks by stride).map { f =>
@@ -1533,7 +1933,7 @@ object BinaryPipeline {
           case "bmp" | "ppm" | "tga" | "png" =>
             val (_, _, rgb) = MediaCodec.decodeImage(r.payload)
             rgb.foldLeft(0L)((a, b) => a + (b & 0xff))
-          case "wav" | "adpcm" =>
+          case "wav" | "adpcm" | "flac" =>
             val (_, s) = MediaCodec.decodeAudio(r.payload)
             s.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
         }
@@ -1576,7 +1976,7 @@ object BinaryPipeline {
       .mapPartitions { rows =>
         rows.map { m =>
           MediaCodec.sniff(m.payload) match {
-            case aud @ ("wav" | "adpcm") =>
+            case aud @ ("wav" | "adpcm" | "flac") =>
               val (rate, s) = MediaCodec.decodeAudio(m.payload)
               val out = MediaCodec.encodeWav(rate, s)
               val (_, back) = MediaCodec.decodeWav(out)
@@ -1613,7 +2013,8 @@ object BinaryPipeline {
     s"""WITH cs(id, csum) AS (VALUES
        |      $csums),
        |m AS (SELECT id,
-       |    CASE WHEN id % 6 = 0 THEN 'wav'
+       |    CASE WHEN id % 12 = 0 THEN 'flac'
+       |         WHEN id % 12 = 6 THEN 'wav'
        |         WHEN id % 6 = 3 THEN 'adpcm'
        |         WHEN id % 6 = 1 THEN 'bmp'
        |         WHEN id % 6 = 4 THEN 'tga'
@@ -1624,13 +2025,13 @@ object BinaryPipeline {
        |    CASE WHEN container = 'wav' THEN 44 + 2 * ns
        |         WHEN container = 'adpcm' THEN 60 + 256 * ((ns + 504) // 505)
        |         WHEN container = 'bmp' THEN 54 + ((3 * w + 3) // 4 * 4) * h
-       |         WHEN container IN ('tga', 'png') THEN tlen
+       |         WHEN container IN ('tga', 'png', 'flac') THEN tlen
        |         ELSE length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
        |                     CAST(h AS VARCHAR) || chr(10) || '255' ||
        |                     chr(10)) + 3 * w * h
        |    END AS bytes_in,
-       |    CASE WHEN container IN ('wav', 'adpcm') THEN 44 + 2 * ns
-       |         ELSE NULL END AS pcm_out
+       |    CASE WHEN container IN ('wav', 'adpcm', 'flac')
+       |         THEN 44 + 2 * ns ELSE NULL END AS pcm_out
        |  FROM m JOIN cs ON cs.id = m.id
        |  LEFT JOIN (VALUES $m07VarLenValues) AS tl(tid, tlen)
        |    ON tl.tid = m.id)
@@ -1641,13 +2042,16 @@ object BinaryPipeline {
        |FROM p GROUP BY container ORDER BY container""".stripMargin
   }
 
-  /** Full-res TGA/PNG byte lengths as a VALUES list for the m07 oracle —
-    * the same [[st16TgaLen]]/[[st16PngLen]] codec-free rules st16's plen
-    * column uses (the two containers whose size has no closed form:
-    * run-length for TGA, filtered-entropy-coded for PNG). */
+  /** Full-res TGA/PNG/FLAC byte lengths as a VALUES list for the m07
+    * oracle — the same [[st16TgaLen]]/[[st16PngLen]]/[[st16FlacLen]]
+    * codec-free rules st16's plen column uses (the three containers
+    * whose size has no closed form: run-length for TGA,
+    * filtered-entropy-coded for PNG, predictor+Rice-coded for FLAC). */
   private def m07VarLenValues: String =
-    (0L until NMedia).filter(i => i % 6 == 4 || i % 6 == 5)
-      .map(i => s"($i,${if (i % 6 == 4) st16TgaLen(i) else st16PngLen(i)})")
+    (0L until NMedia).filter(i => i % 6 == 4 || i % 6 == 5 || i % 12 == 0)
+      .map(i => s"($i,${
+        if (i % 6 == 4) st16TgaLen(i)
+        else if (i % 6 == 5) st16PngLen(i) else st16FlacLen(i)})")
       .grouped(128).map(_.mkString(",")).mkString(",\n      ")
 
   /** Codec-free twin of one resized payload's content sum: synthesis
@@ -1823,6 +2227,72 @@ object BinaryPipeline {
     })
   }
 
+  /** Codec-free twin of one FLAC payload's BYTE LENGTH: the predictor
+    * election, Rice-parameter election, and bit-count arithmetic of the
+    * encoder replayed WITHOUT MediaCodec (the pngBytes discipline for
+    * the predictive+entropy audio leg) — fixed prefix (magic + metadata
+    * header + 34-byte STREAMINFO = 42), then per 256-sample frame the
+    * exact header/subframe/CRC byte count under the same deterministic
+    * (order, k) choice rule. tools/media_oracle.py transcribes the same
+    * arithmetic a third time in pure Python. */
+  private[graft] def flacBytes(s: Array[Int]): Long = {
+    var total = 42L
+    var off = 0
+    var frame = 0
+    while (off < s.length) {
+      val n = math.min(256, s.length - off)
+      var bestBits = Long.MaxValue
+      var order = 0
+      while (order <= 2 && order < n) {
+        val res = new Array[Long](n - order)
+        var i = order
+        while (i < n) {
+          val p = order match {
+            case 0 => 0
+            case 1 => s(off + i - 1)
+            case _ => 2 * s(off + i - 1) - s(off + i - 2)
+          }
+          val r = s(off + i) - p
+          res(i - order) = ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
+          i += 1
+        }
+        var k = 0
+        while (k <= 30) {
+          var bits = 0L
+          var j = 0
+          while (j < res.length) { bits += (res(j) >>> k) + 1 + k; j += 1 }
+          val t = 16L * order + (if (k <= 14) 4 else 5) + bits
+          if (t < bestBits) bestBits = t
+          k += 1
+        }
+        order += 1
+      }
+      val utf8 = if (frame < 0x80) 1 else if (frame < 0x800) 2 else 3
+      val hdrBytes = 4 + utf8 + (if (n != 256) 1 else 0) + 1 // + CRC-8
+      val subBits = 8L + 2L + 4L + bestBits // pad+type+wasted, method, part order
+      total += hdrBytes + (subBits + 7) / 8 + 2 // + CRC-16
+      off += n
+      frame += 1
+    }
+    total
+  }
+
+  /** Codec-free twin of one FULL-RES FLAC payload's byte length. */
+  private[graft] def st16FlacLen(id: Long): Long =
+    flacBytes(Array.tabulate(wavN(id))(i =>
+      ((graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff)
+        .toShort).toInt))
+
+  /** Codec-free twin of one RESIZED FLAC payload's byte length —
+    * synthesis rule + decimation positions + [[flacBytes]]. */
+  private[graft] def m06FlacLen(id: Long): Long = {
+    val n = wavN(id)
+    val scale = (n + ResizeMaxDim - 1) / ResizeMaxDim
+    flacBytes(Array.tabulate(n / scale)(i =>
+      ((graft.functions.HashImpls.mix64((id << 20) ^ (i * scale)) & 0xffff)
+        .toShort).toInt))
+  }
+
   /** Codec-free twin of one FULL-RES PNG payload's byte length (the
     * m06 resampled twin's rule at scale 1). */
   private[graft] def st16PngLen(id: Long): Long = {
@@ -1842,7 +2312,8 @@ object BinaryPipeline {
     val csums = (0L until NMedia).map(i =>
       s"($i,${m06ContentSum(i)},${
         if (i % 6 == 4) m06TgaLen(i)
-        else if (i % 6 == 5) m06PngLen(i) else 0L})")
+        else if (i % 6 == 5) m06PngLen(i)
+        else if (i % 12 == 0) m06FlacLen(i) else 0L})")
       .grouped(128).map(_.mkString(",")).mkString(",\n      ")
     s"""WITH cs(id, csum, tlen) AS (VALUES
        |      $csums),
@@ -1859,6 +2330,7 @@ object BinaryPipeline {
        |  FROM m JOIN cs ON cs.id = m.id),
        |p AS (SELECT modality, nw, nh, csum,
        |    CASE WHEN id % 6 = 3 THEN 60 + 256 * ((nw + 504) // 505)
+       |         WHEN id % 12 = 0 THEN tlen
        |         WHEN modality = 'audio' THEN 44 + 2 * nw
        |         WHEN id % 6 = 1 THEN 54 + ((3 * nw + 3) // 4 * 4) * nh
        |         WHEN id % 6 IN (4, 5) THEN tlen
@@ -1887,7 +2359,7 @@ object BinaryPipeline {
   private[graft] def decodeIngest(m: MediaRow): (String, String, Long, Long) = {
     val kind = MediaCodec.sniff(m.payload)
     val csum: Long = kind match {
-      case "wav" | "adpcm" =>
+      case "wav" | "adpcm" | "flac" =>
         val (_, s) = MediaCodec.decodeAudio(m.payload)
         s.foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
       case _ =>
@@ -2007,13 +2479,15 @@ object BinaryPipeline {
     val csums = (0L until NMedia).map(i =>
       s"($i,${st16ContentSum(i)},${
         if (i % 6 == 4) st16TgaLen(i)
-        else if (i % 6 == 5) st16PngLen(i) else 0L})")
+        else if (i % 6 == 5) st16PngLen(i)
+        else if (i % 12 == 0) st16FlacLen(i) else 0L})")
       .grouped(128).map(_.mkString(",")).mkString(",\n      ")
     s"""WITH cs(id, csum, tlen) AS (VALUES
        |      $csums),
        |m AS (SELECT id,
        |    CASE WHEN id % 3 = 0 THEN 'audio' ELSE 'image' END AS modality,
-       |    CASE WHEN id % 6 = 0 THEN 'wav'
+       |    CASE WHEN id % 12 = 0 THEN 'flac'
+       |         WHEN id % 12 = 6 THEN 'wav'
        |         WHEN id % 6 = 3 THEN 'adpcm'
        |         WHEN id % 6 = 1 THEN 'bmp'
        |         WHEN id % 6 = 4 THEN 'tga'
@@ -2024,7 +2498,7 @@ object BinaryPipeline {
        |    CASE WHEN container = 'wav' THEN 44 + 2 * ns
        |         WHEN container = 'adpcm' THEN 60 + 256 * ((ns + 504) // 505)
        |         WHEN container = 'bmp' THEN 54 + ((3 * w + 3) // 4 * 4) * h
-       |         WHEN container IN ('tga', 'png') THEN tlen
+       |         WHEN container IN ('tga', 'png', 'flac') THEN tlen
        |         ELSE length('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
        |                     CAST(h AS VARCHAR) || chr(10) || '255' ||
        |                     chr(10)) + 3 * w * h

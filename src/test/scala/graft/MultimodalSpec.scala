@@ -207,6 +207,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("overruns"))
   }
 
+  test("FLAC round trip is LOSSLESS over arbitrary s16 (white noise, " +
+    "silence, ramps, full-scale extremes, multi-frame) and the length " +
+    "twin prices the encoder exactly") {
+    val rnd = new scala.util.Random(29)
+    val signals = Seq(
+      Array.tabulate(700)(_ => (rnd.nextInt(65536) - 32768).toShort),
+      Array.fill(300)(0.toShort),
+      Array.tabulate(512)(i => (i * 100 - 25000).toShort), // linear ramp
+      Array[Short](32767, -32768, 32767, -32768, 0, 1, -1),
+      Array.tabulate(256)(i => (1000 * math.sin(i / 5.0)).toShort))
+    signals.foreach { s =>
+      val p = MediaCodec.encodeFlac(8000, s)
+      assert(MediaCodec.sniff(p) == "flac")
+      val (rate, back) = MediaCodec.decodeFlac(p)
+      assert(rate == 8000 && back.toSeq == s.toSeq,
+        "FLAC decode must reproduce the input bit-exactly")
+      // the codec-free length twin replays the predictor/Rice election
+      assert(BinaryPipeline.flacBytes(s.map(_.toInt)) == p.length.toLong,
+        s"flacBytes twin diverges from the encoder (${s.take(4).toSeq}...)")
+      // bodyOffset = end of metadata (magic 4 + header 4 + STREAMINFO 34)
+      assert(MediaCodec.bodyOffset(p) == 42)
+    }
+  }
+
+  test("FLAC fixed-predictor election: order 2 wins on a linear ramp " +
+    "(residuals vanish), order 0 on white noise") {
+    // a linear signal is annihilated by the order-2 predictor
+    // 2s[i-1] - s[i-2]; white noise defeats prediction entirely
+    val ramp = Array.tabulate(256)(i => i * 7 - 800)
+    val (o1, k1, _) = MediaCodec.flacChoose(ramp, 256)
+    assert(o1 == 2 && k1 == 0, s"ramp should elect order 2/k 0: ($o1, $k1)")
+    val rnd = new scala.util.Random(31)
+    val noise = Array.tabulate(256)(_ => rnd.nextInt(65536) - 32768)
+    val (o0, k0, _) = MediaCodec.flacChoose(noise, 256)
+    assert(o0 == 0 && k0 >= 14,
+      s"white noise should elect order 0 at a high Rice k: ($o0, $k0)")
+    // and a ramp compresses far below raw while noise does not
+    val rampBytes = MediaCodec.encodeFlac(8000, ramp.map(_.toShort)).length
+    assert(rampBytes < 2 * 256 / 4,
+      s"order-2 + rice(0) should crush a ramp: $rampBytes bytes")
+  }
+
+  test("FLAC integrity rungs all fire: header CRC-8, frame CRC-16, " +
+    "STREAMINFO MD5, truncation, bad magic") {
+    val s = Array.tabulate(300)(i =>
+      (graft.functions.HashImpls.mix64(i.toLong) & 0xffff).toShort)
+    val p = MediaCodec.encodeFlac(8000, s)
+    def tampered(off: Int): Array[Byte] = {
+      val b = p.clone(); b(off) = (b(off) ^ 0x01).toByte; b
+    }
+    // frame header byte (just past the 42-byte metadata): CRC-8 or sync
+    val e1 = intercept[Exception](MediaCodec.decodeFlac(tampered(46)))
+    assert(e1.getMessage.contains("CRC-8") || e1.getMessage.contains("sync")
+      || e1.getMessage.contains("frame number"), e1.getMessage)
+    // a residual byte mid-frame: CRC-16 (or the MD5 backstop)
+    val e2 = intercept[Exception](MediaCodec.decodeFlac(tampered(80)))
+    assert(e2.getMessage.contains("CRC-16") || e2.getMessage.contains("MD5")
+      || e2.getMessage.contains("range"), e2.getMessage)
+    // STREAMINFO MD5 byte: every frame decodes, the signature must catch it
+    val e3 = intercept[Exception](MediaCodec.decodeFlac(tampered(30)))
+    assert(e3.getMessage.contains("MD5"), e3.getMessage)
+    // truncated stream: clean codec error, not an index error
+    val e4 = intercept[Exception](
+      MediaCodec.decodeFlac(p.take(p.length - 3)))
+    assert(e4.getMessage.contains("truncated")
+      || e4.getMessage.contains("CRC"), e4.getMessage)
+    val e5 = intercept[Exception](MediaCodec.decodeFlac("nope".getBytes))
+    assert(e5.getMessage.contains("not a FLAC"), e5.getMessage)
+  }
+
   test("the dispatch seam: the same pixels through BMP, PPM, TGA and " +
     "PNG produce identical decoded images and identical features") {
     // BGR-bottom-up-padded vs RGB-top-down-unpadded vs RLE-packetized
@@ -275,18 +345,18 @@ class MultimodalSpec extends AnyFunSuite {
     "twin payload by payload") {
     import spark.implicits._
     // the m06 aggregate compares per-modality SUMS; this pins the
-    // per-payload equality the sums are built from, over all SIX
-    // containers (45 consecutive ids cover every id % 6 class: WAV,
-    // IMA ADPCM, BMP, TGA, PNG, PPM)
-    val sample = (0L until 45L)
+    // per-payload equality the sums are built from, over all SEVEN
+    // containers (48 consecutive ids cover every id % 12 class: FLAC,
+    // PCM WAV, IMA ADPCM, BMP, TGA, PNG, PPM)
+    val sample = (0L until 48L)
     val viaCodec = BinaryPipeline
-      .resize(BinaryPipeline.synthesize(spark, 45), 16)
+      .resize(BinaryPipeline.synthesize(spark, 48), 16)
       .collect().map { r =>
         val body = MediaCodec.sniff(r.payload) match {
           case "bmp" | "ppm" | "tga" | "png" =>
             MediaCodec.decodeImage(r.payload)._3
               .foldLeft(0L)((a, b) => a + (b & 0xff))
-          case "wav" | "adpcm" =>
+          case "wav" | "adpcm" | "flac" =>
             MediaCodec.decodeAudio(r.payload)._2
               .foldLeft(0L)((a, v) => a + (v & 0xff) + ((v >> 8) & 0xff))
         }
@@ -342,9 +412,12 @@ class MultimodalSpec extends AnyFunSuite {
         assert(f.modality == "audio")
         assert(f.width == BinaryPipeline.wavN(id) && f.height == 1)
         // audio arithmetic forks by coding: PCM is 44 + 2 bytes/sample,
-        // IMA ADPCM (id%6==3) is the closed block form
+        // IMA ADPCM (id%6==3) is the closed block form, FLAC (id%12==0)
+        // is the codec-free st16FlacLen twin (itself pinned against the
+        // encoder in the FLAC tests below)
         val expectAudio =
           if (id % 6 == 3) MediaCodec.adpcmBytes(BinaryPipeline.wavN(id))
+          else if (id % 12 == 0) BinaryPipeline.st16FlacLen(id)
           else 44 + 2L * BinaryPipeline.wavN(id)
         assert(f.n_bytes == expectAudio, s"id=$id audio container size")
       } else {
@@ -394,8 +467,11 @@ class MultimodalSpec extends AnyFunSuite {
         assert(w <= 16 || h <= 16)
       } else {
         // audio also round-trips in its arrival coding: ADPCM stays
-        // ADPCM (re-quantized), PCM stays PCM
-        val expectKind = if (r.media_id % 6 == 3) "adpcm" else "wav"
+        // ADPCM (re-quantized), FLAC stays FLAC (re-coded losslessly),
+        // PCM stays PCM
+        val expectKind =
+          if (r.media_id % 6 == 3) "adpcm"
+          else if (r.media_id % 12 == 0) "flac" else "wav"
         assert(MediaCodec.sniff(r.payload) == expectKind, s"id=${r.media_id}")
         val (_, s) = MediaCodec.decodeAudio(r.payload) // still valid
         assert(s.length == r.width && s.length <= 16)
@@ -415,17 +491,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("graded corpus exercises all six containers through the sniff " +
-    "dispatch (WAV/ADPCM/BMP/TGA/PNG/PPM by id%6), and decode is " +
-    "magic-driven") {
+  test("graded corpus exercises all seven containers through the sniff " +
+    "dispatch (FLAC/WAV by id%12, ADPCM/BMP/TGA/PNG/PPM by id%6), and " +
+    "decode is magic-driven") {
     val media = BinaryPipeline.synthesize(spark, 99).collect()
     val byKind = media.groupBy(m => MediaCodec.sniff(m.payload))
       .view.mapValues(_.length).toMap
-    // 0..98: id%6==0 (0,6,…,96) → 17 PCM WAV; id%6==3 (3,…,93) → 16
-    // IMA ADPCM; id%6==1 (1,7,…,97) → 17 BMP; id%6==4 (4,…,94) → 16
-    // TGA; id%6==5 (5,…,95) → 16 PNG; id%6==2 → 17 PPM
-    assert(byKind == Map("wav" -> 17, "adpcm" -> 16, "bmp" -> 17,
-      "tga" -> 16, "png" -> 16, "ppm" -> 17), byKind)
+    // 0..98: id%12==0 (0,12,…,96) → 9 FLAC; id%12==6 (6,18,…,90) → 8
+    // PCM WAV; id%6==3 (3,…,93) → 16 IMA ADPCM; id%6==1 (1,7,…,97) →
+    // 17 BMP; id%6==4 (4,…,94) → 16 TGA; id%6==5 (5,…,95) → 16 PNG;
+    // id%6==2 → 17 PPM
+    assert(byKind == Map("flac" -> 9, "wav" -> 8, "adpcm" -> 16,
+      "bmp" -> 17, "tga" -> 16, "png" -> 16, "ppm" -> 17), byKind)
     // the two image containers carry the SAME decoded content for the
     // same id-rule pixels: decode(BMP(id)) at id and decode(PPM(id'))
     // agree with their own synthesis rule, and features are computed
@@ -602,12 +679,14 @@ class MultimodalSpec extends AnyFunSuite {
     val got = BinaryPipeline.m07(spark)
     val wantFull = (0L until BinaryPipeline.NMedia).map { id =>
       val container =
-        if (id % 6 == 0) "wav" else if (id % 6 == 3) "adpcm"
+        if (id % 12 == 0) "flac" else if (id % 12 == 6) "wav"
+        else if (id % 6 == 3) "adpcm"
         else if (id % 6 == 1) "bmp" else if (id % 6 == 4) "tga"
         else if (id % 6 == 5) "png" else "ppm"
       val plenIn =
         if (id % 6 == 3) graft.multimodal.BinaryPipeline.MediaCodec
           .adpcmBytes(BinaryPipeline.wavN(id))
+        else if (id % 12 == 0) BinaryPipeline.st16FlacLen(id)
         else if (id % 3 == 0) 44L + 2L * BinaryPipeline.wavN(id)
         else BinaryPipeline.synthPayload(id).length.toLong
       val plenOut =
@@ -623,13 +702,17 @@ class MultimodalSpec extends AnyFunSuite {
     // the compression-ratio audit must be non-trivial: ADPCM bytes_out
     // (PCM) is ~2.7x bytes_in over this corpus (4-bit codes ~4x, minus
     // the 60-byte header + 256-byte block padding on short files);
-    // images are identical in/out
+    // images are identical in/out. FLAC on white noise does NOT
+    // compress (documented): its PCM out is slightly SMALLER than in.
     val ad = rows("adpcm")
     assert(ad._3 > 2 * ad._2, s"ADPCM expansion missing: $ad")
+    val fl = rows("flac")
+    assert(fl._2 > fl._3, s"white-noise FLAC should exceed its PCM: $fl")
     Seq("bmp", "tga", "png", "ppm").foreach { c =>
       assert(rows(c)._2 == rows(c)._3, s"$c must pass through: ${rows(c)}")
     }
-    assert(rows.keySet == Set("wav", "adpcm", "bmp", "tga", "png", "ppm"))
+    assert(rows.keySet ==
+      Set("flac", "wav", "adpcm", "bmp", "tga", "png", "ppm"))
   }
 
   test("st16's codec-free twins match the real containers for EVERY id: " +
@@ -648,6 +731,12 @@ class MultimodalSpec extends AnyFunSuite {
       if (id % 6 == 5)
         assert(BinaryPipeline.st16PngLen(id) == p.length,
           s"id=$id st16PngLen != real PNG length ${p.length}")
+      // the oracle's FLAC plen column comes from st16FlacLen — the
+      // independent predictor/Rice-election bit-cost arithmetic —
+      // pinned against the real encoder's output byte-for-byte
+      if (id % 12 == 0)
+        assert(BinaryPipeline.st16FlacLen(id) == p.length,
+          s"id=$id st16FlacLen != real FLAC length ${p.length}")
       // the oracle's csum column comes from the synthesis rule, never
       // from the codec — pin it against the real encode→sniff→decode
       val (_, _, plen, csum) = BinaryPipeline.decodeIngest(

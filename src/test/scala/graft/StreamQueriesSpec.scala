@@ -252,13 +252,14 @@ class StreamQueriesSpec extends AnyFunSuite {
       .orderBy("modality", "container")
     assert(streamed.columns.toSeq == batch.columns.toSeq)
     val (s, b) = (canon(streamed), canon(batch))
-    assert(s.size == 6 && s == b) // wav/adpcm + bmp/tga/png/ppm rows
+    assert(s.size == 7 && s == b) // flac/wav/adpcm + bmp/tga/png/ppm rows
     // decoded content must also equal the codec-FREE twins (synthesis
     // rule only): sums per (modality, container) from st16ContentSum,
     // independent of every MediaCodec code path
     val twin = (0L until BinaryPipeline.NMedia).map { id =>
       val key =
-        if (id % 6 == 0) ("audio", "wav")
+        if (id % 12 == 0) ("audio", "flac")
+        else if (id % 12 == 6) ("audio", "wav")
         else if (id % 6 == 3) ("audio", "adpcm")
         else if (id % 6 == 1) ("image", "bmp")
         else if (id % 6 == 4) ("image", "tga")
@@ -276,21 +277,23 @@ class StreamQueriesSpec extends AnyFunSuite {
       .listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     assert(chunkFiles.length >= 4,
       s"expected >=4 media replay chunks, got ${chunkFiles.length}")
-    // AND every chunk carries all six containers: contiguous-range
-    // striping guarantees each 500-id block holds every id % 6 class
+    // AND every chunk carries all seven containers: contiguous-range
+    // striping guarantees each 500-id block holds every id % 12 class
     // (mod-4 striping would make even chunks BMP-free and odd chunks
     // TGA-free — the round-9 advice finding)
     chunkFiles.foreach { f =>
       val containers = spark.read.parquet(f.getPath)
         .select(col("media_id")).collect().map { r =>
           val id = r.getLong(0)
-          if (id % 6 == 0) "wav"
+          if (id % 12 == 0) "flac"
+          else if (id % 12 == 6) "wav"
           else if (id % 6 == 3) "adpcm"
           else if (id % 6 == 1) "bmp"
           else if (id % 6 == 4) "tga"
           else if (id % 6 == 5) "png" else "ppm"
         }.toSet
-      assert(containers == Set("wav", "adpcm", "bmp", "tga", "png", "ppm"),
+      assert(containers ==
+        Set("flac", "wav", "adpcm", "bmp", "tga", "png", "ppm"),
         s"chunk ${f.getName} missing containers: got $containers")
     }
   }

@@ -330,12 +330,258 @@ def tga_packets(w, h, rgb):
     return bytes(out)
 
 
+# ---- FLAC (id%12==0, round 12): the predictive+entropy-coded lossless
+#      audio leg. The frame stream is rebuilt here bit-for-bit (fixed
+#      predictors order 0-2 by exact bit cost, one Rice partition,
+#      CRC-8/CRC-16, STREAMINFO MD5) and then DECODED by this file's own
+#      independent Rice decoder — the audio analog of the PNG
+#      inflate replay. Pure public spec (the FLAC format / RFC 9639). ----
+
+FLAC_BLOCK = 256
+
+
+def _crc8(data):
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data):
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitW:
+    """MSB-first bit writer (FLAC packs big-endian-bitwise)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v, n):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def unary(self, q):
+        self.put(0, q)
+        self.put(1, 1)
+
+    def bytes(self):
+        if self.n:
+            self.put(0, 8 - self.n)
+        return bytes(self.out)
+
+
+def _flac_predict(s, i, order):
+    if order == 0:
+        return 0
+    if order == 1:
+        return s[i - 1]
+    if order == 2:
+        return 2 * s[i - 1] - s[i - 2]
+    if order == 3:
+        return 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3]
+    return 4 * s[i - 1] - 6 * s[i - 2] + 4 * s[i - 3] - s[i - 4]
+
+
+def _zigzag(r):
+    return (r << 1) if r >= 0 else (-2 * r - 1)
+
+
+def _flac_choose(s):
+    """(order, k) minimizing exact subframe bits over FIXED 0-2, Rice
+    k 0-30 — the codec's deterministic choice rule, transcribed."""
+    n = len(s)
+    best = None
+    for order in range(0, min(3, n)):
+        res = [_zigzag(s[i] - _flac_predict(s, i, order))
+               for i in range(order, n)]
+        for k in range(31):
+            bits = sum((u >> k) + 1 + k for u in res)
+            total = 16 * order + (4 if k <= 14 else 5) + bits
+            if best is None or total < best[2]:
+                best = (order, k, total)
+    return best[0], best[1]
+
+
+def _flac_frame(s, frame_no):
+    """One frame's bytes: header (CRC-8) + FIXED subframe with one Rice
+    partition + zero pad + CRC-16 — byte-exact with MediaCodec."""
+    n = len(s)
+    short = n != FLAC_BLOCK
+    hdr = _BitW()
+    hdr.put(0x3FFE, 14)
+    hdr.put(0, 1)
+    hdr.put(0, 1)
+    hdr.put(6 if short else 8, 4)  # blocksize: 8-bit-at-end | 256
+    hdr.put(4, 4)                  # 8 kHz
+    hdr.put(0, 4)                  # mono
+    hdr.put(4, 3)                  # s16
+    hdr.put(0, 1)
+    assert frame_no < 0x80, "single-byte coded number only at these sizes"
+    hdr.put(frame_no, 8)
+    if short:
+        hdr.put(n - 1, 8)
+    hb = hdr.bytes()
+    order, k = _flac_choose(s)
+    w = _BitW()
+    w.put(_crc8(hb), 8)
+    w.put(0, 1)
+    w.put(8 + order, 6)
+    w.put(0, 1)
+    for i in range(order):
+        w.put(s[i] & 0xFFFF, 16)
+    if k <= 14:
+        w.put(0, 2)
+        w.put(0, 4)
+        w.put(k, 4)
+    else:
+        w.put(1, 2)
+        w.put(0, 4)
+        w.put(k, 5)
+    for i in range(order, n):
+        u = _zigzag(s[i] - _flac_predict(s, i, order))
+        w.unary(u >> k)
+        w.put(u & ((1 << k) - 1), k)
+    body = hb + w.bytes()
+    return body + struct.pack(">H", _crc16(body))
+
+
+def flac_frames(samples):
+    """The full frame stream (what bodyOffset points at)."""
+    out = bytearray()
+    for f, off in enumerate(range(0, len(samples), FLAC_BLOCK)):
+        out += _flac_frame(samples[off:off + FLAC_BLOCK], f)
+    return bytes(out)
+
+
+def flac_payload(samples, rate=WAV_RATE):
+    """Full payload: fLaC magic + STREAMINFO (with the real MD5 of the
+    raw s16le stream) + frames."""
+    import hashlib
+    si = _BitW()
+    si.put(FLAC_BLOCK, 16)
+    si.put(FLAC_BLOCK, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(rate, 20)
+    si.put(0, 3)
+    si.put(15, 5)
+    si.put(len(samples), 36)
+    raw = b"".join(struct.pack("<h", v) for v in samples)
+    return (b"fLaC" + bytes((0x80, 0, 0, 34)) + si.bytes() +
+            hashlib.md5(raw).digest() + flac_frames(samples))
+
+
+class _BitR:
+    """MSB-first bit reader (the independent Rice-decode side)."""
+
+    def __init__(self, b, byte_pos=0):
+        self.b = b
+        self.pos = byte_pos * 8
+
+    def take(self, n):
+        v = 0
+        for _ in range(n):
+            assert self.pos < len(self.b) * 8, "flac replay: truncated"
+            v = (v << 1) | ((self.b[self.pos // 8] >> (7 - self.pos % 8)) & 1)
+            self.pos += 1
+        return v
+
+    def unary(self):
+        q = 0
+        while self.take(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        if self.pos % 8:
+            assert self.take(8 - self.pos % 8) == 0
+
+
+def flac_decode(p):
+    """Independent decode of the subset bitstream: metadata walk, frame
+    CRC-8/CRC-16 verification, fixed-predictor reconstruction, Rice
+    decode, final STREAMINFO-MD5 check. Returns the samples."""
+    import hashlib
+    assert p[:4] == b"fLaC"
+    off, last, rate, total, md5 = 4, False, None, None, None
+    while not last:
+        last = bool(p[off] & 0x80)
+        typ = p[off] & 0x7F
+        ln = (p[off + 1] << 16) | (p[off + 2] << 8) | p[off + 3]
+        if typ == 0:
+            r = _BitR(p, off + 4)
+            assert r.take(16) == r.take(16) == FLAC_BLOCK
+            r.take(48)
+            rate = r.take(20)
+            assert r.take(3) == 0 and r.take(5) == 15
+            total = r.take(36)
+            md5 = p[off + 4 + 18:off + 4 + 34]
+        off += 4 + ln
+    out = []
+    frame_no = 0
+    while len(out) < total:
+        start = off
+        r = _BitR(p, off)
+        assert r.take(14) == 0x3FFE and r.take(2) == 0
+        bs_code, rate_code = r.take(4), r.take(4)
+        assert rate_code == 4 and r.take(4) == 0 and r.take(3) == 4 \
+            and r.take(1) == 0
+        assert r.take(8) == frame_no  # single-byte coded number
+        n = r.take(8) + 1 if bs_code == 6 else FLAC_BLOCK
+        hdr_end = r.pos // 8
+        assert r.take(8) == _crc8(p[start:hdr_end]), "flac replay: CRC-8"
+        assert r.take(1) == 0
+        typ = r.take(6)
+        assert 8 <= typ <= 12
+        order = typ - 8
+        assert r.take(1) == 0
+        s = []
+        for _ in range(order):
+            v = r.take(16)
+            s.append(v - 65536 if v >= 32768 else v)
+        method = r.take(2)
+        assert method <= 1 and r.take(4) == 0
+        k = r.take(4 if method == 0 else 5)
+        assert not ((method == 0 and k == 15) or (method == 1 and k == 31)), \
+            "flac replay: escape unused by this encoder"
+        for i in range(order, n):
+            u = (r.unary() << k) | r.take(k)
+            res = (u >> 1) ^ -(u & 1)
+            s.append(_flac_predict(s, i, order) + res)
+        r.align()
+        body_end = r.pos // 8
+        assert r.take(16) == _crc16(p[start:body_end]), "flac replay: CRC-16"
+        out += s
+        off = r.pos // 8
+        frame_no += 1
+    raw = b"".join(struct.pack("<h", v) for v in out)
+    assert hashlib.md5(raw).digest() == md5, "flac replay: MD5 mismatch"
+    return out
+
+
 def body_bytes(i):
     """Content bytes as laid out INSIDE the container (what bodyOffset
-    points at): WAV s16le / ADPCM coded blocks / BMP bottom-up padded
-    BGR / PPM top-down RGB."""
+    points at): WAV s16le / ADPCM coded blocks / FLAC frame stream /
+    BMP bottom-up padded BGR / PPM top-down RGB."""
     if i % 6 == 3:
         return adpcm_data_bytes(wav_samples(i))
+    if i % 12 == 0:
+        return flac_frames(wav_samples(i))
     if i % 3 == 0:
         s = wav_samples(i)
         return b"".join(struct.pack("<h", v) for v in s)
@@ -361,6 +607,8 @@ def body_bytes(i):
 def payload_len(i):
     if i % 6 == 3:  # IMA ADPCM: RIFF+fmt+fact+data headers + full blocks
         return 60 + ADPCM_BLOCK * ((wav_n(i) + ADPCM_SPB - 1) // ADPCM_SPB)
+    if i % 12 == 0:  # FLAC: magic + STREAMINFO + content-dependent frames
+        return 42 + len(body_bytes(i))
     if i % 3 == 0:
         return 44 + 2 * wav_n(i)
     w, h = img_dims(i)
@@ -459,7 +707,11 @@ def m06_expected():
                 plen = 60 + ADPCM_BLOCK * ((nw + ADPCM_SPB - 1) // ADPCM_SPB)
                 csum = sum((v & 0xFF) + ((v >> 8) & 0xFF) for v in d2)
             else:
-                plen = 44 + 2 * nw
+                if i % 12 == 0:  # FLAC stays FLAC: lossless, re-coded length
+                    dec = [wav_samples(i)[j * scale] for j in range(nw)]
+                    plen = 42 + len(flac_frames(dec))
+                else:
+                    plen = 44 + 2 * nw
                 csum = 0
                 for j in range(nw):
                     v = mix64(((i << 20) ^ (j * scale)) & MASK) & 0xFFFF
@@ -523,6 +775,24 @@ def main():
             failures.append(f"png id={i}: unfiltered pixels mismatch")
     print(f"png: zlib-inflate replay of {len(png_ids)} hand-packed "
           f"DEFLATE streams: {'OK' if not failures else 'MISMATCH'}")
+
+    # ---- FLAC Rice-decode replay (round 12): rebuild the full payload
+    # bit-for-bit in pure Python (fixed predictors + Rice coding +
+    # CRC-8/CRC-16 + STREAMINFO MD5), then DECODE it with this file's
+    # independent bit-reader — predictors reconstructed, both CRCs and
+    # the MD5 verified — and require the synthesis-rule samples back.
+    pre = len(failures)
+    flac_ids = [i for i in range(N_MEDIA) if i % 12 == 0][:8]
+    for i in flac_ids:
+        s = wav_samples(i)
+        try:
+            back = flac_decode(flac_payload(s))
+            if back != s:
+                failures.append(f"flac id={i}: decoded samples mismatch")
+        except AssertionError as e:
+            failures.append(f"flac id={i}: {e}")
+    print(f"flac: rice-decode replay of {len(flac_ids)} hand-packed "
+          f"frame streams: {'OK' if len(failures) == pre else 'MISMATCH'}")
 
     # ---- m01: counts/bytes/max_width exact, avg_f0 to the round-4 quantum
     exp = m01_expected()
