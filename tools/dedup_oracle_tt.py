@@ -306,12 +306,25 @@ def main():
     hot_comps = con.sql(f"""SELECT count(DISTINCT l) FROM (
         SELECT l, count(*) AS n FROM lbl_full GROUP BY l) WHERE n >
         {MAX_BUCKET}""").fetchone()[0]
-    print(f"OK    d04 layered: spark={n_spark} exact={n_exact} "
-          f"missing={len(missing)} (all inside the {hot_comps} "
-          f">{MAX_BUCKET}-member components = the documented MaxBucket "
-          f"contract), 0 false pairs, 0 in-domain misses"
-          if not failures else
-          f"FAIL  d04 layered: {failures[-1]}")
+    # the declared domain's MASS: a sweep where this is ~0 (every
+    # replication family over the cap, e.g. factor-100 sf10) proves the
+    # contract holds but carries little exact-recall signal — say so
+    # instead of letting "ALL GREEN" read as full coverage
+    in_domain = con.sql(f"""SELECT count(*) FROM nd_pairs e
+        JOIN csize c ON c.node = e.doc_a
+        WHERE c.comp_sz <= {MAX_BUCKET}""").fetchone()[0]
+    print((f"OK    d04 layered: spark={n_spark} exact={n_exact} "
+           f"in-domain={in_domain} missing={len(missing)} (all inside the "
+           f"{hot_comps} >{MAX_BUCKET}-member components = the documented "
+           f"MaxBucket contract), 0 false pairs, 0 in-domain misses"
+           if not failures else
+           f"FAIL  d04 layered: {failures[-1]}"))
+    if in_domain < n_exact // 10:
+        print(f"NOTE  d04 declared domain holds only {in_domain} of "
+              f"{n_exact} exact pairs at this replication factor — the "
+              "contract checks (containment, no false pairs) still bite, "
+              "but exact-recall signal here is thin; sf3 is the deepest "
+              "SF where the domain carries the bulk of the relation")
 
     # ---- layer (d): downstream twins recomputed from the VERIFIED d04
     # relation (d06/d15/d16 engine-side all derive from the same
