@@ -35,7 +35,11 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().find(_.startsWith("cpu ")).map { l =>
         val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        // denominator = user..steal (first 8 fields) ONLY: guest/guest_nice
+        // are already accounted inside user/nice, so summing all 10 would
+        // double-count guest time and deflate steal_pct on guest-running
+        // hosts (ADVICE r12)
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
       } finally src.close()
     } catch { case _: Throwable => None }
 
@@ -105,10 +109,16 @@ object Bench {
     // the writer, and a swallowed I/O error (PrintWriter never throws)
     // must be surfaced — a silently truncated timeline would be joined
     // by drift_join.py without complaint.
+    // Per-run steal is sampled UNCONDITIONALLY (not just when a timeline
+    // is armed): the driver's round runs set no timeline, and a storm-day
+    // BENCH_rN.json without its own steal columns reads as six query
+    // regressions until someone re-derives the attribution by hand
+    // (round-12 grading did exactly that). ~2 /proc/stat reads per run.
+    val stealPcts = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results =
       try selected.map { case (name, fn) =>
         val times = (1 to runs).flatMap { r =>
-          val j0 = if (timeline.isDefined) cpuJiffies() else None
+          val j0 = cpuJiffies()
           val w0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
           val ok =
@@ -120,6 +130,7 @@ object Bench {
             (s1, tt1) <- cpuJiffies()
             if tt1 > tt0
           } yield (s1 - s0, 100.0 * (s1 - s0) / (tt1 - tt0))
+          steal.foreach { case (_, p) => stealPcts += p }
           timeline.foreach { tl =>
             val (stT, stP) = steal
               .map { case (t, p) => (t.toString, f"$p%.2f") }
@@ -206,8 +217,18 @@ object Bench {
       val proto = sys.env.get("SPARK_GRAFT_BENCH_PROTOCOL").getOrElse("ad-hoc")
       val media = if (nMedia != graft.multimodal.BinaryPipeline.GradedNMedia)
         s""","nmedia":$nMedia""" else ""
+      // Self-attribution (round-12 verdict task 2a): the run's own steal
+      // exposure rides the summary line (~55 chars, fits the driver's
+      // 2000-char tail). hot_runs uses drift_join.py's proc threshold
+      // (per-run steal ≥ 5%); a storm-day artifact now carries its own
+      // evidence instead of reading as N query regressions.
+      val steal = if (stealPcts.nonEmpty) {
+        def r2(d: Double) = math.rint(d * 100) / 100
+        s""","steal_mean":${r2(stealPcts.sum / stealPcts.size)},"steal_max":${
+          r2(stealPcts.max)},"hot_runs":${stealPcts.count(_ >= 5.0)}"""
+      } else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size
-        },"failed":$failed,"protocol":"$proto"$media,"sf":"${
+        },"failed":$failed,"protocol":"$proto"$media$steal,"sf":"${
         sfDir.split('/').last}"$gated}"""
     }
     println(summary)
@@ -227,6 +248,22 @@ object Bench {
         sys.env.get("SPARK_GRAFT_BENCH_PROTOCOL")).foreach { f =>
       java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (merged + "\n").getBytes("UTF-8"))
+    }
+    // Durable record (round-12 verdict task 2b): BENCH_LAST.json is
+    // clobbered by the next run and BENCH_rN.json keeps only a truncated
+    // stdout tail, so a driver run's complete per-query map was one local
+    // bench away from gone. Every FULL-SUITE run (any protocol — storm
+    // days are exactly the ones worth keeping) also writes its merged
+    // record to a timestamped plans/bench_<epochsec>.json; targeted
+    // local iterations skip it to keep plans/ archival.
+    if (only.isEmpty) {
+      val plans = new java.io.File("plans")
+      if (plans.isDirectory) {
+        val stamp = System.currentTimeMillis() / 1000
+        java.nio.file.Files.write(
+          new java.io.File(plans, s"bench_$stamp.json").toPath,
+          (merged + "\n").getBytes("UTF-8"))
+      }
     }
     spark.stop()
   }

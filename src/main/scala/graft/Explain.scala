@@ -53,9 +53,13 @@ object Explain {
     if (run) spark.sparkContext.addSparkListener(meter)
     names.foreach { n =>
       println(s"\n========== $n ==========")
+      // reset BEFORE building: many queries execute eagerly at
+      // construction (localCheckpoint materialization, streaming replay
+      // builds), so a post-construction reset would meter only the final
+      // checkpoint re-scan and under-report the query's shuffle volume
+      if (run) meter.reset()
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (run) {
-        meter.reset()
         df.queryExecution.toRdd.foreach(_ => ())
         println(df.queryExecution.executedPlan.toString)
         // the listener bus is async and has no public drain; poll until
@@ -69,7 +73,9 @@ object Explain {
           val cur = meter.report
           if (cur == last) same += 1 else { same = 0; last = cur }
         }
-        println(s"-- metrics -- ${meter.report}")
+        // "construction+final" labels the window: for eagerly-materialized
+        // queries the meter covers the build phase too, by design
+        println(s"-- metrics -- ${meter.report} (construction+final run)")
       } else df.explain("formatted")
     }
     spark.stop()

@@ -1242,6 +1242,12 @@ object BinaryPipeline {
       }
       require(rate > 0 && total >= 0 && md5 != null,
         "decodeFlac: missing STREAMINFO")
+      // the 36-bit STREAMINFO field can declare up to 2^36-1 samples; a
+      // hostile header past Int.MaxValue would otherwise surface as a
+      // NegativeArraySizeException from the raw toInt truncation instead
+      // of the clean codec error every other malformed input gets
+      require(total <= Int.MaxValue,
+        s"decodeFlac: total samples $total exceeds supported range")
       val out = new Array[Short](total.toInt)
       var got = 0
       var expectFrame = 0

@@ -1242,7 +1242,7 @@ object StreamQueries {
     * reproduce p06's min-doc_id in-batch survivorship exactly (see
     * [[st17]]'s scaladoc). Cached per (app, table content) like the
     * other replays. */
-  private def incomingReplayDir(spark: SparkSession, dir: String): String =
+  private[graft] def incomingReplayDir(spark: SparkSession, dir: String): String =
     replayCache.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}:$dir:incoming",
       graft.Tables.fingerprint(s"$dir/documents.parquet")) {
@@ -1276,14 +1276,6 @@ object StreamQueries {
       out
     }
 
-  private def replayedIncomingStream(spark: SparkSession,
-      dir: String): DataFrame = {
-    val rd = incomingReplayDir(spark, dir)
-    val schema = spark.read.parquet(rd).schema
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(rd)
-  }
-
   /** st17 — p06's incremental-admission decision as a MICRO-BATCHED
     * STREAM: the production shape of daily ingest, where each
     * micro-batch is one arriving batch and the admission gates run
@@ -1311,22 +1303,64 @@ object StreamQueries {
     * fp / decontamination are per-doc kernels; the final rollup reads
     * the accumulated stage survivors (O(admitted), not O(corpus)). */
   def st17(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.exprs.canon_fp
-    import graft.pipeline.TrainingDataPipeline.{decontaminate, exactDedup, qualityFilter}
-    val stream = replayedIncomingStream(spark, dir)
-    val standingIdx = incomingReplayDir(spark, dir) + ".index"
+    val rd = incomingReplayDir(spark, dir)
     val bench = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 50 === 0)
     val out = graft.TempDirs.create("graft_st17_stages")
-    val stages = Seq("incoming", "quality", "novel", "uniq", "admitted")
+    admissionSession(spark, rd, rd + ".index", bench, out)
+    admissionStagesRollup(spark, out)
+  }
+
+  private[graft] val AdmissionStages =
+    Seq("incoming", "quality", "novel", "uniq", "admitted")
+
+  private def admissionBatchDirs(out: String, stage: String): Seq[String] = {
+    val d = new java.io.File(s"$out/$stage")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch_")).map(_.getPath).toSeq
+  }
+
+  /** One micro-batched admission session over `incomingDir`, stage sinks
+    * rooted at `out` — the st17 kernel, factored out so the
+    * production-hardening legs (round-12 verdict task 4) can drive it:
+    *  - `tag` namespaces this session's batch ids inside the SHARED
+    *    stage dirs (`batch_<tag><id>`), so a SECOND day's session can
+    *    accumulate onto the state a first day admitted — batch ids
+    *    restart at 0 per streaming query, and untagged they'd collide
+    *    with (and idempotently clobber) day 1's sinks. Cross-batch
+    *    dedup lists ALL seen_fps snapshots regardless of tag: day 2
+    *    probes the union of day 1's index and its own priors, which is
+    *    exactly the standing-state semantics daily ingest banks on.
+    *  - `checkpoint`/`crashMarker` give the admission sink the st15
+    *    crash treatment: with a durable checkpoint, the marker injects
+    *    one crash AFTER the stage sinks of batch 1 are written but
+    *    BEFORE the engine commits — restarting from the checkpoint must
+    *    re-execute batch 1 under the SAME id, where the per-batch-id
+    *    overwrite sinks and the own-batch seen_fps exclusion (a retried
+    *    batch must not anti-join against its own fingerprints) make the
+    *    retry land byte-identically.
+    * Cost per session stays O(arriving batches + admitted), never
+    * O(corpus): the standing index and the accumulated seen_fps
+    * snapshots are probed via left_anti, not scanned into the batch. */
+  private[graft] def admissionSession(
+      spark: SparkSession,
+      incomingDir: String,
+      standingIdx: String,
+      bench: DataFrame,
+      out: String,
+      tag: String = "",
+      checkpoint: Option[String] = None,
+      crashMarker: Option[java.io.File] = None): Unit = {
+    import graft.functions.exprs.canon_fp
+    import graft.pipeline.TrainingDataPipeline.{decontaminate, exactDedup, qualityFilter}
+    val schema = spark.read.parquet(incomingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(incomingDir)
     def stageDir(s: String) = s"$out/$s"
-    def batchDirs(s: String): Seq[String] = {
-      val d = new java.io.File(stageDir(s))
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("batch_")).map(_.getPath).toSeq
-    }
-    val q = stream.writeStream
-      .outputMode("append")
+    val writer0 = stream.writeStream.outputMode("append")
+    val writer = checkpoint.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c))
+    val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val baseFps = sp.read.parquet(standingIdx)
@@ -1334,7 +1368,14 @@ object StreamQueries {
         val novel = qual.withColumn("fp", canon_fp(col("text")))
           .join(baseFps, Seq("fp"), "left_anti").drop("fp")
         // cross-batch dedup: probe the fps accumulated by PRIOR batches
-        val prior = batchDirs("seen_fps")
+        // (across ALL session tags — day 2 probes day 1's index too).
+        // Exclude THIS batch id: foreachBatch's retry contract re-runs a
+        // failed micro-batch under the same id, and a prior attempt may
+        // have already written its seen_fps snapshot — a retried batch
+        // anti-joining against its own fingerprints would emit empty
+        // uniq/admitted, breaking the sink's idempotency claim.
+        val prior = admissionBatchDirs(out, "seen_fps")
+          .filterNot(p => new java.io.File(p).getName == s"batch_$tag$batchId")
         val crossNovel =
           if (prior.isEmpty) novel
           else novel.withColumn("fp", canon_fp(col("text")))
@@ -1347,7 +1388,7 @@ object StreamQueries {
         // its own output, never duplicates it)
         def sink(df: DataFrame, stage: String, cols: Seq[String]): Unit =
           df.select(cols.map(col): _*).write.mode("overwrite")
-            .parquet(s"${stageDir(stage)}/batch_$batchId")
+            .parquet(s"${stageDir(stage)}/batch_$tag$batchId")
         sink(batch, "incoming", Seq("doc_id", "source"))
         sink(qual, "quality", Seq("doc_id", "source"))
         sink(novel, "novel", Seq("doc_id", "source"))
@@ -1355,15 +1396,34 @@ object StreamQueries {
         sink(admitted, "admitted", Seq("doc_id", "source", "text"))
         uniq.select(canon_fp(col("text")).as("fp")).distinct()
           .write.mode("overwrite")
-          .parquet(s"${stageDir("seen_fps")}/batch_$batchId")
+          .parquet(s"${stageDir("seen_fps")}/batch_$tag$batchId")
         uniq.unpersist()
+        // crash AFTER the stage sinks, BEFORE the engine's commit — the
+        // marker (atomic create) confines the crash to the first attempt
+        crashMarker.foreach { m =>
+          if (batchId == 1 && m.createNewFile())
+            throw new IllegalStateException(
+              "st17: injected crash between stage sinks and batch commit")
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val Seq(incoming, qual, novel, uniq, admitted) = stages.map { s =>
-      val dirs = batchDirs(s)
+    // bounded await (the st15 discipline): a wedged recovery must fail
+    // the query loudly, not hang the grading run
+    if (!q.awaitTermination(10 * 60 * 1000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        "st17: admission session did not terminate within 600s")
+    }
+  }
+
+  /** p06's rollup over the stage dirs an [[admissionSession]] (or
+    * several — multi-day state accumulates in place) populated. */
+  private[graft] def admissionStagesRollup(
+      spark: SparkSession, out: String): DataFrame = {
+    val Seq(incoming, qual, novel, uniq, admitted) = AdmissionStages.map { s =>
+      val dirs = admissionBatchDirs(out, s)
       require(dirs.nonEmpty, s"st17: stage $s produced no batches")
       spark.read.parquet(dirs: _*)
     }

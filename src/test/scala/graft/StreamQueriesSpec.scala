@@ -158,6 +158,116 @@ class StreamQueriesSpec extends AnyFunSuite {
       s"streaming admission must equal batch p06:\n  stream: $s\n  batch : $b")
   }
 
+  // ---- st17 production-hardening legs (round-12 verdict task 4) ----
+
+  /** Split the st17 replay dir's ascending-doc_id chunks into "days":
+    * day N gets the chunks whose index falls in its range, copied with
+    * ascending mtimes so each session's FileStreamSource delivers them
+    * in arrival order. */
+  private def splitReplayDays(rd: String,
+      ranges: Seq[Range]): Seq[String] = {
+    val chunks = new java.io.File(rd).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(chunks.length >= ranges.map(_.end).max,
+      s"replay dir $rd has ${chunks.length} chunks, need ${ranges.map(_.end).max}")
+    ranges.zipWithIndex.map { case (r, day) =>
+      val d = graft.TempDirs.create(s"graft_st17_day$day")
+      r.zipWithIndex.foreach { case (ci, i) =>
+        val dst = new java.io.File(d, chunks(ci).getName)
+        java.nio.file.Files.copy(chunks(ci).toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(System.currentTimeMillis() - 3600000L + i * 60000L)
+      }
+      d
+    }
+  }
+
+  test("st17 two-day incremental admission: day 2's session admits " +
+    "against the state day 1 accumulated, the union equals batch p06, " +
+    "and a day-3 re-ingest of day-1 data admits NOTHING") {
+    import org.apache.spark.sql.functions._
+    val sfDir = TestSpark.sfDir
+    val rd = StreamQueries.incomingReplayDir(spark, sfDir)
+    val standingIdx = rd + ".index"
+    val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+    val Seq(day1, day2) = splitReplayDays(rd, Seq(0 until 2, 2 until 4))
+    val out = graft.TempDirs.create("graft_st17_2day")
+    // two SEPARATE streaming sessions over the SAME stage root: day 2's
+    // cross-batch probe must list day 1's seen_fps snapshots
+    StreamQueries.admissionSession(spark, day1, standingIdx, bench, out)
+    StreamQueries.admissionSession(spark, day2, standingIdx, bench, out,
+      tag = "d2_")
+    val rollup = StreamQueries.admissionStagesRollup(spark, out)
+    val batch = graft.pipeline.PipelineQueries.p06(TestSpark.tables)
+    assert(rollup.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(rollup), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"two-day union must equal batch p06:\n  stream: $s\n  batch : $b")
+    // day 3: the classic production incident — yesterday's files arrive
+    // again. Every fingerprint is already in the accumulated index, so
+    // uniq/admitted must be EMPTY while incoming is not: unambiguous
+    // proof the session probes PRIOR sessions' state (robust even if the
+    // corpus had no natural dup spanning the day boundary).
+    val Seq(day3) = splitReplayDays(rd, Seq(0 until 1))
+    StreamQueries.admissionSession(spark, day3, standingIdx, bench, out,
+      tag = "d3_")
+    def day3Stage(stage: String): Long = {
+      val dirs = new java.io.File(s"$out/$stage").listFiles()
+        .filter(_.getName.startsWith("batch_d3_")).map(_.getPath)
+      assert(dirs.nonEmpty, s"day-3 session wrote no $stage batches")
+      spark.read.parquet(dirs.toSeq: _*).count()
+    }
+    assert(day3Stage("incoming") > 0, "day-3 re-ingest delivered no rows")
+    assert(day3Stage("uniq") == 0 && day3Stage("admitted") == 0,
+      "re-ingested day-1 data must be fully dropped by the accumulated " +
+        "fingerprint index — day 3 admitted rows, so cross-session state " +
+        "was not probed")
+  }
+
+  test("st17 mid-batch crash/restart: recovery re-executes the " +
+    "uncommitted batch under the same id (own-batch fp exclusion keeps " +
+    "the retry idempotent) and the rollup still equals batch p06") {
+    import org.apache.spark.sql.functions._
+    val sfDir = TestSpark.sfDir
+    val rd = StreamQueries.incomingReplayDir(spark, sfDir)
+    val standingIdx = rd + ".index"
+    val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+    val out = graft.TempDirs.create("graft_st17_crash")
+    val ckpt = graft.TempDirs.create("graft_st17_crash_ckpt")
+    val marker = new java.io.File(out, "crash_injected.marker")
+    val t0 = System.nanoTime()
+    val run1Died =
+      try {
+        StreamQueries.admissionSession(spark, rd, standingIdx, bench, out,
+          checkpoint = Some(ckpt), crashMarker = Some(marker))
+        false
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if e.getMessage.contains("injected crash") => true
+      }
+    val t1 = System.nanoTime()
+    assert(run1Died, "first run finished without hitting the injected " +
+      "crash — the recovery path was never exercised, refusing to grade")
+    // the crashed attempt already wrote batch 1's stage sinks INCLUDING
+    // its seen_fps snapshot; the restart must re-execute batch 1 against
+    // batch 0's state only (own-batch exclusion) and drain the rest
+    StreamQueries.admissionSession(spark, rd, standingIdx, bench, out,
+      checkpoint = Some(ckpt))
+    val t2 = System.nanoTime()
+    info(f"pre-crash run ${(t1 - t0) / 1e9}%.2fs, " +
+      f"recovery run ${(t2 - t1) / 1e9}%.2fs")
+    val rollup = StreamQueries.admissionStagesRollup(spark, out)
+    val batch = graft.pipeline.PipelineQueries.p06(TestSpark.tables)
+    assert(rollup.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(rollup), canon(batch))
+    assert(s.nonEmpty && s == b,
+      "crash/recovery admission must equal batch p06: loss or " +
+        s"duplication across the crash boundary breaks this equality\n" +
+        s"  stream: $s\n  batch : $b")
+  }
+
   test("st10 streaming curation gates equal the batch quality∘dedup " +
     "composition exactly") {
     import org.apache.spark.sql.functions._

@@ -47,8 +47,27 @@ cross-checks the gram derivation, join/group arithmetic, survivorship
 windows, and rollups at SFs the single-statement protocol cannot reach.
 
 Usage: dedup_oracle_tt.py <sfDir> <verifyOutDir> [--brute]
+       dedup_oracle_tt.py --selftest
 Compares against <verifyOutDir>/<query>/ parquet written by graft.Verify
 at the same SF. Exits nonzero on any mismatch.
+
+GUARD (round-12 verdict task 3 / carry-forward 2): the factorized
+path's PREMISE is byte-identical replication — true of every scale_up
+corpus (factor 10/30/100), where it turns the sf3 build from 3068 s
+into seconds. On a corpus WITHOUT replication (unreplicated base, or a
+future generator that adds jitter so every near-dup is textually
+unique) the factorization buys nothing: every md5 family is a
+singleton, rep_pairs IS the full O(n²) brute relation, and the
+"seconds" fast-path label silently carries the 41-GB brute cost (or
+worse at sf10). The tool now measures the replication factor
+(docs / md5-families) up front and REFUSES the factorized path when
+it is under {MIN_FACTOR}x, telling the operator to opt into --brute
+consciously. It also asserts count(DISTINCT md5(text)) ==
+count(DISTINCT text) — an md5 collision would silently merge two
+distinct texts into one family and corrupt the algebra; failing loud
+beats a one-in-2^64 wrong answer. --selftest exercises both paths:
+a replicated corpus (guard admits, factorized ≡ brute bit-for-bit)
+and a jittered one (guard refuses, --brute proceeds).
 """
 import sys
 import time
@@ -90,6 +109,37 @@ QUAL_SQL = r"""
 SELECT doc_id,
   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntk
 FROM documents"""
+
+
+MIN_FACTOR = 2.0  # replication factor below which factorization buys nothing
+
+
+def guard_factorized(con):
+    """Refuse the factorized path when its replication premise fails.
+
+    Returns the measured (n_docs, n_families) on success; exits loudly
+    when the corpus is unreplicated/jittered (factor < MIN_FACTOR — the
+    scale_up corpora run at 10/30/100x, a jittered or base corpus at
+    ~1.0x) or when an md5 collision would corrupt the family algebra.
+    """
+    n_docs, n_fam, n_txt = con.sql(
+        "SELECT count(*), count(DISTINCT md5(text)), count(DISTINCT text) "
+        "FROM documents").fetchone()
+    if n_fam != n_txt:
+        sys.exit(f"guard: md5 collision — {n_fam} md5 families vs {n_txt} "
+                 "distinct texts; the factorized family algebra would merge "
+                 "distinct documents. Use --brute.")
+    factor = n_docs / n_fam if n_fam else 0.0
+    if factor < MIN_FACTOR:
+        sys.exit(
+            f"guard: corpus is not byte-identically replicated "
+            f"({n_docs} docs / {n_fam} md5 families = {factor:.2f}x < "
+            f"{MIN_FACTOR}x) — the factorized path would silently run the "
+            "full O(n^2) brute build under its fast-path label. Re-run "
+            "with --brute to opt into that cost consciously.")
+    print(f"  guard: replication factor {factor:.1f}x "
+          f"({n_docs} docs / {n_fam} families) — factorized path valid")
+    return n_docs, n_fam
 
 
 def build_pairs_brute(con):
@@ -256,7 +306,65 @@ def downstream_queries():
     }
 
 
+def selftest():
+    """Guard + factorization invariants over synthetic corpora:
+    1. replicated corpus -> guard ADMITS; factorized == brute pair-set;
+    2. jittered corpus (every near-dup textually unique) -> guard
+       REFUSES the factorized path; brute still builds.
+    """
+    texts = ["alpha beta gamma delta epsilon", "alpha beta gamma delta zeta",
+             "one two three four five six", "totally unrelated words here now",
+             "red green blue cyan magenta yellow"]
+
+    def corpus(con, rows):
+        con.sql("CREATE OR REPLACE TEMP TABLE documents AS SELECT * FROM ("
+                + " UNION ALL ".join(
+                    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+                    for i, t in rows) + ")")
+
+    def pairset(con, builder):
+        for t in ("nd_pairs", "fam", "mem", "rep_pairs", "gsz", "g"):
+            con.sql(f"DROP TABLE IF EXISTS {t}")
+        builder(con)
+        return set(con.sql("SELECT * FROM nd_pairs").fetchall())
+
+    # 1. replicated: 5 distinct texts x 5 byte-identical copies
+    con = duckdb.connect()
+    corpus(con, [(f * 5 + i, t) for i, t in enumerate(texts)
+                 for f in range(5)])
+    guard_factorized(con)  # must admit at factor 5.0
+    fact = pairset(con, build_pairs_factorized)
+    brute = pairset(con, build_pairs_brute)
+    assert fact == brute, (
+        f"factorized != brute on replicated corpus: "
+        f"only-fact={sorted(fact - brute)[:3]} "
+        f"only-brute={sorted(brute - fact)[:3]}")
+    assert fact, "replicated corpus produced no pairs (near-dup seed broken)"
+    print(f"OK    selftest replicated: guard admits at 5.0x, "
+          f"factorized == brute ({len(fact)} pairs)")
+
+    # 2. jittered: same families but every member textually unique
+    con2 = duckdb.connect()
+    corpus(con2, [(f * 5 + i, f"{t} jitter{f}") for i, t in enumerate(texts)
+                  for f in range(5)])
+    try:
+        guard_factorized(con2)
+        sys.exit("FAIL  selftest: guard ADMITTED a jittered corpus")
+    except SystemExit as e:
+        if "not byte-identically replicated" not in str(e.code):
+            raise
+        print("OK    selftest jittered: guard refuses the factorized path "
+              f"({str(e.code).split(' — ')[0]})")
+    jb = pairset(con2, build_pairs_brute)
+    assert jb, "brute build over the jittered corpus produced no pairs"
+    print(f"OK    selftest jittered: --brute proceeds ({len(jb)} pairs)")
+    print("\nALL GREEN (selftest)")
+
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
+        return
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir, out_dir = args[0], args[1]
     brute = "--brute" in sys.argv
@@ -269,6 +377,8 @@ def main():
 
     t0 = time.time()
     print(f"building nd_pairs ({'brute' if brute else 'factorized'})...")
+    if not brute:
+        guard_factorized(con)
     (build_pairs_brute if brute else build_pairs_factorized)(con)
     n_exact = con.sql("SELECT count(*) FROM nd_pairs").fetchone()[0]
     print(f"  nd_pairs: {n_exact} exact pairs in {time.time() - t0:.1f}s")
