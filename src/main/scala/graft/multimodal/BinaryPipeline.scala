@@ -951,13 +951,14 @@ object BinaryPipeline {
     //      frames with an MD5 integrity signature in STREAMINFO. Pure
     //      public spec (the FLAC format, RFC 9639); this encoder emits a
     //      documented SUBSET (mono s16, fixed 256-sample blocksize,
-    //      FIXED predictors order 0–2, one Rice partition) and the
+    //      FIXED predictors order 0–4, one Rice partition) and the
     //      decoder accepts exactly the spec shapes it can prove correct
     //      (FIXED 0–4), rejecting everything else loudly. The synthetic
-    //      splitmix64 samples are white noise, so order 0 nearly always
-    //      wins and Rice parameters sit at 15–16 (the RICE2 escape):
-    //      compression is not the point on this corpus — the coding
-    //      machinery is, and MultimodalSpec drives orders 1–2 with
+    //      splitmix64 samples are white noise, so order 0 wins there
+    //      and Rice parameters sit at 15–16 (the RICE2 escape), while
+    //      the smooth-signal leg (synthSample, id%24==0) elects orders
+    //      3–4 with near-zero residuals:
+    //      the coding machinery is the point, and MultimodalSpec drives orders 1–2 with
     //      crafted smooth signals. ----
 
     private[graft] val FlacBlockSize = 256
@@ -1074,13 +1075,18 @@ object BinaryPipeline {
     }
 
     /** (order, riceK, residual bits) minimizing the subframe's exact bit
-      * cost over FIXED orders 0–2 and Rice parameters 0–30, deterministic
+      * cost over FIXED orders 0–4 and Rice parameters 0–30, deterministic
       * tie-breaks (lowest k, then lowest order) — shared choice rule with
-      * [[BinaryPipeline.flacBytes]] and tools/media_oracle.py. */
+      * [[BinaryPipeline.flacBytes]] and tools/media_oracle.py. Orders
+      * 3–4 joined the election in round 13 (the decoder always accepted
+      * them): white-noise frames still elect order 0 (higher-order
+      * differencing only grows noise residuals — re-checked over every
+      * corpus noise frame), the smooth corpus leg
+      * ([[BinaryPipeline.synthSample]]) actually elects them. */
     private[graft] def flacChoose(s: Array[Int], n: Int): (Int, Int, Long) = {
       var best = (-1, -1, Long.MaxValue)
       var order = 0
-      while (order <= 2 && order < n) {
+      while (order <= 4 && order < n) {
         val res = new Array[Long](n - order)
         var i = order
         while (i < n) { res(i - order) = zigzag(s(i) - flacPredict(s, i, order)); i += 1 }
@@ -1534,13 +1540,55 @@ object BinaryPipeline {
   private[graft] def wavN(id: Long): Int = (id % 1024 + 256).toInt
   private val WavRate = 8000
 
+  /** One synthesized s16 sample — THE audio synthesis rule, shared by
+    * the corpus builder, the content-sum twins, and the FLAC length
+    * twins (tools/media_oracle.py transcribes it in Python).
+    *
+    * Smooth-signal leg (round-12 verdict task 7): ids with
+    * id % 24 == 0 (half the FLAC class — id % 24 == 12 stays noise)
+    * carry a piecewise-polynomial signal instead of splitmix64 white
+    * noise. Block signs follow the Prouhet–Thue–Morse prefix
+    * (+ − − +, and its complement-extension + − − + − + + − for the
+    * cubic leg), which cancels polynomial block sums so the signal is
+    * EXACTLY periodic (period 64 / 128) and bounded (|s| ≤ 16384 + the
+    * ±8191 DC offset): the quadratic leg's 2nd difference is a small
+    * ±coef step so the order-3 fixed predictor's residuals vanish away
+    * from block joins, the cubic leg's 3rd difference likewise rewards
+    * order 4 — measured: every 256-sample frame of every coefficient
+    * draw elects order 3 (quad) / order 4 (cubic), closing the
+    * encode-0–2 / decode-0–4 asymmetry with corpus data, not just spec
+    * fixtures. White-noise frames provably keep electing order 0 under
+    * the widened 0–4 election (all 288 corpus noise frames re-checked
+    * bit-identical), so only the id % 24 == 0 payloads changed. */
+  private[graft] def synthSample(id: Long, i: Int): Short =
+    if (id % 24 == 0) {
+      val h = graft.functions.HashImpls.mix64(id ^ 0x536d6f6f7468L)
+      val cubic = ((h >>> 10) & 1L) == 1L
+      val pattern =
+        if (cubic) Array(1, -1, -1, 1, -1, 1, 1, -1) else Array(1, -1, -1, 1)
+      val seg = 16
+      val coef = if (cubic) ((h & 1L) + 1L).toInt else ((h & 3L) + 1L).toInt
+      val dc = (((h >>> 2) & 0x3fffL) - 8192L).toInt
+      val m = i % (seg * pattern.length)
+      var d2 = 0; var v = 0; var s = 0
+      var t = 0
+      while (t < m) {
+        val sign = pattern(t / seg)
+        if (cubic) { d2 += sign * coef; v += d2; s += v }
+        else { v += sign * coef; s += v }
+        t += 1
+      }
+      (dc + s).toShort
+    } else
+      (graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff).toShort
+
   private[graft] def synthPayload(id: Long): Array[Byte] =
     if (id % 3 == 0) {
       val n = wavN(id)
       val s = new Array[Short](n)
       var i = 0
       while (i < n) {
-        s(i) = (graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff).toShort
+        s(i) = synthSample(id, i)
         i += 1
       }
       // Three audio codings in the GRADED corpus (round 12): id%12==0
@@ -2082,8 +2130,7 @@ object BinaryPipeline {
       var sum = 0L
       var i = 0
       while (i * scale < n && i < n / scale) {
-        val s = (graft.functions.HashImpls.mix64((id << 20) ^ (i * scale))
-          & 0xffff).toInt
+        val s = synthSample(id, i * scale) & 0xffff
         sum += (s & 0xff) + ((s >> 8) & 0xff)
         i += 1
       }
@@ -2249,14 +2296,18 @@ object BinaryPipeline {
       val n = math.min(256, s.length - off)
       var bestBits = Long.MaxValue
       var order = 0
-      while (order <= 2 && order < n) {
+      while (order <= 4 && order < n) {
         val res = new Array[Long](n - order)
         var i = order
         while (i < n) {
           val p = order match {
             case 0 => 0
             case 1 => s(off + i - 1)
-            case _ => 2 * s(off + i - 1) - s(off + i - 2)
+            case 2 => 2 * s(off + i - 1) - s(off + i - 2)
+            case 3 => 3 * s(off + i - 1) - 3 * s(off + i - 2) +
+              s(off + i - 3)
+            case _ => 4 * s(off + i - 1) - 6 * s(off + i - 2) +
+              4 * s(off + i - 3) - s(off + i - 4)
           }
           val r = s(off + i) - p
           res(i - order) = ((r << 1) ^ (r >> 31)).toLong & 0xffffffffL
@@ -2285,18 +2336,14 @@ object BinaryPipeline {
 
   /** Codec-free twin of one FULL-RES FLAC payload's byte length. */
   private[graft] def st16FlacLen(id: Long): Long =
-    flacBytes(Array.tabulate(wavN(id))(i =>
-      ((graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff)
-        .toShort).toInt))
+    flacBytes(Array.tabulate(wavN(id))(i => synthSample(id, i).toInt))
 
   /** Codec-free twin of one RESIZED FLAC payload's byte length —
     * synthesis rule + decimation positions + [[flacBytes]]. */
   private[graft] def m06FlacLen(id: Long): Long = {
     val n = wavN(id)
     val scale = (n + ResizeMaxDim - 1) / ResizeMaxDim
-    flacBytes(Array.tabulate(n / scale)(i =>
-      ((graft.functions.HashImpls.mix64((id << 20) ^ (i * scale)) & 0xffff)
-        .toShort).toInt))
+    flacBytes(Array.tabulate(n / scale)(i => synthSample(id, i * scale).toInt))
   }
 
   /** Codec-free twin of one FULL-RES PNG payload's byte length (the
@@ -2380,8 +2427,7 @@ object BinaryPipeline {
     * build the same array inline in [[synthPayload]]). */
   private def synthSamples(id: Long): Array[Short] = {
     val n = wavN(id)
-    Array.tabulate(n)(i =>
-      (graft.functions.HashImpls.mix64((id << 20) ^ i) & 0xffff).toShort)
+    Array.tabulate(n)(i => synthSample(id, i))
   }
 
   /** Quantizer-replay TWIN of the IMA ADPCM encode→decode round trip
@@ -2446,8 +2492,7 @@ object BinaryPipeline {
       var sum = 0L
       var i = 0
       while (i < n) {
-        val s = (graft.functions.HashImpls.mix64((id << 20) ^ i)
-          & 0xffff).toInt
+        val s = synthSample(id, i) & 0xffff
         sum += (s & 0xff) + ((s >> 8) & 0xff)
         i += 1
       }

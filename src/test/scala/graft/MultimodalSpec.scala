@@ -249,6 +249,39 @@ class MultimodalSpec extends AnyFunSuite {
       s"order-2 + rice(0) should crush a ramp: $rampBytes bytes")
   }
 
+  test("FLAC smooth-signal corpus leg elects the HIGH orders: quadratic " +
+    "ids drive order 3, cubic ids order 4, every frame, with near-zero " +
+    "Rice k; round trip stays lossless and the length twin prices it") {
+    // ids 0 / 48 land on the quad / cubic leg of synthSample's PTM
+    // generator (id % 24 == 0 is the smooth class; the hash bit picks
+    // the leg) — the corpus now genuinely exercises the decode-side
+    // orders 3-4 the encoder previously never elected
+    for ((id, wantOrder) <- Seq((0L, 3), (48L, 4))) {
+      val n = BinaryPipeline.wavN(id)
+      val s = Array.tabulate(n)(i => BinaryPipeline.synthSample(id, i))
+      val ints = s.map(_.toInt)
+      for (off <- 0 until n by 256) {
+        val frame = ints.slice(off, math.min(off + 256, n))
+        val (o, k, _) = MediaCodec.flacChoose(frame, frame.length)
+        assert(o == wantOrder,
+          s"id=$id frame@$off elected order $o, want $wantOrder")
+        assert(k <= 4,
+          s"smooth residuals should sit at tiny Rice k, got $k (id=$id)")
+      }
+      val p = MediaCodec.encodeFlac(8000, s)
+      assert(MediaCodec.sniff(p) == "flac")
+      val (rate, back) = MediaCodec.decodeFlac(p)
+      assert(rate == 8000 && back.toSeq == s.toSeq,
+        s"order-$wantOrder round trip must be lossless")
+      assert(BinaryPipeline.flacBytes(ints) == p.length.toLong,
+        s"flacBytes twin diverges on the smooth leg (id=$id)")
+      // predictive coding is the point here: the smooth leg compresses
+      // far below the 2-bytes/sample raw stream (noise docs cannot)
+      assert(p.length < 2 * n / 3,
+        s"smooth leg should compress ≥3x: ${p.length} bytes for $n samples")
+    }
+  }
+
   test("FLAC integrity rungs all fire: header CRC-8, frame CRC-16, " +
     "STREAMINFO MD5, truncation, bad magic") {
     val s = Array.tabulate(300)(i =>
@@ -702,12 +735,23 @@ class MultimodalSpec extends AnyFunSuite {
     // the compression-ratio audit must be non-trivial: ADPCM bytes_out
     // (PCM) is ~2.7x bytes_in over this corpus (4-bit codes ~4x, minus
     // the 60-byte header + 256-byte block padding on short files);
-    // images are identical in/out. FLAC on white noise does NOT
-    // compress (documented): its PCM out is slightly SMALLER than in.
+    // images are identical in/out. FLAC is a MIXED class since the
+    // round-13 smooth leg: noise ids (id % 24 == 12) do not compress
+    // (slightly above their PCM, documented), smooth ids (id % 24 == 0)
+    // crush >= 3x, so the class aggregate now sits BELOW its PCM.
     val ad = rows("adpcm")
     assert(ad._3 > 2 * ad._2, s"ADPCM expansion missing: $ad")
+    (0L until BinaryPipeline.NMedia).filter(_ % 12 == 0).foreach { id =>
+      val pcm = 44L + 2L * BinaryPipeline.wavN(id)
+      val fin = BinaryPipeline.st16FlacLen(id)
+      if (id % 24 == 0)
+        assert(3 * fin < 2 * pcm, s"smooth id=$id should crush: $fin vs $pcm")
+      else
+        assert(fin > pcm, s"noise id=$id should exceed PCM: $fin vs $pcm")
+    }
     val fl = rows("flac")
-    assert(fl._2 > fl._3, s"white-noise FLAC should exceed its PCM: $fl")
+    assert(fl._3 > fl._2,
+      s"mixed FLAC class should now compress below its PCM: $fl")
     Seq("bmp", "tga", "png", "ppm").foreach { c =>
       assert(rows(c)._2 == rows(c)._3, s"$c must pass through: ${rows(c)}")
     }

@@ -69,11 +69,42 @@ def rgb_bytes(i):
     return w, h, bytes(out)
 
 
+def smooth_sample(i, p):
+    """BinaryPipeline.synthSample's smooth leg (id % 24 == 0, round 13),
+    transcribed: Prouhet-Thue-Morse block signs over a small quadratic
+    (elects FIXED order 3) or cubic (order 4) accumulator, exactly
+    periodic and bounded; see the Scala scaladoc for the derivation."""
+    h = mix64((i ^ 0x536D6F6F7468) & MASK)
+    cubic = (h >> 10) & 1
+    pattern = [1, -1, -1, 1, -1, 1, 1, -1] if cubic else [1, -1, -1, 1]
+    coef = (h & 1) + 1 if cubic else (h & 3) + 1
+    dc = ((h >> 2) & 0x3FFF) - 8192
+    m = p % (16 * len(pattern))
+    d2 = v = s = 0
+    for t in range(m):
+        sign = pattern[t // 16]
+        if cubic:
+            d2 += sign * coef
+            v += d2
+            s += v
+        else:
+            v += sign * coef
+            s += v
+    return dc + s
+
+
+def synth_u16(i, p):
+    """One audio sample as u16 — smooth leg for i % 24 == 0, splitmix64
+    noise otherwise (BinaryPipeline.synthSample)."""
+    if i % 24 == 0:
+        return smooth_sample(i, p) & 0xFFFF
+    return mix64(((i << 20) ^ p) & MASK) & 0xFFFF
+
+
 def wav_samples(i):
-    n = wav_n(i)
     out = []
-    for p in range(n):
-        v = mix64(((i << 20) ^ p) & MASK) & 0xFFFF
+    for p in range(wav_n(i)):
+        v = synth_u16(i, p)
         out.append(v - 65536 if v >= 32768 else v)  # s16: sign-extend
     return out
 
@@ -332,7 +363,7 @@ def tga_packets(w, h, rgb):
 
 # ---- FLAC (id%12==0, round 12): the predictive+entropy-coded lossless
 #      audio leg. The frame stream is rebuilt here bit-for-bit (fixed
-#      predictors order 0-2 by exact bit cost, one Rice partition,
+#      predictors order 0-4 by exact bit cost, one Rice partition,
 #      CRC-8/CRC-16, STREAMINFO MD5) and then DECODED by this file's own
 #      independent Rice decoder — the audio analog of the PNG
 #      inflate replay. Pure public spec (the FLAC format / RFC 9639). ----
@@ -402,11 +433,11 @@ def _zigzag(r):
 
 
 def _flac_choose(s):
-    """(order, k) minimizing exact subframe bits over FIXED 0-2, Rice
+    """(order, k) minimizing exact subframe bits over FIXED 0-4, Rice
     k 0-30 — the codec's deterministic choice rule, transcribed."""
     n = len(s)
     best = None
-    for order in range(0, min(3, n)):
+    for order in range(0, min(5, n)):
         res = [_zigzag(s[i] - _flac_predict(s, i, order))
                for i in range(order, n)]
         for k in range(31):
@@ -714,7 +745,7 @@ def m06_expected():
                     plen = 44 + 2 * nw
                 csum = 0
                 for j in range(nw):
-                    v = mix64(((i << 20) ^ (j * scale)) & MASK) & 0xFFFF
+                    v = synth_u16(i, j * scale)
                     csum += (v & 0xFF) + (v >> 8)
             mod = "audio"
         else:

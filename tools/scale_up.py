@@ -34,7 +34,26 @@ n >= 59). Both engines read the same parquet, so every oracle
 recomputes over the planted corpus; nothing downstream assumes
 copy-0 text equals the base corpus.
 
-Usage: scale_up.py SRC_DIR DST_DIR FACTOR
+Round 13: CAPPED-CLUSTER documents mode (--dedup-domain). At factor
+> MaxBucket=64 every exact-dup family exceeds the engines' hot-bucket
+gate, so d04's declared domain (components <= 64) collapses — at
+factor 100 it holds 21 pairs and the full-decade exact-recall signal
+for the d04 family is thin (round-12 verdict task 5). With
+--dedup-domain the documents copies are partitioned into text groups
+of GROUP_CAP=50: group g = copy_index // 50, and every copy in group
+g >= 1 has its every-3rd token (positions 2, 5, 8, ...) replaced by
+the per-(group, base-doc) salt g<g>d<doc>. Every 3-gram contains one
+position = 2 mod 3, so a salted copy shares ZERO trigrams with other
+groups of the same doc, with its own group-0 original, and with every
+other doc's salted copies (the salt is doc-unique) — groups are
+byte-identical 50-member families in their own <= 64 components, the
+declared domain covers the whole relation at ANY factor, and the
+factorized oracle build stays valid (50x replication within groups).
+Only the documents table changes; every other table scales as before.
+This corpus is for the dedup-family oracle sweep, NOT a replacement
+for the standard scaled corpus.
+
+Usage: scale_up.py SRC_DIR DST_DIR FACTOR [--dedup-domain]
 e.g.:  python3 tools/scale_up.py /root/testdata/sf0.1 /tmp/testdata/sf1 10
 
 Schema fidelity matters (the driver's oracle hashes typed values):
@@ -69,6 +88,45 @@ OFFSETS = {
 PLANT_MOD = 100
 PLANT_RESIDUE = 7
 PLANT_MIN_TOKENS = 60
+
+# --dedup-domain: byte-identical replication caps at GROUP_CAP members
+# per text group, keeping every exact-dup component inside the engines'
+# MaxBucket=64 declared domain at any factor (margin for the planted
+# copies detaching from group 0)
+GROUP_CAP = 50
+
+
+def group_salt_text(text, base_doc_id, group):
+    """Rewrite one --dedup-domain copy for text group `group` (>= 1):
+    every 3rd token becomes the per-(group, doc) salt, so the copy
+    shares no 3-gram with any other group or any other document."""
+    toks = text.split()
+    if not toks:
+        return f"g{group}d{base_doc_id}"
+    out = list(toks)
+    for p in range(2, len(out), 3):
+        out[p] = f"g{group}d{base_doc_id}"
+    if len(out) < 3:
+        # short-doc gram fallback is the whole text: salt it directly
+        out[0] = f"g{group}d{base_doc_id}"
+    return " ".join(out)
+
+
+def group_salt_documents(tbl, copy):
+    """Apply the --dedup-domain group salt to one copy (after the
+    near-dup plant, before key offsetting). Group 0 keeps the original
+    (plus planted) texts."""
+    group = copy // GROUP_CAP
+    if group == 0:
+        return tbl
+    idx = tbl.schema.get_field_index("text")
+    field = tbl.schema.field("text")
+    new_text = pa.array(
+        [group_salt_text(t, d, group)
+         for d, t in zip(tbl["doc_id"].to_pylist(),
+                         tbl["text"].to_pylist())],
+        type=field.type)
+    return tbl.set_column(idx, field, new_text)
 
 
 def plant_text(text, base_doc_id, copy):
@@ -112,7 +170,7 @@ def plant_documents(tbl, copy):
     return pa.concat_tables([rest, planted])
 
 
-def main(src, dst, factor):
+def main(src, dst, factor, dedup_domain=False):
     os.makedirs(dst, exist_ok=True)
     tables = {t: pq.read_table(os.path.join(src, f"{t}.parquet"))
               for t in TABLES}
@@ -133,6 +191,8 @@ def main(src, dst, factor):
             copies = []
             for i in range(factor):
                 c = plant_documents(tbl, i) if t == "documents" else tbl
+                if t == "documents" and dedup_domain:
+                    c = group_salt_documents(c, i)
                 for col, space in OFFSETS[t].items():
                     idx = c.schema.get_field_index(col)
                     field = c.schema.field(col)
@@ -148,6 +208,8 @@ def main(src, dst, factor):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 4:
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 3 or set(flags) - {"--dedup-domain"}:
         sys.exit(__doc__)
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(args[0], args[1], int(args[2]), "--dedup-domain" in flags)
