@@ -43,6 +43,30 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => None }
 
+  /** Where a run's durable per-query record lands (round-12 verdict
+    * task 2b), or None when it must not write one: targeted runs would
+    * litter the archival plans/ dir, and a missing plans/ means the
+    * bench is running outside a repo checkout. Pure so BenchSinkSpec
+    * can gate the routing like summarySinks. */
+  private[graft] def durableDumpPath(targeted: Boolean,
+                                     plansDir: java.io.File,
+                                     epochSec: Long): Option[java.nio.file.Path] =
+    if (!targeted && plansDir.isDirectory)
+      Some(new java.io.File(plansDir, s"bench_$epochSec.json").toPath)
+    else None
+
+  /** The summary line's self-attribution fragment (round-12 verdict
+    * task 2a): mean/max per-run steal and the count of hot runs
+    * (per-run steal ≥ 5%, drift_join.py's proc threshold). Empty when
+    * no run produced a steal reading (unreadable /proc/stat). */
+  private[graft] def stealSummary(pcts: Seq[Double]): String =
+    if (pcts.isEmpty) ""
+    else {
+      def r2(d: Double) = math.rint(d * 100) / 100
+      s""","steal_mean":${r2(pcts.sum / pcts.size)},"steal_max":${
+        r2(pcts.max)},"hot_runs":${pcts.count(_ >= 5.0)}"""
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -219,14 +243,9 @@ object Bench {
         s""","nmedia":$nMedia""" else ""
       // Self-attribution (round-12 verdict task 2a): the run's own steal
       // exposure rides the summary line (~55 chars, fits the driver's
-      // 2000-char tail). hot_runs uses drift_join.py's proc threshold
-      // (per-run steal ≥ 5%); a storm-day artifact now carries its own
+      // 2000-char tail); a storm-day artifact now carries its own
       // evidence instead of reading as N query regressions.
-      val steal = if (stealPcts.nonEmpty) {
-        def r2(d: Double) = math.rint(d * 100) / 100
-        s""","steal_mean":${r2(stealPcts.sum / stealPcts.size)},"steal_max":${
-          r2(stealPcts.max)},"hot_runs":${stealPcts.count(_ >= 5.0)}"""
-      } else ""
+      val steal = stealSummary(stealPcts.toSeq)
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size
         },"failed":$failed,"protocol":"$proto"$media$steal,"sf":"${
         sfDir.split('/').last}"$gated}"""
@@ -256,14 +275,9 @@ object Bench {
     // days are exactly the ones worth keeping) also writes its merged
     // record to a timestamped plans/bench_<epochsec>.json; targeted
     // local iterations skip it to keep plans/ archival.
-    if (only.isEmpty) {
-      val plans = new java.io.File("plans")
-      if (plans.isDirectory) {
-        val stamp = System.currentTimeMillis() / 1000
-        java.nio.file.Files.write(
-          new java.io.File(plans, s"bench_$stamp.json").toPath,
-          (merged + "\n").getBytes("UTF-8"))
-      }
+    durableDumpPath(only.nonEmpty, new java.io.File("plans"),
+        System.currentTimeMillis() / 1000).foreach { p =>
+      java.nio.file.Files.write(p, (merged + "\n").getBytes("UTF-8"))
     }
     spark.stop()
   }

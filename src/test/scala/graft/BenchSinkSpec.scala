@@ -34,4 +34,28 @@ class BenchSinkSpec extends AnyFunSuite {
       Seq("BENCH_LAST.json"))
     assert(Bench.summarySinks(targeted = true, None) == Seq("BENCH_LAST.json"))
   }
+
+  test("durable dump routing (r12 task 2b): full-suite runs write a " +
+    "timestamped plans/ record, targeted runs and non-repo cwds never do") {
+    val plans = java.nio.file.Files.createTempDirectory("graft_plans").toFile
+    try {
+      assert(Bench.durableDumpPath(targeted = false, plans, 1700000000L)
+        .map(_.getFileName.toString).contains("bench_1700000000.json"))
+      assert(Bench.durableDumpPath(targeted = true, plans, 1700000000L).isEmpty,
+        "a targeted probe must not litter the archival plans/ dir")
+      val missing = new java.io.File(plans, "nope")
+      assert(Bench.durableDumpPath(targeted = false, missing, 1L).isEmpty,
+        "no plans/ dir (bench outside a checkout) must not create one")
+    } finally plans.delete()
+  }
+
+  test("steal self-attribution fragment (r12 task 2a): keys, rounding, " +
+    "the 5% hot threshold, and the no-reading case") {
+    assert(Bench.stealSummary(Nil) == "",
+      "unreadable /proc/stat must not emit empty-looking zeros")
+    assert(Bench.stealSummary(Seq(1.0, 2.0, 18.884)) ==
+      ""","steal_mean":7.29,"steal_max":18.88,"hot_runs":1""")
+    // exactly-5% counts as hot (matches drift_join.py's >= threshold)
+    assert(Bench.stealSummary(Seq(5.0, 4.99)).endsWith(""""hot_runs":1"""))
+  }
 }
