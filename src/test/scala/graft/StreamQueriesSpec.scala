@@ -225,6 +225,41 @@ class StreamQueriesSpec extends AnyFunSuite {
         "was not probed")
   }
 
+  test("st17 seen_fps snapshot compaction: long-horizon sessions " +
+    "coalesce prior snapshots into compact_ dirs, sweep their sources, " +
+    "and the admission union still equals batch p06") {
+    import org.apache.spark.sql.functions._
+    val sfDir = TestSpark.sfDir
+    val rd = StreamQueries.incomingReplayDir(spark, sfDir)
+    val standingIdx = rd + ".index"
+    val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+    // four single-chunk "days" with the threshold lowered to 2 so the
+    // long-horizon path runs at spec scale (the graded 4-batch replay
+    // never crosses the production threshold of 8)
+    val days = splitReplayDays(rd,
+      Seq(0 until 1, 1 until 2, 2 until 3, 3 until 4))
+    val out = graft.TempDirs.create("graft_st17_compact")
+    days.zipWithIndex.foreach { case (d, i) =>
+      StreamQueries.admissionSession(spark, d, standingIdx, bench, out,
+        tag = if (i == 0) "" else s"c${i}_", compactThreshold = 2)
+    }
+    val fpsDirs = new java.io.File(s"$out/seen_fps").listFiles()
+      .map(_.getName).toSeq
+    assert(fpsDirs.exists(_.startsWith("compact_")),
+      s"no compact_ snapshot produced: $fpsDirs")
+    assert(fpsDirs.count(_.startsWith("batch_")) < days.size,
+      s"compaction must sweep its source snapshots: $fpsDirs")
+    assert(!fpsDirs.exists(_.startsWith(".tmp_")),
+      s"temp compaction dir leaked: $fpsDirs")
+    val rollup = StreamQueries.admissionStagesRollup(spark, out)
+    val batch = graft.pipeline.PipelineQueries.p06(TestSpark.tables)
+    assert(rollup.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(rollup), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"compacted-index admission must equal batch p06:\n  stream: $s\n  batch : $b")
+  }
+
   test("st17 mid-batch crash/restart: recovery re-executes the " +
     "uncommitted batch under the same id (own-batch fp exclusion keeps " +
     "the retry idempotent) and the rollup still equals batch p06") {
