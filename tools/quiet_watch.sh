@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # Storm-dodging launcher for the quiet bench protocol (round 13): poll
 # /proc/stat and launch tools/quiet_bench.sh only when two consecutive
-# 30 s windows read < 0.4% hypervisor steal AND < 8% non-idle CPU.
+# 30 s windows read < 0.4% hypervisor steal AND < 3% non-idle CPU.
 # The second gate matters: a concurrent local job (sbt, python oracle)
 # shows up as user/sys, not steal, so a steal-only gate would let the
 # watcher fire mid-compile and contaminate the session invisibly to
@@ -12,7 +12,8 @@
 #
 # Usage: nohup tools/quiet_watch.sh BENCH_NAME VMSTAT_NAME &
 #   launches tools/quiet_bench.sh plans/BENCH_NAME.json
-#   plans/VMSTAT_NAME.log 3 when the window opens (gives up after
+#   plans/VMSTAT_NAME.log 3 when the window opens (tightened from 8% after a local[4] test JVM averaged
+#   under 8% across a 30 s window and let a launch race it; gives up after
 #   ~200 min of no calm window).
 cd /root/repo
 consec=0
@@ -26,7 +27,7 @@ f=[int(x) for x in open('/proc/stat').readline().split()[1:]]
 print(f[7], f[0]+f[1]+f[2]+f[4]+f[5]+f[6], sum(f[:8]))")
   ok=$(python3 -c "
 st=100*($s1-$s0)/($t1-$t0); busy=100*($b1-$b0)/($t1-$t0)
-print(f'steal={st:.2f} busy={busy:.2f}', 1 if (st<0.4 and busy<8) else 0)")
+print(f'steal={st:.2f} busy={busy:.2f}', 1 if (st<0.4 and busy<3) else 0)")
   echo "window $i: $ok consec=$consec"
   if [ "${ok##* }" = "1" ]; then consec=$((consec+1)); else consec=0; fi
   if [ "$consec" -ge 2 ]; then
