@@ -41,4 +41,7 @@ python3 tools/codebook_oracle.py "$SF_DIR" "$OUT_DIR"
 echo "== gate 6/6: sketch accuracy-contract bounds (q34/q42/q91 vs DuckDB exact)"
 python3 tools/sketch_bounds_oracle.py "$SF_DIR" "$OUT_DIR"
 
+echo "== gate 7: dedup large-SF oracle tooling selftest (factorized guard + brute cross-check)"
+python3 tools/dedup_oracle_tt.py --selftest
+
 echo "check_all: ALL GATES GREEN ($SF_DIR)"
