@@ -55,6 +55,45 @@ object Bench {
       Some(new java.io.File(plansDir, s"bench_$epochSec.json").toPath)
     else None
 
+  /** Memory-bandwidth canary (round 13): hypervisor steal only measures
+    * CPU-scheduling theft — co-tenant MEMORY-BANDWIDTH/LLC pressure is
+    * invisible to it, yet it inflated st16 to 2.5× at sub-1% measured
+    * steal (r13 session F; same mechanism as r12's 6–7 s st16 storm
+    * readings). This kernel does a fixed amount of bandwidth-bound work
+    * (two cacheline-strided passes over a 64 MB resident array) and
+    * returns its wall milliseconds: constant work, so the reading IS
+    * the machine's effective memory speed at that instant. Sampled
+    * before every run (outside the query's timed window) it gives the
+    * timeline a contention column no CPU counter can fake. */
+  private lazy val canaryArr: Array[Long] =
+    Array.tabulate(8 * 1024 * 1024)(_.toLong) // 64 MB
+  @volatile private var canarySink = 0L
+  private[graft] def canaryMs(): Double = {
+    val a = canaryArr
+    val t0 = System.nanoTime()
+    var pass = 0
+    var s = 0L
+    while (pass < 2) {
+      var i = 0
+      while (i < a.length) { s += a(i); i += 8 } // one touch per cacheline
+      pass += 1
+    }
+    canarySink = s
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** The canary fragment for the summary line: min is the session's
+    * uncontended machine speed, max/median show how far and how often
+    * contention moved it. Empty when no readings exist. */
+  private[graft] def canarySummary(ms: Seq[Double]): String =
+    if (ms.isEmpty) ""
+    else {
+      def r1(d: Double) = math.rint(d * 10) / 10
+      val sorted = ms.sorted
+      s""","canary_min":${r1(sorted.head)},"canary_med":${
+        r1(sorted(sorted.size / 2))},"canary_max":${r1(sorted.last)}"""
+    }
+
   /** The summary line's self-attribution fragment (round-12 verdict
     * task 2a): mean/max per-run steal and the count of hot runs
     * (per-run steal ≥ 5%, drift_join.py's proc threshold). Empty when
@@ -93,9 +132,11 @@ object Bench {
     graft.multimodal.BinaryPipeline.assertGradedCorpusOrAudit("bench")
     val nMedia = graft.multimodal.BinaryPipeline.NMedia
 
-    // warm-up: codegen + shuffle + parquet reader paths
+    // warm-up: codegen + shuffle + parquet reader paths, plus the
+    // bandwidth canary (array allocation + JIT of its loop)
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    canaryMs(); canaryMs()
 
     // min of 3 runs per query: the host VM shows multi-second noise spikes;
     // min approximates steady-state cost.
@@ -127,8 +168,13 @@ object Bench {
     // the run's own window; '-' where /proc/stat is unreadable).
     // drift_join.py treats the columns as optional so archived 5/6-col
     // timelines stay joinable.
+    // canary_ms (round 13): the pre-run bandwidth-canary wall time —
+    // constant memory-bound work, so the column reads the machine's
+    // effective memory speed just before the run; co-tenant bandwidth
+    // pressure that steal cannot see shows up here. Appended LAST so
+    // drift_join.py's positional parse of older columns is untouched.
     timeline.foreach(_.println(
-      "query\trun\tstart_epoch\tend_epoch\tsec\tok\tsteal_ticks\tsteal_pct"))
+      "query\trun\tstart_epoch\tend_epoch\tsec\tok\tsteal_ticks\tsteal_pct\tcanary_ms"))
     // try/finally (ADVICE r10): a fatal abort mid-suite must still close
     // the writer, and a swallowed I/O error (PrintWriter never throws)
     // must be surfaced — a silently truncated timeline would be joined
@@ -139,9 +185,12 @@ object Bench {
     // regressions until someone re-derives the attribution by hand
     // (round-12 grading did exactly that). ~2 /proc/stat reads per run.
     val stealPcts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results =
       try selected.map { case (name, fn) =>
         val times = (1 to runs).flatMap { r =>
+          val can = canaryMs()
+          canaries += can
           val j0 = cpuJiffies()
           val w0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
@@ -159,7 +208,7 @@ object Bench {
             val (stT, stP) = steal
               .map { case (t, p) => (t.toString, f"$p%.2f") }
               .getOrElse(("-", "-"))
-            tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f\t$ok\t$stT\t$stP")
+            tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f\t$ok\t$stT\t$stP\t$can%.2f")
             tl.flush()
           }
           if (ok) Some(sec) else None
@@ -245,7 +294,8 @@ object Bench {
       // exposure rides the summary line (~55 chars, fits the driver's
       // 2000-char tail); a storm-day artifact now carries its own
       // evidence instead of reading as N query regressions.
-      val steal = stealSummary(stealPcts.toSeq)
+      val steal = stealSummary(stealPcts.toSeq) +
+        canarySummary(canaries.toSeq)
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size
         },"failed":$failed,"protocol":"$proto"$media$steal,"sf":"${
         sfDir.split('/').last}"$gated}"""

@@ -58,4 +58,14 @@ class BenchSinkSpec extends AnyFunSuite {
     // exactly-5% counts as hot (matches drift_join.py's >= threshold)
     assert(Bench.stealSummary(Seq(5.0, 4.99)).endsWith(""""hot_runs":1"""))
   }
+
+  test("bandwidth-canary fragment (r13): min/median/max keys, and the " +
+    "kernel itself does constant work in bounded time") {
+    assert(Bench.canarySummary(Nil) == "")
+    assert(Bench.canarySummary(Seq(12.34, 8.15, 40.0)) ==
+      ""","canary_min":8.2,"canary_med":12.3,"canary_max":40.0""")
+    val ms = (1 to 3).map(_ => Bench.canaryMs())
+    assert(ms.forall(m => m > 0 && m < 2000),
+      s"canary kernel out of its sane band: $ms")
+  }
 }
