@@ -78,11 +78,14 @@ if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then merge BENCH_SUMMARY.json; fi
 # session's own record survives in OUT_JSON, BENCH_LAST.json, and the
 # timestamped plans/bench_<epoch>.json either way.
 if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then
+  # null stats (zero runs joined) mean the session is UNATTRIBUTABLE —
+  # fail closed and demote rather than crash on None > 0.5 (ADVICE r13)
   bad=$(python3 -c "
 import json, sys
 s = json.loads(sys.argv[1])
-print(1 if (s.get('steal_mean', 0) > 0.5 or s.get('hot_runs', 0) > 15)
-      else 0)" "$steal")
+sm, hr = s.get('steal_mean'), s.get('hot_runs')
+print(1 if (sm is None or hr is None or sm > 0.5 or hr > 15) else 0)" \
+    "$steal")
   if [ "$bad" = "1" ]; then
     echo "== session contaminated (steal above the freeze bar) —" \
          "restoring BENCH_SUMMARY.json from git; this session is" \

@@ -12,9 +12,10 @@
 #
 # Usage: nohup tools/quiet_watch.sh BENCH_NAME VMSTAT_NAME &
 #   launches tools/quiet_bench.sh plans/BENCH_NAME.json
-#   plans/VMSTAT_NAME.log 3 when the window opens (tightened from 8% after a local[4] test JVM averaged
-#   under 8% across a 30 s window and let a launch race it; gives up after
-#   ~200 min of no calm window).
+#   plans/VMSTAT_NAME.log 3 when the window opens; gives up after
+#   ~200 min of no calm window.
+# The busy gate was tightened from 8% to 3% after a local[4] test JVM
+# averaged under 8% across a 30 s window and let a launch race it.
 cd /root/repo
 consec=0
 for i in $(seq 1 400); do
