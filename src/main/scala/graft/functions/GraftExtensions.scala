@@ -81,6 +81,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => NgramHashes(
         args.head,
         if (args.length > 1) intArg(args(1), "n") else 3)),
+    ("ngram_strs",
+      info("ngram_strs", "ngram_strs(toks[, n]) - distinct sorted n-gram strings"),
+      (args: Seq[Expression]) => NgramStrs(
+        args.head,
+        if (args.length > 1) intArg(args(1), "n") else 3)),
     ("dot_d",
       info("dot_d", "dot_d(a, b) - dot product of two double arrays"),
       (args: Seq[Expression]) => DotDouble(args(0), args(1))),

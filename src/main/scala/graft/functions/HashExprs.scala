@@ -203,6 +203,38 @@ object HashImpls {
     java.util.Arrays.copyOf(hs, w)
   }
 
+  /** Distinct, sorted space-joined word n-gram STRINGS — the
+    * collision-free twin of [[ngramHashes]] (same gram set: space
+    * separator, whole-token-list fallback for docs shorter than n).
+    * Used where a join on grams DECIDES a drop (decontamination): a
+    * 64-bit hash collision there falsely drops a document, so the key
+    * must be the gram itself — and it makes the DuckDB oracle twin an
+    * exact-identity comparison instead of a collision-odds argument. */
+  def ngramStrs(toks: ArrayData, n: Int): Array[UTF8String] = {
+    val m = toks.numElements()
+    val nGrams = if (m >= n) m - n + 1 else 1
+    val sp = UTF8String.fromString(" ")
+    val gs = new Array[UTF8String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val lim = if (m >= n) n else m
+      val parts = new Array[UTF8String](lim)
+      var g = 0
+      while (g < lim) { parts(g) = toks.getUTF8String(i + g); g += 1 }
+      gs(i) = UTF8String.concatWs(sp, parts: _*)
+      i += 1
+    }
+    java.util.Arrays.sort(gs.asInstanceOf[Array[AnyRef]])
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < gs.length) {
+      if (i == 0 || gs(i) != gs(i - 1)) { gs(w) = gs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(gs, w)
+  }
+
   /** Hyperplane weight w(seed, plane, dim) ∈ [-1, 1): the ONE definition
     * [[rhBucket]] runs per element and [[RhPlanes]] serializes into the
     * DuckDB oracles' VALUES tables — a divergent copy would silently
@@ -771,6 +803,24 @@ case class NgramHashes(child: Expression, n: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** ngram_strs(toks, n) → array<string>: the distinct sorted n-gram
+  * STRINGS themselves — collision-free where the gram is a drop
+  * decision, not just a set-size stand-in (see HashImpls.ngramStrs). */
+case class NgramStrs(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashImpls.ngramStrs(v.asInstanceOf[ArrayData], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashImpls.ngramStrs($c, $n))")
+  override protected def withNewChildInternal(c: Expression): NgramStrs =
+    copy(child = c)
+  override def prettyName: String = "ngram_strs"
+}
+
 /** winnow_fps(text, hashWin, winnowWin) → array<long>: distinct sorted
   * winnowing fingerprints in one pass (monotonic deque). */
 case class WinnowFps(child: Expression, hashWin: Int, winnowWin: Int)
@@ -914,6 +964,8 @@ object exprs {
     column(SigMatches(expression(a), expression(b)))
   def ngram_hashes(toks: Column, n: Int = 3): Column =
     column(NgramHashes(expression(toks), n))
+  def ngram_strs(toks: Column, n: Int = 3): Column =
+    column(NgramStrs(expression(toks), n))
   def rh_bucket(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
     column(RhBucket(expression(vec.cast(ArrayType(DoubleType))), planes, seed))
   def jaccard_est(a: Column, b: Column): Column =

@@ -185,7 +185,7 @@ object PipelineQueries {
     * fail, never a dropped row — then one rollup to 20 source rows. */
   def p04(t: Tables): DataFrame = {
     import TrainingDataPipeline._
-    import graft.functions.exprs.{canon_fp, ngram_hashes, quality_scan}
+    import graft.functions.exprs.{canon_fp, ngram_strs, quality_scan}
     val input = t.documents
     val corpus = scrub(input.filter(col("doc_id") % 50 =!= 0))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -205,9 +205,11 @@ object PipelineQueries {
       .filter(col("sum_logp_q4") >=
         lit(graft.text.TextOps.LmKeepThresholdQ4) * col("n_bigrams"))
       .select(col("doc_id"), lit(true).as("l_ok"))
+    // gram STRINGS, not hashes: this join decides the c_ok drop flag,
+    // so the key must be collision-free (round-13 verdict task 5)
     def grams(df: DataFrame) = df
       .withColumn("toks", expr(graft.functions.exprs.wsTokensSql))
-      .select(col("doc_id"), explode(ngram_hashes(col("toks"), 8)).as("g"))
+      .select(col("doc_id"), explode(ngram_strs(col("toks"), 8)).as("g"))
     val contaminated = grams(corpus)
       .join(broadcast(grams(bench).select("g").distinct()), Seq("g"))
       .select(col("doc_id")).distinct()
@@ -640,16 +642,10 @@ object PipelineQueries {
          |FROM j, tot ORDER BY source""".stripMargin,
     // the admission chain composed from already-oracled stage twins:
     // d11's md5 split + canonical fp, p01's quality rule and in-batch
-    // min-doc_id dedup, t10/p01's 8-gram decontamination — each CTE on
-    // the previous stage's survivors, batch-side only.
-    // Known representational divergence (inherited from the t10/p01
-    // twins): the Spark decontaminate stage joins 64-bit FNV n-gram
-    // HASHES while this twin joins the literal gram STRINGS — a 64-bit
-    // collision between a batch gram and a bench gram would drop a doc
-    // Spark-side that the oracle keeps (conservative direction: false
-    // drop, never false admit). Expected collisions ~n_b*n_c/2^64 —
-    // negligible at any realistic gram count; documented rather than
-    // papered over, as d02/d04 document their banding caveats.
+    // min-doc_id dedup, p01's 8-gram decontamination — each CTE on
+    // the previous stage's survivors, batch-side only. The decontam
+    // stage joins the literal gram STRINGS on both engines (ngram_strs;
+    // round-13 verdict task 5), so the comparison is exact identity.
     "p06_incremental_curation" ->
       raw"""WITH corpus AS (
          |  SELECT doc_id, source, text FROM documents

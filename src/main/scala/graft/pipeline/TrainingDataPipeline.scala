@@ -161,15 +161,25 @@ object TrainingDataPipeline {
 
   /** Benchmark decontamination (the t10 operator as a pipeline stage):
     * drop every corpus document sharing more than `maxShared` distinct
-    * word n-grams with the benchmark/eval set. The benchmark gram hashes
+    * word n-grams with the benchmark/eval set. The benchmark grams
     * broadcast (eval sets are tiny vs the corpus), corpus grams stream
-    * through the join map-side, and the anti-join removes the hits. */
+    * through the join map-side, and the anti-join removes the hits.
+    *
+    * The join key is the gram STRING (ngram_strs), not a 64-bit hash:
+    * this join DECIDES drops, and a hash collision between a corpus
+    * gram and a bench gram would silently drop an innocent document —
+    * with string keys the decision is exact and the DuckDB oracle twin
+    * is an identity comparison, not a collision-odds argument (round-13
+    * verdict task 5). Cost delta vs hashes: the broadcast set and the
+    * map-side probe carry ~n-word strings instead of longs — still
+    * O(eval set) to ship and the corpus side never shuffles its grams;
+    * only per-doc hit counts (rows ∝ matches) reach the aggregation. */
   def decontaminate(docs: DataFrame, bench: DataFrame,
                     n: Int = 8, maxShared: Long = 0): DataFrame = {
-    import graft.functions.exprs.ngram_hashes
+    import graft.functions.exprs.ngram_strs
     def grams(df: DataFrame) = df
       .withColumn("toks", expr(exprs.wsTokensSql))
-      .select(col("doc_id"), explode(ngram_hashes(col("toks"), n)).as("g"))
+      .select(col("doc_id"), explode(ngram_strs(col("toks"), n)).as("g"))
     val bGrams = grams(bench).select("g").distinct()
     val contaminated = grams(docs)
       .join(broadcast(bGrams), Seq("g"))

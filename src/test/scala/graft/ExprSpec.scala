@@ -232,6 +232,35 @@ class ExprSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_strs is the exact string twin of ngram_hashes on adversarial " +
+    "inputs: same distinct count, grams are the space-joined windows, " +
+    "short docs fall back to the whole token list") {
+    val df = tokenizerFixtures.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+    val rows = df
+      .withColumn("toks", expr(exprs.wsTokensSql))
+      .select($"text",
+        size(exprs.ngram_strs($"toks", 3)).cast("long").as("s_dist"),
+        size(exprs.ngram_hashes($"toks", 3)).cast("long").as("h_dist"),
+        exprs.ngram_strs($"toks", 3).as("grams"),
+        $"toks")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"distinct-count mismatch vs ngram_hashes on: '${r.getString(0)}'")
+      val toks = r.getSeq[String](4)
+      val expected =
+        (if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+         else Seq(toks.mkString(" "))).distinct.sorted
+      assert(r.getSeq[String](3) == expected,
+        s"gram set mismatch on: '${r.getString(0)}'")
+    }
+    // SQL registration parity (the extension-registered spelling)
+    val viaSql = spark.sql(
+      "SELECT ngram_strs(array('a','b','c','b','c'), 2) AS g").head()
+    assert(viaSql.getSeq[String](0) == Seq("a b", "b c", "c b"))
+  }
+
   test("chunk_scan equals the transform/slice/concat_ws/md5 spelling on adversarial inputs") {
     val C = 5 // small chunk size exercises multi-chunk splits on fixtures
     val df = tokenizerFixtures.zipWithIndex
