@@ -46,14 +46,20 @@ object Bench {
   /** Where a run's durable per-query record lands (round-12 verdict
     * task 2b), or None when it must not write one: targeted runs would
     * litter the archival plans/ dir, and a missing plans/ means the
-    * bench is running outside a repo checkout. Pure so BenchSinkSpec
-    * can gate the routing like summarySinks. */
+    * bench is running outside a repo checkout. BenchSinkSpec gates the
+    * routing like summarySinks. Same-second collisions (scripted
+    * back-to-back full-suite runs) bump to `bench_<sec>_<k>.json`
+    * instead of silently overwriting the earlier record — the dir is
+    * archival, so clobbering defeats its purpose (ADVICE r13). */
   private[graft] def durableDumpPath(targeted: Boolean,
                                      plansDir: java.io.File,
                                      epochSec: Long): Option[java.nio.file.Path] =
-    if (!targeted && plansDir.isDirectory)
-      Some(new java.io.File(plansDir, s"bench_$epochSec.json").toPath)
-    else None
+    if (!targeted && plansDir.isDirectory) {
+      val candidates = Iterator(s"bench_$epochSec.json") ++
+        Iterator.from(1).map(k => s"bench_${epochSec}_$k.json")
+      candidates.map(new java.io.File(plansDir, _))
+        .find(!_.exists()).map(_.toPath)
+    } else None
 
   /** Memory-bandwidth canary (round 13): hypervisor steal only measures
     * CPU-scheduling theft — co-tenant MEMORY-BANDWIDTH/LLC pressure is
@@ -92,6 +98,35 @@ object Bench {
       val sorted = ms.sorted
       s""","canary_min":${r1(sorted.head)},"canary_med":${
         r1(sorted(sorted.size / 2))},"canary_max":${r1(sorted.last)}"""
+    }
+
+  /** One pre-adjudicated over-2x flag (round-13 verdict task 2): the
+    * entry carries the query's own worst-run steal-pct and canary-ms so
+    * a storm-day flag arrives attributed — "3.1x at 18% steal while the
+    * canary read 2x its baseline" is host contention on its face, where
+    * a bare name forced the grader to cross-reference quiet sessions by
+    * hand (r13 did exactly that for st15/st16). steal/canary are
+    * omitted where no reading exists (unreadable /proc/stat). */
+  private[graft] def overFlagJson(q: String, ratio: Double,
+      worstSteal: Option[Double], worstCanary: Option[Double]): String = {
+    def r1(d: Double) = math.rint(d * 10) / 10
+    def r2(d: Double) = math.rint(d * 100) / 100
+    s"""{"q":"$q","ratio":${math.rint(ratio * 1000) / 1000}""" +
+      worstSteal.fold("")(s => s""","steal":${r2(s)}""") +
+      worstCanary.fold("")(c => s""","canary":${r1(c)}""") + "}"
+  }
+
+  /** st15's phase split for the summary tail + durable dump (round-13
+    * verdict task 3): pre-crash vs recovery seconds of the run that
+    * produced the graded (min) time. The split is what adjudicates an
+    * st15 spike — recovery growing with history would be a state-replay
+    * defect; a fat pre-crash leg with flat recovery is micro-batch
+    * orchestration cost (the documented bimodal mode). Empty when st15
+    * was not in the suite (targeted runs) or every run failed. */
+  private[graft] def st15PhaseSummary(phases: Option[(Double, Double)]): String =
+    phases.fold("") { case (pre, rec) =>
+      def r2(d: Double) = math.rint(d * 100) / 100
+      s""","st15_phases":{"pre_crash":${r2(pre)},"recovery":${r2(rec)}}"""
     }
 
   /** The summary line's self-attribution fragment (round-12 verdict
@@ -186,9 +221,16 @@ object Bench {
     // (round-12 grading did exactly that). ~2 /proc/stat reads per run.
     val stealPcts = scala.collection.mutable.ArrayBuffer.empty[Double]
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results =
+    // Per-query attribution for the over_2x flags (round-13 verdict
+    // task 2): the WORST run's steal/canary over the query's own window
+    // — if even one of the min-of-N runs was contaminated, the flag says
+    // so itself. Plus st15's phase split from the run that won the min.
+    case class QueryStats(min: Double, worstSteal: Option[Double],
+                          worstCanary: Option[Double],
+                          st15Phases: Option[(Double, Double)])
+    val detailed =
       try selected.map { case (name, fn) =>
-        val times = (1 to runs).flatMap { r =>
+        val runsData = (1 to runs).flatMap { r =>
           val can = canaryMs()
           canaries += can
           val j0 = cpuJiffies()
@@ -211,12 +253,24 @@ object Bench {
             tl.println(f"$name\t$r\t${w0 / 1000.0}%.1f\t${(w0 + (sec * 1000).toLong) / 1000.0}%.1f\t$sec%.3f\t$ok\t$stT\t$stP\t$can%.2f")
             tl.flush()
           }
-          if (ok) Some(sec) else None
+          val phases = if (name == "st15_checkpoint_recovery" && ok)
+            graft.streaming.StreamQueries.lastSt15Phases else None
+          if (ok) Some((sec, steal.map(_._2), can, phases)) else None
         }
         // min over SUCCESSFUL runs; -1 only if every run failed (a -1
         // sentinel inside min would let one transient failure mask two
         // good runs and corrupt the total)
-        name -> (if (times.nonEmpty) times.min else -1.0)
+        val stats =
+          if (runsData.isEmpty) QueryStats(-1.0, None, None, None)
+          else {
+            val best = runsData.minBy(_._1)
+            QueryStats(best._1,
+              { val ss = runsData.flatMap(_._2)
+                if (ss.isEmpty) None else Some(ss.max) },
+              Some(runsData.map(_._3).max),
+              best._4)
+          }
+        name -> stats
       }
       finally timeline.foreach { tl =>
         tl.close()
@@ -225,6 +279,9 @@ object Bench {
             "the TSV is truncated or missing rows; drift attribution over " +
             "this run is unreliable")
       }
+    val results = detailed.map { case (n, s) => n -> s.min }
+    val worst = detailed.map { case (n, s) =>
+      n -> (s.worstSteal, s.worstCanary) }.toMap
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -278,10 +335,15 @@ object Bench {
         val ratios = results.collect {
           case (n, t) if t >= 0 && base.contains(n) => (n, t / base(n), t - base(n))
         }
-        val over = ratios.collect { case (n, r, d) if r > 2 && d > 0.3 => n }
+        val over = ratios.collect { case (n, r, d) if r > 2 && d > 0.3 => (n, r) }
         val maxR = if (ratios.nonEmpty) ratios.maxBy(_._2) else ("", 0.0, 0.0)
+        // over_2x entries are pre-adjudicated objects (round-13 verdict
+        // task 2): each flag carries its own worst-run steal/canary
         s""","baselined":${ratios.size},"over_2x":${
-          over.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+          over.take(8).map { case (n, r) =>
+            val (ws, wc) = worst.getOrElse(n, (None, None))
+            overFlagJson(n, r, ws, wc)
+          }.mkString("[", ",", "]")
         },"n_over":${over.size},"max_ratio":${r3(maxR._2)},"max_q":"${maxR._1}""""
       } else ""
       val failed = results.count(_._2 < 0)
@@ -296,8 +358,13 @@ object Bench {
       // evidence instead of reading as N query regressions.
       val steal = stealSummary(stealPcts.toSeq) +
         canarySummary(canaries.toSeq)
+      // st15's phase split rides the tail (round-13 verdict task 3):
+      // the durable dump inherits it via `merged` below
+      val phases = st15PhaseSummary(detailed.collectFirst {
+        case (n, s) if n == "st15_checkpoint_recovery" => s.st15Phases
+      }.flatten)
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size
-        },"failed":$failed,"protocol":"$proto"$media$steal,"sf":"${
+        },"failed":$failed,"protocol":"$proto"$media$steal$phases,"sf":"${
         sfDir.split('/').last}"$gated}"""
     }
     println(summary)

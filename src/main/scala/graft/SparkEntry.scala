@@ -142,6 +142,10 @@ object SparkEntry {
         // pair relation batch d02 computes, so it shares d02's md5-MinHash
         // oracle verbatim (round-7: the md5 rebase made both oracle-able)
         "st14_stream_neardup" -> Dedup.oracles("d02_dedup_minhash"),
+        // the streamed CDC apply must land on the SAME merged table as
+        // the one-shot batch MERGE (chunked apply commutes because
+        // changeset keys are unique), so it shares q82's oracle verbatim
+        "st18_stream_upsert" -> Analytics.oracles("q82_merge_upsert"),
         // the micro-batched admission stream must reproduce p06's batch
         // admission decision exactly (first-arrival-wins over the
         // doc_id-range replay ≡ min-doc_id survivorship), so it shares

@@ -269,7 +269,13 @@ object Analytics {
     * pruning of untouched partitions, which is a storage-layout
     * concern — the join itself IS the merge kernel those formats
     * execute. The max-key scalar rides a broadcast, not a collect. */
-  def q82(t: Tables): DataFrame = {
+  /** q82's deterministic CDC changeset (k, new_bal, op, new_seg) — ONE
+    * definition, shared with st18's streaming apply so the batch MERGE
+    * and its streaming twin cannot drift. Each key appears at most once
+    * (updates exclude the %11 delete keys; inserts sit above max key),
+    * which is what makes a CHUNKED apply commute with the all-at-once
+    * batch MERGE — the property st18's oracle equality rests on. */
+  private[graft] def mergeChangeset(t: Tables): DataFrame = {
     val c = t.customer
     val mx = c.agg(max(col("c_custkey")).as("mxk"))
     val updates = c
@@ -283,17 +289,36 @@ object Analytics {
       .crossJoin(broadcast(mx))
       .select((col("mxk") + col("i")).as("k"), lit(500.0).as("new_bal"),
         lit("insert").as("op"), lit("NEW").as("new_seg"))
-    val changes = updates.unionByName(deletes).unionByName(inserts)
-    c.join(changes, col("c_custkey") === col("k"), "full_outer")
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+
+  /** The MERGE kernel itself: one full-outer join of target and changes
+    * on the key, row fate decided by CASE — returns the post-merge
+    * target (c_custkey, c_acctbal, c_mktsegment). Shared by q82 and
+    * st18's per-micro-batch snapshot apply. */
+  private[graft] def mergeApply(target: DataFrame, changes: DataFrame): DataFrame =
+    target.join(changes, col("c_custkey") === col("k"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "delete")
       .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
         when(col("op").isin("update", "insert"), col("new_bal"))
-          .otherwise(col("c_acctbal")).as("bal"),
-        coalesce(col("c_mktsegment"), col("new_seg")).as("seg"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        coalesce(col("c_mktsegment"), col("new_seg")).as("c_mktsegment"))
+
+  /** q82's grading rollup over a post-merge target — shared with st18 so
+    * both grade the merged table identically. */
+  private[graft] def mergeRollup(merged: DataFrame): DataFrame =
+    merged
+      .select(col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
       .groupBy("seg")
       .agg(count(lit(1)).as("n_cust"),
         sum(expr("cast(round(bal * 100) as bigint)")).as("sum_bal_cents"))
       .orderBy("seg")
+
+  def q82(t: Tables): DataFrame = {
+    val c = t.customer
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    mergeRollup(mergeApply(c, mergeChangeset(t)))
   }
 
   /** q83 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the join

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.storage.StorageLevel
 
-/** Driver-graded Structured Streaming queries (SURVEY §2 st01–st15).
+/** Driver-graded Structured Streaming queries (SURVEY §2 st01–st18).
   *
   * Every entry runs the FULL streaming engine path — FileStreamSource →
   * `Trigger.AvailableNow` micro-batches → state store → sink — and hands
@@ -862,6 +862,13 @@ object StreamQueries {
     * crash-free pass. Scale: recovery cost is O(one micro-batch +
     * state-store load), independent of history length — exactly why
     * checkpointed streaming restarts beat batch backfills at 100 TB. */
+  /** Phase split ((pre-crash sec, recovery sec)) of the most recent
+    * [[st15]] run in this JVM — surfaced so Bench can carry the split in
+    * the durable dump + summary tail (round-13 verdict task 3): an st15
+    * spike is then attributable to orchestration vs state-replay in one
+    * read of the bench artifact, without scraping stderr. */
+  @volatile private[graft] var lastSt15Phases: Option[(Double, Double)] = None
+
   def st15(spark: SparkSession, dir: String): DataFrame = {
     val ckpt = graft.TempDirs.create("graft_st15_ckpt")
     val outDir = graft.TempDirs.create("graft_st15_out")
@@ -932,6 +939,7 @@ object StreamQueries {
             "the recovery path was never exercised, refusing to grade")
       awaitBounded(start(), "recovery run") // must drain cleanly
       val t2 = System.nanoTime()
+      lastSt15Phases = Some(((t1 - t0) / 1e9, (t2 - t1) / 1e9))
       System.err.println(
         f"[st15] pre-crash run ${(t1 - t0) / 1e9}%.2fs, " +
           f"recovery run ${(t2 - t1) / 1e9}%.2fs")
@@ -941,6 +949,123 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
   }
+
+  /** Replay dir for q82's CDC changeset: 4 one-file chunks split by
+    * k % 4 with ascending mtimes, so maxFilesPerTrigger=1 replays them
+    * as 4 micro-batches. Changeset keys are UNIQUE (mergeChangeset's
+    * documented property), so any deterministic split leaves the
+    * chunked apply equal to the all-at-once MERGE — the split here is
+    * by key residue, which also scatters updates/deletes/inserts across
+    * every batch instead of grouping by op. Cached per (app, corpus
+    * fingerprint) like the other replays. */
+  private[graft] def mergeReplayDir(spark: SparkSession, dir: String): String =
+    replayCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$dir:merge_changes",
+      graft.Tables.fingerprint(s"$dir/customer.parquet")) {
+      val changes = graft.operators.Analytics
+        .mergeChangeset(graft.Tables(spark, dir))
+      val out = graft.TempDirs.create("graft_replay_changes")
+      val base = System.currentTimeMillis() - 3600L * 1000
+      (0 until 4).foreach { i =>
+        val tmp = graft.TempDirs.create(s"graft_replay_chg_chunk_$i")
+        changes.filter(col("k") % 4 === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"changeset replay chunk $i: no parquet part"))
+        val dst = new java.io.File(out, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(base + i * 60000L)
+      }
+      out
+    }
+
+  /** One micro-batched CDC-apply session over `changesDir`: each
+    * arriving changeset batch is MERGEd (Analytics.mergeApply — q82's
+    * exact kernel) into the standing snapshot, writing version
+    * `v{batchId+1}` from `v{batchId}` (v0 is the seeded base table).
+    * Reading the EXPLICIT prior version — never "latest" — is what
+    * makes the foreachBatch retry contract hold: a batch re-run under
+    * the same id recomputes its own output version from the same input
+    * version, byte-identically, even though a prior attempt already
+    * wrote it (the st15/st17 idempotent-sink treatment applied to
+    * TABLE state instead of append-only output). `checkpoint` /
+    * `crashMarker` arm the st15 crash leg: one injected failure after
+    * batch 1's snapshot write, before the engine commit. */
+  private[graft] def upsertSession(
+      spark: SparkSession,
+      changesDir: String,
+      snapRoot: String,
+      checkpoint: Option[String] = None,
+      crashMarker: Option[java.io.File] = None): Unit = {
+    val schema = spark.read.parquet(changesDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(changesDir)
+    val writer0 = stream.writeStream.outputMode("append")
+    val writer = checkpoint.fold(writer0)(c =>
+      writer0.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val prev = sp.read.parquet(s"$snapRoot/v$batchId")
+        graft.operators.Analytics.mergeApply(prev, batch)
+          .write.mode("overwrite").parquet(s"$snapRoot/v${batchId + 1}")
+        // crash AFTER the snapshot write, BEFORE the engine's commit —
+        // the marker (atomic create) confines the crash to one attempt
+        crashMarker.foreach { m =>
+          if (batchId == 1 && m.createNewFile())
+            throw new IllegalStateException(
+              "st18: injected crash between snapshot write and batch commit")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // bounded await (the st15 discipline)
+    if (!q.awaitTermination(10 * 60 * 1000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        "st18: upsert session did not terminate within 600s")
+    }
+  }
+
+  /** st18 — q82's MERGE/CDC apply as a STREAMING keyed upsert: the
+    * production CDC compaction loop (round-13 verdict stretch task),
+    * and the one major batch mutation surface that had no streaming
+    * twin. The q82 changeset arrives as 4 micro-batches; each batch is
+    * applied to the standing snapshot table via the SAME full-outer
+    * MERGE kernel batch q82 runs, producing one snapshot version per
+    * batch id ([[upsertSession]]). The graded result is q82's rollup
+    * over the final version, against q82's DuckDB oracle VERBATIM —
+    * chunked apply ≡ one-shot MERGE because changeset keys are unique
+    * (each key's fate is decided exactly once, in exactly one batch).
+    *
+    * Scale shape: per batch, ONE key-shuffle (or broadcast, when the
+    * arriving changeset is small — the common CDC case; AQE decides) of
+    * snapshot × changes, then a snapshot rewrite — O(|snapshot| +
+    * |batch|) per batch, never O(history of changes). At 100 TB the
+    * missing piece vs Delta/Iceberg MERGE is file-level pruning of
+    * untouched partitions (q82's documented storage-layout caveat);
+    * the versioned-dirs-by-batch-id layout here IS their
+    * snapshot/manifest pattern reduced to its engine-visible core. */
+  def st18(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = mergeReplayDir(spark, dir)
+    val snapRoot = graft.TempDirs.create("graft_st18_snap")
+    spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$snapRoot/v0")
+    upsertSession(spark, cdir, snapRoot)
+    graft.operators.Analytics.mergeRollup(
+      spark.read.parquet(s"$snapRoot/v${latestVersion(snapRoot)}"))
+  }
+
+  /** Highest snapshot version index under `snapRoot` (the post-session
+    * read point; versions are contiguous by construction). */
+  private[graft] def latestVersion(snapRoot: String): Int =
+    Option(new java.io.File(snapRoot).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect { case s if s.matches("v\\d+") => s.tail.toInt }
+      .max
 
   /** st11 — the training-mix sampler at INGEST: p03's deterministic
     * rate sampling as a streaming stage. The mixture PLAN (per-source
@@ -1242,9 +1367,17 @@ object StreamQueries {
     * reproduce p06's min-doc_id in-batch survivorship exactly (see
     * [[st17]]'s scaladoc). Cached per (app, table content) like the
     * other replays. */
-  private[graft] def incomingReplayDir(spark: SparkSession, dir: String): String =
+  /** `nChunks` parameterizes the micro-batch count (default 4 — the
+    * graded replay): the long-horizon scale probe (round-13 verdict
+    * task 4) needs enough batches to cross the seen_fps compaction
+    * threshold live, which 4 never does. Chunks stay ascending
+    * doc_id RANGES at any count — the property that makes
+    * first-arrival-wins admission coincide with p06's min-doc_id
+    * survivorship, so the p06 oracle holds for every chunking. */
+  private[graft] def incomingReplayDir(spark: SparkSession, dir: String,
+      nChunks: Int = 4): String =
     replayCache.getOrElseUpdate(
-      s"${spark.sparkContext.applicationId}:$dir:incoming",
+      s"${spark.sparkContext.applicationId}:$dir:incoming:$nChunks",
       graft.Tables.fingerprint(s"$dir/documents.parquet")) {
       import graft.functions.exprs.canon_fp
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -1254,8 +1387,8 @@ object StreamQueries {
       val maxId = incoming.agg(max("doc_id")).head.getLong(0)
       val out = graft.TempDirs.create("graft_replay_incoming")
       val base = System.currentTimeMillis() - 3600L * 1000
-      val bound = maxId / 4 + 1
-      (0 until 4).foreach { i =>
+      val bound = maxId / nChunks + 1
+      (0 until nChunks).foreach { i =>
         val tmp = graft.TempDirs.create(s"graft_replay_inc_chunk_$i")
         incoming.filter(expr(s"doc_id div $bound") === i)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1314,7 +1447,7 @@ object StreamQueries {
   private[graft] val AdmissionStages =
     Seq("incoming", "quality", "novel", "uniq", "admitted")
 
-  private def admissionBatchDirs(out: String, stage: String): Seq[String] = {
+  private[streaming] def admissionBatchDirs(out: String, stage: String): Seq[String] = {
     val d = new java.io.File(s"$out/$stage")
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter { f =>
@@ -1323,6 +1456,13 @@ object StreamQueries {
       .map(_.getPath).toSeq
   }
 
+  /** When the prior seen_fps snapshot count reaches this, they are
+    * coalesced into one `compact_` dir (the d11 rotation pattern
+    * applied to the admission index) — the graded 4-batch st17 replay
+    * never crosses it, so compaction is a long-horizon path, exercised
+    * by its spec leg at a lower threshold. */
+  private[graft] val SeenFpsCompactThreshold = 8
+
   /** One micro-batched admission session over `incomingDir`, stage sinks
     * rooted at `out` — the st17 kernel, factored out so the
     * production-hardening legs (round-12 verdict task 4) can drive it:
@@ -1330,10 +1470,15 @@ object StreamQueries {
     *    stage dirs (`batch_<tag><id>`), so a SECOND day's session can
     *    accumulate onto the state a first day admitted — batch ids
     *    restart at 0 per streaming query, and untagged they'd collide
-    *    with (and idempotently clobber) day 1's sinks. Cross-batch
-    *    dedup lists ALL seen_fps snapshots regardless of tag: day 2
-    *    probes the union of day 1's index and its own priors, which is
-    *    exactly the standing-state semantics daily ingest banks on.
+    *    with (and idempotently clobber) day 1's sinks. A non-empty tag
+    *    must NOT end in a digit (enforced below): `batch_<tag><id>` is
+    *    parsed back by name for the own-batch exclusion and a
+    *    digit-terminated tag makes the concatenation ambiguous (tag ""
+    *    batch 12 vs tag "1" batch 2 both name `batch_12`), silently
+    *    clobbering another session's snapshot. Cross-batch dedup lists
+    *    ALL seen_fps snapshots regardless of tag: day 2 probes the
+    *    union of day 1's index and its own priors, which is exactly the
+    *    standing-state semantics daily ingest banks on.
     *  - `checkpoint`/`crashMarker` give the admission sink the st15
     *    crash treatment: with a durable checkpoint, the marker injects
     *    one crash AFTER the stage sinks of batch 1 are written but
@@ -1345,13 +1490,6 @@ object StreamQueries {
     * Cost per session stays O(arriving batches + admitted), never
     * O(corpus): the standing index and the accumulated seen_fps
     * snapshots are probed via left_anti, not scanned into the batch. */
-  /** When the prior seen_fps snapshot count reaches this, they are
-    * coalesced into one `compact_` dir (the d11 rotation pattern
-    * applied to the admission index) — the graded 4-batch st17 replay
-    * never crosses it, so compaction is a long-horizon path, exercised
-    * by its spec leg at a lower threshold. */
-  private[graft] val SeenFpsCompactThreshold = 8
-
   private[graft] def admissionSession(
       spark: SparkSession,
       incomingDir: String,
@@ -1362,6 +1500,9 @@ object StreamQueries {
       checkpoint: Option[String] = None,
       crashMarker: Option[java.io.File] = None,
       compactThreshold: Int = SeenFpsCompactThreshold): Unit = {
+    require(tag.isEmpty || !tag.last.isDigit,
+      s"admission tag '$tag' must not end in a digit: batch_<tag><id> " +
+        "names would collide across sessions (ADVICE r13)")
     import graft.functions.exprs.canon_fp
     import graft.pipeline.TrainingDataPipeline.{decontaminate, exactDedup, qualityFilter}
     val schema = spark.read.parquet(incomingDir).schema
@@ -1402,6 +1543,11 @@ object StreamQueries {
         // compaction sweeps any leftover sources). The CURRENT batch's
         // own snapshot is never compacted — the retry contract needs it
         // excludable by name.
+        // the dir-count curve, one line per batch: the long-horizon
+        // boundedness receipt reads this directly (round-13 task 4)
+        System.err.println(s"[admission] batch $tag$batchId: " +
+          s"prior seen_fps dirs=${prior0.size}" +
+          (if (prior0.size >= compactThreshold) " -> compacting" else ""))
         val prior =
           if (prior0.size < compactThreshold) prior0
           else {
@@ -1482,6 +1628,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_stream_upsert" -> ((s, dir) => st18(s, dir)),
     "st17_stream_admission" -> ((s, dir) => st17(s, dir)),
     "st16_stream_media_ingest" -> ((s, _) => st16(s)),
     "st13_stream_leaderboard" -> ((s, dir) => st13(s, dir)),

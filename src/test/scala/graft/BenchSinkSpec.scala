@@ -49,6 +49,39 @@ class BenchSinkSpec extends AnyFunSuite {
     } finally plans.delete()
   }
 
+  test("durable dump collision bump (ADVICE r13): a same-second second " +
+    "run gets a suffixed name instead of clobbering the archive") {
+    val plans = java.nio.file.Files.createTempDirectory("graft_plans").toFile
+    try {
+      val first = Bench.durableDumpPath(targeted = false, plans, 42L).get
+      java.nio.file.Files.write(first, "{}".getBytes("UTF-8"))
+      val second = Bench.durableDumpPath(targeted = false, plans, 42L).get
+      assert(second.getFileName.toString == "bench_42_1.json")
+      java.nio.file.Files.write(second, "{}".getBytes("UTF-8"))
+      assert(Bench.durableDumpPath(targeted = false, plans, 42L)
+        .map(_.getFileName.toString).contains("bench_42_2.json"))
+      java.nio.file.Files.delete(first)
+      java.nio.file.Files.delete(second)
+    } finally plans.delete()
+  }
+
+  test("pre-adjudicated over-2x flags (r13 task 2): each entry carries " +
+    "its own worst-run steal/canary; readings absent when unmeasurable") {
+    assert(Bench.overFlagJson("st16", 3.1042, Some(0.416), Some(17.94)) ==
+      """{"q":"st16","ratio":3.104,"steal":0.42,"canary":17.9}""")
+    assert(Bench.overFlagJson("q01", 2.5, None, None) ==
+      """{"q":"q01","ratio":2.5}""")
+    assert(Bench.overFlagJson("q01", 2.5, None, Some(12.0)) ==
+      """{"q":"q01","ratio":2.5,"canary":12.0}""")
+  }
+
+  test("st15 phase split fragment (r13 task 3): pre-crash vs recovery " +
+    "seconds ride the summary tail; absent when st15 did not run") {
+    assert(Bench.st15PhaseSummary(None) == "")
+    assert(Bench.st15PhaseSummary(Some((9.468, 2.153))) ==
+      ""","st15_phases":{"pre_crash":9.47,"recovery":2.15}""")
+  }
+
   test("steal self-attribution fragment (r12 task 2a): keys, rounding, " +
     "the 5% hot threshold, and the no-reading case") {
     assert(Bench.stealSummary(Nil) == "",

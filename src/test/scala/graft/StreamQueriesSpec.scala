@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Relational
+import graft.operators.{Analytics, Relational}
 import graft.streaming.StreamQueries
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -441,5 +441,62 @@ class StreamQueriesSpec extends AnyFunSuite {
         Set("flac", "wav", "adpcm", "bmp", "tga", "png", "ppm"),
         s"chunk ${f.getName} missing containers: got $containers")
     }
+  }
+
+  test("st18 streaming CDC apply equals the one-shot batch MERGE (q82) " +
+    "exactly, across >=4 micro-batched snapshot versions") {
+    val streamed = StreamQueries.st18(spark, TestSpark.sfDir)
+    val batch = Analytics.q82(TestSpark.tables)
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"streamed upsert must equal batch MERGE:\n  stream: $s\n  batch : $b")
+    // the session really was micro-batched: one snapshot version per
+    // changeset chunk on top of the seeded v0
+    val cdir = StreamQueries.mergeReplayDir(spark, TestSpark.sfDir)
+    val nChunks = new java.io.File(cdir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nChunks >= 4, s"expected >=4 changeset chunks, got $nChunks")
+  }
+
+  test("st18 mid-batch crash/restart: the retried batch recomputes its " +
+    "snapshot version from the explicit prior version, byte-identically, " +
+    "and the final rollup still equals batch q82") {
+    import org.apache.spark.sql.functions._
+    val sfDir = TestSpark.sfDir
+    val cdir = StreamQueries.mergeReplayDir(spark, sfDir)
+    val snapRoot = graft.TempDirs.create("graft_st18_crash_snap")
+    val ckpt = graft.TempDirs.create("graft_st18_crash_ckpt")
+    val marker = new java.io.File(snapRoot, "crash_injected.marker")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$snapRoot/v0")
+    val run1Died =
+      try {
+        StreamQueries.upsertSession(spark, cdir, snapRoot,
+          checkpoint = Some(ckpt), crashMarker = Some(marker))
+        false
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if e.getMessage.contains("injected crash") => true
+      }
+    assert(run1Died, "first run finished without hitting the injected " +
+      "crash — the recovery path was never exercised, refusing to grade")
+    // snapshot v2 was already written by the crashed attempt; capture it
+    // so the retry's recompute can be checked for value-identity
+    val v2Before = canon(spark.read.parquet(s"$snapRoot/v2"))
+    StreamQueries.upsertSession(spark, cdir, snapRoot,
+      checkpoint = Some(ckpt))
+    val v2After = canon(spark.read.parquet(s"$snapRoot/v2"))
+    assert(v2Before == v2After,
+      "the retried batch must recompute its own snapshot version " +
+        "identically (explicit-prior-version read = idempotent retry)")
+    val last = StreamQueries.latestVersion(snapRoot)
+    val rollup = graft.operators.Analytics.mergeRollup(
+      spark.read.parquet(s"$snapRoot/v$last"))
+    val batch = Analytics.q82(TestSpark.tables)
+    val (s, b) = (canon(rollup), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"post-recovery merge must equal batch q82:\n  stream: $s\n  batch : $b")
   }
 }
