@@ -27,6 +27,14 @@ import sys
 from datetime import datetime, timezone
 
 HOT_STEAL_PCT = 5  # a run is "hot" if max steal in its window >= this
+# a run is "canary-hot" if its pre-run bandwidth-canary reading is >=
+# this ratio of the SESSION's canary minimum (the uncontended machine
+# speed — Bench's canary doc). 1.5x = the machine's effective memory
+# bandwidth was down >=33% when the run started: the contention class
+# CPU-steal counters cannot see (r13 session F: st16 at 2.53x with
+# 0.96% steal, canary elevated — this classification makes that reading
+# arrive pre-attributed, the r13 carry-forward item 4).
+CANARY_HOT_RATIO = 1.5
 
 
 def parse_vmstat(path, tz="local"):
@@ -56,13 +64,17 @@ def parse_vmstat(path, tz="local"):
 
 
 def parse_timeline(path):
-    """[(query, run, start, end, sec, ok, proc_steal_pct|None)] — ok
-    defaults True for the 5-column pre-round-11 format, and
-    proc_steal_pct is None for pre-round-12 timelines (no per-run
-    /proc/stat column), so archived timelines stay joinable. When
-    present, proc_steal_pct is the run's EXACT steal share over its own
-    window — authoritative where the 2 s vmstat grid can average a
-    sub-window spike down to zero (the round-11 run-B blindness)."""
+    """[(query, run, start, end, sec, ok, proc_steal_pct|None,
+    canary_ms|None)] — ok defaults True for the 5-column pre-round-11
+    format, proc_steal_pct is None for pre-round-12 timelines (no
+    per-run /proc/stat column), and canary_ms is None for pre-round-13
+    ones (no bandwidth-canary column), so archived timelines stay
+    joinable. When present, proc_steal_pct is the run's EXACT steal
+    share over its own window — authoritative where the 2 s vmstat grid
+    can average a sub-window spike down to zero (the round-11 run-B
+    blindness) — and canary_ms is the machine's effective memory speed
+    just before the run (constant bandwidth-bound work; elevated =
+    co-tenant memory pressure no CPU counter sees)."""
     rows = []
     for line in open(path):
         if line.startswith("query\t"):
@@ -77,8 +89,14 @@ def parse_timeline(path):
                 proc_st = float(f[7])
             except ValueError:
                 pass
+        canary = None
+        if len(f) >= 9 and f[8].strip() not in ("", "-"):
+            try:
+                canary = float(f[8])
+            except ValueError:
+                pass
         rows.append((f[0], int(f[1]), float(f[2]), float(f[3]),
-                     float(f[4]), ok, proc_st))
+                     float(f[4]), ok, proc_st, canary))
     return rows
 
 
@@ -111,22 +129,22 @@ def join(vm, runs, frozen):
     and excluded — unless the run carries its OWN /proc/stat steal
     column, which needs no trace to attribute."""
     joined, missed = [], 0
-    for q, r, a, b, sec, ok, proc_st in runs:
+    for q, r, a, b, sec, ok, proc_st, canary in runs:
         # pad half a sample either side: a 2 s cadence can straddle
         window = [v for v in vm if a - 1 <= v[0] <= b + 1]
         if not window:
             # the warning below still fires (iowait/swap attribution IS
-            # missing), but a run carrying its own /proc/stat column is
-            # steal-attributable without any trace — keep it
+            # missing), but a run carrying its own /proc/stat or canary
+            # column is attributable without any trace — keep it
             missed += 1
-            if proc_st is None:
+            if proc_st is None and canary is None:
                 continue
         mx_st = max((v[1] for v in window), default=0)
         mean_st = (sum(v[1] for v in window) / len(window)) if window else 0.0
         mx_wa = max((v[2] for v in window), default=0)
         swap = sum(v[3] for v in window)
         joined.append((q, r, sec, frozen.get(q), mx_st, mean_st, mx_wa,
-                       swap, ok, proc_st))
+                       swap, ok, proc_st, canary))
     if missed:
         print(f"WARNING: {missed}/{len(runs)} timeline runs overlap ZERO "
               "vmstat samples — trace dead, late, or joined with the wrong "
@@ -136,21 +154,38 @@ def join(vm, runs, frozen):
 
 
 def hot(j):
-    """A run is hot if EITHER signal says so: the vmstat window max OR
-    the run's own /proc/stat delta (which catches sub-window spikes the
-    2 s grid averages away — the round-11 run-B class)."""
+    """A run is hot if EITHER steal signal says so: the vmstat window max
+    OR the run's own /proc/stat delta (which catches sub-window spikes
+    the 2 s grid averages away — the round-11 run-B class)."""
     return j[4] >= HOT_STEAL_PCT or \
         (j[9] is not None and j[9] >= HOT_STEAL_PCT)
 
 
+def canary_floor(joined):
+    """The session's uncontended memory speed: the min canary reading
+    (None when the timeline predates the canary column)."""
+    cs = [j[10] for j in joined if j[10] is not None]
+    return min(cs) if cs else None
+
+
+def canary_hot(j, floor):
+    """A run is canary-hot if its pre-run bandwidth reading is >=
+    CANARY_HOT_RATIO x the session's own canary minimum — memory-
+    bandwidth/LLC contention that steal counters cannot see (the r13
+    session-F st16 class)."""
+    return floor is not None and j[10] is not None \
+        and j[10] >= CANARY_HOT_RATIO * floor
+
+
 def stats(joined, missed, n_runs):
-    """Session-level steal exposure for the bench record (verdict item 4)."""
+    """Session-level steal + bandwidth exposure for the bench record."""
     if not joined:
         return {"steal_max": None, "steal_mean": None, "hot_runs": None,
-                "proc_steal_max": None,
+                "proc_steal_max": None, "canary_hot_runs": None,
                 "joined_runs": 0, "timeline_runs": n_runs,
                 "zero_overlap_runs": missed, "failed_runs": 0}
     proc = [j[9] for j in joined if j[9] is not None]
+    floor = canary_floor(joined)
     return {
         "steal_max": max(j[4] for j in joined),
         "steal_mean": round(sum(j[5] for j in joined) / len(joined), 3),
@@ -158,6 +193,11 @@ def stats(joined, missed, n_runs):
         # exact per-run /proc/stat ceiling (None on pre-round-12
         # timelines): the sub-window-proof counterpart of steal_max
         "proc_steal_max": round(max(proc), 2) if proc else None,
+        # runs whose pre-run canary read >= 1.5x the session min —
+        # bandwidth contention invisible to every steal key above
+        # (None on pre-round-13 timelines without the canary column)
+        "canary_hot_runs": (sum(1 for j in joined if canary_hot(j, floor))
+                            if floor is not None else None),
         "joined_runs": len(joined),
         "timeline_runs": n_runs,
         "zero_overlap_runs": missed,
@@ -180,6 +220,7 @@ def main():
     if "--stats-json" in sys.argv:
         print(json.dumps(stats(joined, missed, len(runs))))
         return
+    floor = canary_floor(joined)
     if ratio is not None:
         picked = [j for j in joined
                   if j[3] is not None and j[2] > ratio * j[3]]
@@ -189,13 +230,17 @@ def main():
             joined,
             key=lambda j: -max(j[4], j[9] if j[9] is not None else 0))[:15]
     print("query                          run    sec  frozen  maxSt%  "
-          "meanSt%  procSt%  maxWa%  swap  ok")
-    for q, r, sec, fr, mx, mn, wa, sw, ok, pst in picked:
+          "meanSt%  procSt%  maxWa%  swap  canaryRt  ok")
+    for j in picked:
+        q, r, sec, fr, mx, mn, wa, sw, ok, pst, can = j
         fr_s = f"{fr:7.3f}" if fr is not None else "      -"
         pst_s = f"{pst:7.2f}" if pst is not None else "      -"
-        ok_s = "" if ok else "  FAILED-RUN"
+        can_s = (f"{can / floor:8.2f}" if can is not None and floor
+                 else "       -")
+        flags = ("" if ok else "  FAILED-RUN") + \
+            ("  CANARY-HOT" if canary_hot(j, floor) else "")
         print(f"{q:30s} {r:3d} {sec:7.3f} {fr_s} {mx:6d} {mn:8.2f} "
-              f"{pst_s} {wa:7d} {sw:5d}{ok_s}")
+              f"{pst_s} {wa:7d} {sw:5d} {can_s}{flags}")
     if not picked:
         print("(no runs matched)")
 

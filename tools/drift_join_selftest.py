@@ -71,22 +71,34 @@ def main():
         ("q_subwin", 1, BASE + 46, BASE + 52, 6.0, "true", 48, 12.50),
         ("q_orphan2", 1, BASE + 510, BASE + 516, 6.0, "true", 3, 0.75),
     ]
+    # (g — round 14) canary-hot: zero steal everywhere, but q_canhot's
+    # pre-run bandwidth canary reads 20 ms against the session's 12 ms
+    # floor (1.67x >= 1.5) — the memory-contention class steal cannot see
+    rows9 = [
+        ("q_canquiet", 1, BASE + 2, BASE + 8, 6.0, "true", 0, 0.00, 12.0),
+        ("q_canhot", 1, BASE + 10, BASE + 16, 6.0, "true", 0, 0.00, 20.0),
+    ]
     with open(tl_path, "w") as f:
         f.write("query\trun\tstart_epoch\tend_epoch\tsec\tok"
-                "\tsteal_ticks\tsteal_pct\n")
+                "\tsteal_ticks\tsteal_pct\tcanary_ms\n")
         for q, r, a, b, sec, ok in rows6:
             f.write(f"{q}\t{r}\t{a:.1f}\t{b:.1f}\t{sec:.3f}\t{ok}\t-\t-\n")
         for q, r, a, b, sec, ok, tk, pct in rows8:
             f.write(f"{q}\t{r}\t{a:.1f}\t{b:.1f}\t{sec:.3f}\t{ok}"
                     f"\t{tk}\t{pct:.2f}\n")
+        for q, r, a, b, sec, ok, tk, pct, can in rows9:
+            f.write(f"{q}\t{r}\t{a:.1f}\t{b:.1f}\t{sec:.3f}\t{ok}"
+                    f"\t{tk}\t{pct:.2f}\t{can:.2f}\n")
 
     vm = drift_join.parse_vmstat(vm_path)
     assert len(vm) == 30, f"vmstat parse: {len(vm)} != 30"
     runs = drift_join.parse_timeline(tl_path)
-    assert len(runs) == 8
+    assert len(runs) == 10
     assert runs[4][5] is False, "ok=false not parsed"
     assert runs[6][6] == 12.50, "proc steal_pct not parsed"
     assert runs[0][6] is None, "'-' proc column should parse as None"
+    assert runs[0][7] is None, "missing canary column should parse as None"
+    assert runs[9][7] == 20.0, "canary_ms not parsed"
 
     joined, missed = drift_join.join(vm, runs, {})
     assert missed == 2, f"zero-overlap count {missed} != 2 (both orphans)"
@@ -106,12 +118,30 @@ def main():
     # (e) failed run flagged
     assert by[("q_failed", 1)][8] is False
 
+    # (g) canary-hot classification: q_canhot flagged at 1.67x the
+    # session floor despite zero steal everywhere in its window;
+    # q_canquiet (the floor itself) stays clean, and steal-hot counting
+    # is untouched by the canary column
+    floor = drift_join.canary_floor(joined)
+    assert floor == 12.0, f"canary floor {floor} != 12.0"
+    assert drift_join.canary_hot(by[("q_canhot", 1)], floor)
+    assert not drift_join.canary_hot(by[("q_canquiet", 1)], floor)
+    assert not drift_join.canary_hot(by[("q_hot", 2)], floor), \
+        "canary-less run must not classify canary-hot"
+
     # (b) stats summary
     st = drift_join.stats(joined, missed, len(runs))
     assert st["steal_max"] == 15 and st["hot_runs"] == 2
     assert st["proc_steal_max"] == 12.50
+    assert st["canary_hot_runs"] == 1
     assert st["zero_overlap_runs"] == 2 and st["failed_runs"] == 1
-    assert st["joined_runs"] == 7 and st["timeline_runs"] == 8
+    assert st["joined_runs"] == 9 and st["timeline_runs"] == 10
+
+    # canary-less sessions report canary_hot_runs as None (not 0):
+    # "no canary column" must stay distinguishable from "measured quiet"
+    no_canary = [j for j in joined if j[10] is None]
+    stn = drift_join.stats(no_canary, 0, len(no_canary))
+    assert stn["canary_hot_runs"] is None
 
     # (d) 5-column legacy format still parses, ok defaults True
     legacy = os.path.join(d, "legacy.tsv")
@@ -119,7 +149,8 @@ def main():
         f.write("query\trun\tstart_epoch\tend_epoch\tsec\n")
         f.write(f"q_old\t1\t{BASE + 2:.1f}\t{BASE + 8:.1f}\t6.000\n")
     lr = drift_join.parse_timeline(legacy)
-    assert lr == [("q_old", 1, BASE + 2.0, BASE + 8.0, 6.0, True, None)]
+    assert lr == [("q_old", 1, BASE + 2.0, BASE + 8.0, 6.0, True, None,
+                   None)]
 
     # (c) CLI end-to-end: warning on stderr, stats on stdout
     p = subprocess.run(
@@ -132,7 +163,8 @@ def main():
     assert "WARNING" in p.stderr and "ZERO vmstat samples" in p.stderr
 
     print("drift_join_selftest: ALL GREEN (hot window attributed, "
-          "zero-overlap loud, legacy format ok, failed runs flagged)")
+          "zero-overlap loud, legacy format ok, failed runs flagged, "
+          "canary-hot classified against the session floor)")
 
 
 if __name__ == "__main__":

@@ -79,12 +79,15 @@ if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then merge BENCH_SUMMARY.json; fi
 # timestamped plans/bench_<epoch>.json either way.
 if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then
   # null stats (zero runs joined) mean the session is UNATTRIBUTABLE —
-  # fail closed and demote rather than crash on None > 0.5 (ADVICE r13)
+  # fail closed and demote rather than crash on None > 0.5 (ADVICE r13).
+  # canary_hot_runs (r14): >15 runs starting with memory bandwidth down
+  # >=33% is a bandwidth storm even at zero steal — same bar as hot_runs.
   bad=$(python3 -c "
 import json, sys
 s = json.loads(sys.argv[1])
-sm, hr = s.get('steal_mean'), s.get('hot_runs')
-print(1 if (sm is None or hr is None or sm > 0.5 or hr > 15) else 0)" \
+sm, hr, ch = s.get('steal_mean'), s.get('hot_runs'), s.get('canary_hot_runs')
+print(1 if (sm is None or hr is None or ch is None
+            or sm > 0.5 or hr > 15 or ch > 15) else 0)" \
     "$steal")
   if [ "$bad" = "1" ]; then
     echo "== session contaminated (steal above the freeze bar) —" \
