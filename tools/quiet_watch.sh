@@ -10,10 +10,13 @@
 # per-run /proc/stat columns in the timeline remain the authority on
 # which runs were actually quiet.
 #
-# Usage: nohup tools/quiet_watch.sh BENCH_NAME VMSTAT_NAME &
+# Usage: nohup tools/quiet_watch.sh BENCH_NAME VMSTAT_NAME [RUNS] &
 #   launches tools/quiet_bench.sh plans/BENCH_NAME.json
-#   plans/VMSTAT_NAME.log 3 when the window opens; gives up after
-#   ~200 min of no calm window.
+#   plans/VMSTAT_NAME.log RUNS (default 3) when the window opens; gives
+#   up after ~200 min of no calm window. RUNS=2 shortens the session by
+#   a third — on a day of recurring bursts (r14: three consecutive
+#   sessions storm-hit mid-run) a shorter window is likelier to stay
+#   clean, and min-of-2 is conservative (fewer mins can only read high).
 # The busy gate was tightened from 8% to 3% after a local[4] test JVM
 # averaged under 8% across a 30 s window and let a launch race it.
 cd /root/repo
@@ -33,7 +36,7 @@ print(f'steal={st:.2f} busy={busy:.2f}', 1 if (st<0.4 and busy<3) else 0)")
   if [ "${ok##* }" = "1" ]; then consec=$((consec+1)); else consec=0; fi
   if [ "$consec" -ge 2 ]; then
     echo "QUIET at $(date) — launching session $1"
-    tools/quiet_bench.sh "plans/$1.json" "plans/$2.log" 3
+    tools/quiet_bench.sh "plans/$1.json" "plans/$2.log" "${3:-3}"
     exit 0
   fi
 done
