@@ -146,6 +146,10 @@ object SparkEntry {
         // the one-shot batch MERGE (chunked apply commutes because
         // changeset keys are unique), so it shares q82's oracle verbatim
         "st18_stream_upsert" -> Analytics.oracles("q82_merge_upsert"),
+        // the bucket-pruned apply must land on the SAME merged table —
+        // buckets partition the key space, so per-bucket merge of the
+        // bucket's own changes equals the global merge
+        "st19_stream_upsert_pruned" -> Analytics.oracles("q82_merge_upsert"),
         // the micro-batched admission stream must reproduce p06's batch
         // admission decision exactly (first-arrival-wins over the
         // doc_id-range replay ≡ min-doc_id survivorship), so it shares

@@ -459,6 +459,63 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(nChunks >= 4, s"expected >=4 changeset chunks, got $nChunks")
   }
 
+  test("st19 pruned CDC apply equals the batch MERGE (q82) exactly AND " +
+    "rewrites only the touched buckets: 4 of 16 per key-residue batch") {
+    val streamed = StreamQueries.st19(spark, TestSpark.sfDir)
+    val batch = Analytics.q82(TestSpark.tables)
+    assert(streamed.columns.toSeq == batch.columns.toSeq)
+    val (s, b) = (canon(streamed), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"pruned upsert must equal batch MERGE:\n  stream: $s\n  batch : $b")
+  }
+
+  test("st19 pruning receipt + crash/restart: each batch writes exactly " +
+    "its touched buckets, untouched buckets carry forward by reference, " +
+    "and the manifest-last commit makes the retried batch idempotent") {
+    import org.apache.spark.sql.functions._
+    val sfDir = TestSpark.sfDir
+    val cdir = StreamQueries.mergeReplayDir(spark, sfDir)
+    val snapRoot = graft.TempDirs.create("graft_st19_crash_snap")
+    val ckpt = graft.TempDirs.create("graft_st19_crash_ckpt")
+    val marker = new java.io.File(snapRoot, "crash_injected.marker")
+    StreamQueries.seedPrunedSnapshot(spark, sfDir, snapRoot)
+    val run1Died =
+      try {
+        StreamQueries.upsertSessionPruned(spark, cdir, snapRoot,
+          checkpoint = Some(ckpt), crashMarker = Some(marker))
+        false
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if e.getMessage.contains("injected crash") => true
+      }
+    assert(run1Died, "first run finished without hitting the injected " +
+      "crash — the recovery path was never exercised, refusing to grade")
+    val m2Before = StreamQueries.readManifest(snapRoot, 2L)
+    StreamQueries.upsertSessionPruned(spark, cdir, snapRoot,
+      checkpoint = Some(ckpt))
+    // the retried batch recomputed manifest v2 identically
+    assert(StreamQueries.readManifest(snapRoot, 2L) == m2Before,
+      "retried batch must recompute its manifest deterministically")
+    val last = StreamQueries.latestManifest(snapRoot)
+    // pruning receipt: each post-seed version rewrote exactly the
+    // buckets holding that batch's key residues (k % 4 chunking over
+    // 16 buckets = 4 buckets), the rest carried forward by reference
+    (1L to last).foreach { v =>
+      val prev = StreamQueries.readManifest(snapRoot, v - 1)
+      val cur = StreamQueries.readManifest(snapRoot, v)
+      val rewritten = cur.count { case (b, p) => prev(b) != p }
+      assert(rewritten == 4,
+        s"version $v rewrote $rewritten buckets, expected exactly 4")
+      assert(cur.size == StreamQueries.UpsertBuckets)
+    }
+    val rollup = graft.operators.Analytics.mergeRollup(
+      StreamQueries.readPrunedSnapshot(spark, snapRoot, last))
+    val batch = Analytics.q82(TestSpark.tables)
+    val (s, b) = (canon(rollup), canon(batch))
+    assert(s.nonEmpty && s == b,
+      s"post-recovery pruned merge must equal batch q82:\n  stream: $s\n  batch : $b")
+  }
+
   test("st18 mid-batch crash/restart: the retried batch recomputes its " +
     "snapshot version from the explicit prior version, byte-identically, " +
     "and the final rollup still equals batch q82") {
