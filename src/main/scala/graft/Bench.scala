@@ -57,8 +57,14 @@ object Bench {
     if (!targeted && plansDir.isDirectory) {
       val candidates = Iterator(s"bench_$epochSec.json") ++
         Iterator.from(1).map(k => s"bench_${epochSec}_$k.json")
-      candidates.map(new java.io.File(plansDir, _))
-        .find(!_.exists()).map(_.toPath)
+      // Reserve the name ATOMICALLY (ADVICE r14): createFile claims the
+      // path or throws FileAlreadyExistsException, so two same-second
+      // bench processes can never both select (and later clobber) the
+      // same record — the check-then-act race the r13 bump only shrank.
+      candidates.map(new java.io.File(plansDir, _)).flatMap { f =>
+        try Some(java.nio.file.Files.createFile(f.toPath))
+        catch { case _: java.nio.file.FileAlreadyExistsException => None }
+      }.nextOption()
     } else None
 
   /** Memory-bandwidth canary (round 13): hypervisor steal only measures
@@ -157,6 +163,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4.1 ships checkpoint-file checksums ON: every streaming
+      // checkpoint file (offset log, commit log, state delta/snapshot)
+      // gets a sidecar .crc written+fsynced through a second thread —
+      // pure per-micro-batch overhead for a local-disk checkpoint whose
+      // filesystem (and any production DFS) already checksums blocks.
+      // Off by default here; SPARK_GRAFT_CKPT_CHECKSUM=true restores the
+      // 4.1 default for corruption-audit runs (r15 measurement: see
+      // OPTIMIZATION_r15.md, streaming section).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

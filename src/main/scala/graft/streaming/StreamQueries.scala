@@ -1143,34 +1143,45 @@ object StreamQueries {
           .select(pmod(col("k"), lit(UpsertBuckets)).as("_bkt"))
           .distinct()
           .collect().map(_.getLong(0).toInt).sorted // O(UpsertBuckets) rows
-        // ONE read of the touched buckets' current files, ONE merge
-        // (buckets partition the key space, so merging them together
-        // with the whole batch equals per-bucket merges), ONE
-        // partitioned write: files/v{id+1}/_bkt=k per touched bucket
-        val target = sp.read
-          .parquet(touched.map(k => s"$snapRoot/${prev(k)}"): _*)
-        val verDir = s"files/v${batchId + 1}"
-        // repartition by bucket before the partitioned write: without
-        // it every shuffle task fans out a file into every bucket dir
-        // (~tasks x buckets small files per version — measured 40%
-        // slower than the full rewrite at sf10); with it, one file per
-        // bucket, and the shuffle moves only the touched buckets' rows
-        graft.operators.Analytics.mergeApply(target, b)
-          .withColumn("_bkt", pmod(col("c_custkey"), lit(UpsertBuckets)))
-          .repartition(UpsertBuckets, col("_bkt"))
-          .write.mode("overwrite").partitionBy("_bkt")
-          .parquet(s"$snapRoot/$verDir")
-        b.unpersist()
-        // a touched bucket whose rows were ALL deleted produces no
-        // _bkt= dir; its manifest entry must still resolve, so give it
-        // an explicit empty file (rare — a whole key-residue emptied)
-        touched.foreach { k =>
-          val d = new java.io.File(s"$snapRoot/$verDir/_bkt=$k")
-          if (!d.isDirectory)
-            target.limit(0).write.mode("overwrite").parquet(d.getPath)
+        // empty micro-batch (ADVICE r14): nothing to merge — carry the
+        // prior manifest forward as this version's manifest instead of
+        // calling sp.read.parquet() with zero paths (which throws).
+        // Unreachable with the current q82 changeset shape, reachable if
+        // the chunking ever changes; idempotent under retry (manifest
+        // rewrite is deterministic from prev).
+        if (touched.isEmpty) {
+          b.unpersist()
+          writeManifest(snapRoot, batchId + 1, prev)
+        } else {
+          // ONE read of the touched buckets' current files, ONE merge
+          // (buckets partition the key space, so merging them together
+          // with the whole batch equals per-bucket merges), ONE
+          // partitioned write: files/v{id+1}/_bkt=k per touched bucket
+          val target = sp.read
+            .parquet(touched.map(k => s"$snapRoot/${prev(k)}"): _*)
+          val verDir = s"files/v${batchId + 1}"
+          // repartition by bucket before the partitioned write: without
+          // it every shuffle task fans out a file into every bucket dir
+          // (~tasks x buckets small files per version — measured 40%
+          // slower than the full rewrite at sf10); with it, one file per
+          // bucket, and the shuffle moves only the touched buckets' rows
+          graft.operators.Analytics.mergeApply(target, b)
+            .withColumn("_bkt", pmod(col("c_custkey"), lit(UpsertBuckets)))
+            .repartition(UpsertBuckets, col("_bkt"))
+            .write.mode("overwrite").partitionBy("_bkt")
+            .parquet(s"$snapRoot/$verDir")
+          b.unpersist()
+          // a touched bucket whose rows were ALL deleted produces no
+          // _bkt= dir; its manifest entry must still resolve, so give it
+          // an explicit empty file (rare — a whole key-residue emptied)
+          touched.foreach { k =>
+            val d = new java.io.File(s"$snapRoot/$verDir/_bkt=$k")
+            if (!d.isDirectory)
+              target.limit(0).write.mode("overwrite").parquet(d.getPath)
+          }
+          val next = prev ++ touched.map(k => k -> s"$verDir/_bkt=$k")
+          writeManifest(snapRoot, batchId + 1, next)
         }
-        val next = prev ++ touched.map(k => k -> s"$verDir/_bkt=$k")
-        writeManifest(snapRoot, batchId + 1, next)
         crashMarker.foreach { m =>
           if (batchId == 1 && m.createNewFile())
             throw new IllegalStateException(
@@ -1710,9 +1721,15 @@ object StreamQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val baseFps = sp.read.parquet(standingIdx)
-        val qual = qualityFilter(batch)
+        // qual/novel persisted like p06's stages (r15): each feeds its
+        // own stage sink AND the next stage's lineage, so unpersisted
+        // the quality kernel re-ran 3x per batch (novel sink, uniq
+        // build, qual sink) — O(batch) recompute that at scale is the
+        // dominant per-batch term. Released after the sinks below.
+        val qual = qualityFilter(batch).persist(StorageLevel.MEMORY_AND_DISK)
         val novel = qual.withColumn("fp", canon_fp(col("text")))
           .join(baseFps, Seq("fp"), "left_anti").drop("fp")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         // cross-batch dedup: probe the fps accumulated by PRIOR batches
         // (across ALL session tags — day 2 probes day 1's index too).
         // Exclude THIS batch id: foreachBatch's retry contract re-runs a
@@ -1787,7 +1804,7 @@ object StreamQueries {
         uniq.select(canon_fp(col("text")).as("fp")).distinct()
           .write.mode("overwrite")
           .parquet(s"${stageDir("seen_fps")}/batch_$tag$batchId")
-        uniq.unpersist()
+        Seq(qual, novel, uniq).foreach(_.unpersist())
         // crash AFTER the stage sinks, BEFORE the engine's commit — the
         // marker (atomic create) confines the crash to the first attempt
         crashMarker.foreach { m =>

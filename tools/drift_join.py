@@ -35,6 +35,13 @@ HOT_STEAL_PCT = 5  # a run is "hot" if max steal in its window >= this
 # 0.96% steal, canary elevated — this classification makes that reading
 # arrive pre-attributed, the r13 carry-forward item 4).
 CANARY_HOT_RATIO = 1.5
+# Cross-session quiet canary baseline (BASELINE.md: 11.9-12.9 ms on quiet
+# days; r15 sessions read 9.4-10.6). The canary FLOOR used for hot
+# classification is min(session_min, this): a session where every run
+# starts under bandwidth contention has an ELEVATED own-minimum and would
+# otherwise classify itself canary_hot_runs=0 (ADVICE r14). A faster
+# machine (session min below the baseline) keeps its own lower floor.
+CANARY_QUIET_BASELINE_MS = 13.0
 
 
 def parse_vmstat(path, tz="local"):
@@ -162,10 +169,13 @@ def hot(j):
 
 
 def canary_floor(joined):
-    """The session's uncontended memory speed: the min canary reading
-    (None when the timeline predates the canary column)."""
+    """The session's uncontended memory speed: the min canary reading,
+    capped at the frozen cross-session quiet baseline so a uniformly
+    bandwidth-stormed session cannot use its own elevated minimum as the
+    'quiet' yardstick (ADVICE r14). None when the timeline predates the
+    canary column."""
     cs = [j[10] for j in joined if j[10] is not None]
-    return min(cs) if cs else None
+    return min(min(cs), CANARY_QUIET_BASELINE_MS) if cs else None
 
 
 def canary_hot(j, floor):
