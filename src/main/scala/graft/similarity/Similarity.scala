@@ -912,16 +912,23 @@ object Similarity {
           .localCheckpoint()
       }
     val bucketed = corpus.select(col("bucket"), col("vec_id"))
-    val budgetCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+    // ONE candidate pass subsumes every budget (r15, guide §2.4): the
+    // probe order is a strict prefix chain, so budget p's candidate set
+    // is exactly {(q,v) : min probe ord reaching v < p}. Join bucketed ↔
+    // probes once at the largest budget, keep each candidate's MINIMUM
+    // ord, attach truth once — each per-budget row is then a conditional
+    // aggregate over the same cached relation. Before: 4 shuffle joins +
+    // 4 distincts + 4 truth joins; after: 1 join + 1 groupBy + 1 truth
+    // join (plans/r15/s16_probe_curve_{before,after}.txt).
+    val minOrd = bucketed
+      .join(probes.filter(col("ord") < Budgets.max).hint("SHUFFLE_HASH"),
+        "bucket")
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(min(col("ord")).as("min_ord"))
+      .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perBudget = Budgets.map { p =>
-      val cands = bucketed
-        .join(probes.filter(col("ord") < p).hint("SHUFFLE_HASH"), "bucket")
-        .select(col("q_id"), col("vec_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      budgetCaches += cands
-      cands
-        .join(truth.withColumn("hit", lit(1L)),
-          Seq("q_id", "vec_id"), "left")
+      minOrd.filter(col("min_ord") < p)
         .agg(count(lit(1)).as("total_candidates"),
           coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
         .select(lit(p.toLong).as("n_probes"), col("total_candidates"),
@@ -930,8 +937,7 @@ object Similarity {
             s"(2 * $NQueries * $TopK)").as("recall_pct"))
     }
     graft.CacheHygiene.materializeAndRelease(
-      perBudget.reduce(_ unionByName _).orderBy("n_probes"),
-      budgetCaches.toSeq)
+      perBudget.reduce(_ unionByName _).orderBy("n_probes"), Seq(minOrd))
   }
 
   val queries: Map[String, Tables => DataFrame] = Map(

@@ -236,11 +236,14 @@ object StreamQueries {
     * aggregate state-commit time per batch against ~10 K state rows —
     * pure per-instance overhead, 0.3 MB of actual state. Production
     * sizes this to state volume (state rows / target rows-per-store);
-    * the graded corpus carries O(users)=O(10⁴) state rows, for which 8
-    * stores are already more parallelism than data. The override is
-    * scoped: the conf is read at query START, and the surrounding batch
-    * plans (sink post-aggregations, oracles) still run at the session's
-    * 32. */
+    * the graded corpus carries O(users)=O(10⁴) state rows, for which
+    * even 8 stores are more parallelism than data — the r15 paired
+    * sweep (plans/r15/exp_sp4.log, exp_sp4b.log) read 4 ≤ 8 on every
+    * stateful query (st04 0.815, st07 0.837, st14/st15 ~0.91), so 4 is
+    * the local default; `graft.statePartitions` overrides at runtime.
+    * The override is scoped: the conf is read at query START, and the
+    * surrounding batch plans (sink post-aggregations, oracles) still
+    * run at the session's 32. */
   /** State-store BACKEND selection for the stateful queries (round-6
     * verdict item 5 — the backend matrix): by default the queries run on
     * whatever the session configures (Spark's HDFSBackedStateStoreProvider
@@ -258,7 +261,16 @@ object StreamQueries {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   private val statePartitionsLock = new Object
+  /** The per-query `n` below is the LOCAL default; `graft.statePartitions`
+    * (session conf) overrides it — the scale-adaptive spelling (r15): a
+    * production deployment sets it to state rows / target rows-per-store
+    * instead of editing call sites, and the paired A/B harness can sweep
+    * it at runtime. */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A =
+    withStatePartitionsImpl(spark,
+      spark.conf.getOption("graft.statePartitions")
+        .map(_.toInt).getOrElse(n))(f)
+  private def withStatePartitionsImpl[A](spark: SparkSession, n: Int)(f: => A): A =
     // Serialized on a global lock (round-6 advice): the override mutates
     // the SESSION's shuffle-partitions conf for the duration of the
     // streaming run, so two concurrent callers could otherwise clobber
@@ -310,9 +322,14 @@ object StreamQueries {
     * FileStreamSource + streaming state store instead of a batch scan.
     * Oracle: q30's SQL verbatim. */
   def st01(spark: SparkSession, dir: String): DataFrame =
-    runComplete(spark,
-      EventsStream.windowedCounts(eventsStream(spark, dir)), "st01_windows")
-      .orderBy("hour_ts", "event_type")
+    // 8 state partitions (r15): st01 ran at the session's 32 — 32 state
+    // stores per micro-batch for O(windows×types) state rows. Paired
+    // same-JVM A/B (plans/r15/exp_statepart.log): 0.676 median ratio.
+    // Same scale rationale as st02/st04 (stores ∝ state volume, not CPUs).
+    withStatePartitions(spark, 4) {
+      runComplete(spark,
+        EventsStream.windowedCounts(eventsStream(spark, dir)), "st01_windows")
+    }.orderBy("hour_ts", "event_type")
 
   /** st02 — native session_window sessionization through the streaming
     * engine, rolled up to q31's per-user summary. session_end = last event
@@ -328,7 +345,7 @@ object StreamQueries {
     * emits the fully-merged session set at end-of-stream. Oracle: q31's
     * SQL verbatim, batch-boundary-independent. */
   def st02(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = withStatePartitions(spark, 8) {
+    val sessions = withStatePartitions(spark, 4) {
       runCompleteDistributed(spark,
         EventsStream.sessionWindows(replayedEventsStream(spark, dir, Nil)),
         "st02_sessions")
@@ -367,8 +384,11 @@ object StreamQueries {
       .dropDuplicates("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
-    runComplete(spark, deduped, "st03_dedup")
-      .orderBy("event_type")
+    // 8 state partitions (r15): dedup state is O(users×types), the
+    // aggregation O(types) — paired A/B 0.636 (exp_statepart.log)
+    withStatePartitions(spark, 4) {
+      runComplete(spark, deduped, "st03_dedup")
+    }.orderBy("event_type")
   }
 
   /** st04 — stream-stream interval join through the join state store:
@@ -409,7 +429,7 @@ object StreamQueries {
     // the 10 min join window) — so append-mode output must equal the
     // batch self-join whatever the batch boundaries.
     val name = s"st04_join_${sinkId.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val q = joined.writeStream
         .queryName(name)
         .outputMode("append")
@@ -442,8 +462,11 @@ object StreamQueries {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"),
         sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
-    runComplete(spark, enriched, "st05_enrich")
-      .orderBy("n_name")
+    // 8 state partitions (r15): aggregation state is O(nations)=25 rows
+    // — paired A/B 0.741 (exp_statepart.log)
+    withStatePartitions(spark, 4) {
+      runComplete(spark, enriched, "st05_enrich")
+    }.orderBy("n_name")
   }
 
   /** st06 — transformWithState (Spark 4 arbitrary-state v2,
@@ -473,17 +496,22 @@ object StreamQueries {
           expr("cast(cast(round(value * 100) as bigint) as double)"))
         .as[EventsStream.Event]
       val out = graft.TempDirs.create("graft_st06_updates")
-      val q = EventsStream.runningStats(ev)
-        .toDF("user_id", "n_events", "cents")
-        .writeStream
-        .outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(out)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // 8 state partitions (r15): transformWithState keeps O(users)
+      // state rows; 32 RocksDB instances per batch was pure per-store
+      // overhead — paired A/B 0.681 (exp_statepart.log)
+      withStatePartitions(spark, 4) {
+        val q = EventsStream.runningStats(ev)
+          .toDF("user_id", "n_events", "cents")
+          .writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // update mode emits ≤1 row per (user, batch), so max_by picks the
       // single row of each user's last touching batch — their final state
       spark.read.parquet(out)
@@ -537,7 +565,7 @@ object StreamQueries {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
       "left_outer")
     val out = graft.TempDirs.create("graft_st07_rows")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val q = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -584,7 +612,7 @@ object StreamQueries {
         col("event_type"), col("value"))
       .as[EventsStream.Event]
     val out = graft.TempDirs.create("graft_st08_sessions")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val q = EventsStream
         .sessionizeStateful(ev, ReplayJitterSec * 1000).toDF()
         .writeStream
@@ -684,8 +712,11 @@ object StreamQueries {
       .dropDuplicates("source", "fp")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_unique"))
-    runComplete(spark, survivors, "st10_curation")
-      .orderBy("source")
+    // scoped partitions (r15): dedup+agg state is O(fps)+O(sources);
+    // paired A/B 32→8 0.630, 8→4 0.934 (exp_fb8.log, exp_fb4.log)
+    withStatePartitions(spark, 4) {
+      runComplete(spark, survivors, "st10_curation")
+    }.orderBy("source")
   }
 
   /** One LSH bucket of the STANDING streaming index (st14): the true
@@ -811,7 +842,7 @@ object StreamQueries {
           out.iterator
       }
     val outDir = graft.TempDirs.create("graft_st14_pairs")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val q = hits.toDF()
         .writeStream
         .outputMode("append")
@@ -918,7 +949,7 @@ object StreamQueries {
           s"st15: $what did not terminate within ${RunTimeoutMs / 1000}s " +
             "— checkpoint recovery is wedged, refusing to grade")
       }
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       // phase-resolved timing (round-8 verdict item 5): the single st15
       // number hid which leg costs what — the pre-crash run scales with
       // history (it processes batches 0..crash), the recovery leg must
@@ -1312,7 +1343,11 @@ object StreamQueries {
       .filter(col("h32") * lit(10000L) < col("weight_bp") * lit(4294967296L))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
-    runComplete(spark, kept, "st11_sample").orderBy("source")
+    // scoped partitions (r15): agg state is O(sources)=20 rows; paired
+    // A/B 32→8 0.682, 8→4 0.927 (exp_fb8.log, exp_fb4.log)
+    withStatePartitions(spark, 4) {
+      runComplete(spark, kept, "st11_sample")
+    }.orderBy("source")
   }
 
   /** One buffered event awaiting finality: epoch millis + sub-second
@@ -1440,7 +1475,7 @@ object StreamQueries {
       .as[EventsStream.Event]
     val crossings = thresholdCrossings(ev, 100000L)
     val out = graft.TempDirs.create("graft_st12_alerts")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 4) {
       val q = crossings.toDF()
         .writeStream
         .outputMode("append")
@@ -1476,8 +1511,11 @@ object StreamQueries {
           .as("sum_value_cents"))
       .orderBy(col("sum_value_cents").desc, col("user_id"))
       .limit(10)
-    runComplete(spark, totals, "st13_leaderboard")
-      .orderBy(col("sum_value_cents").desc, col("user_id"))
+    // 8 state partitions (r15): aggregation state is O(users) —
+    // paired A/B 0.690 (exp_statepart.log)
+    withStatePartitions(spark, 4) {
+      runComplete(spark, totals, "st13_leaderboard")
+    }.orderBy(col("sum_value_cents").desc, col("user_id"))
   }
 
   /** Once-per-session chunked replay dir for the synthetic media corpus
@@ -1561,8 +1599,11 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_media"),
         sum(col("plen")).as("total_bytes"),
         sum(col("csum")).as("content_sum"))
-    runComplete(spark, agg, "st16_media")
-      .orderBy("modality", "container")
+    // scoped partitions (r15): the rollup state is 4 rows, the decode is
+    // map-side; paired A/B 32→8 0.551, 8→4 0.952 (exp_fb8/fb4.log)
+    withStatePartitions(spark, 4) {
+      runComplete(spark, agg, "st16_media")
+    }.orderBy("modality", "container")
   }
 
   /** The incoming admission split as a 4-chunk multi-batch stream, split
@@ -1645,7 +1686,14 @@ object StreamQueries {
     val bench = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 50 === 0)
     val out = graft.TempDirs.create("graft_st17_stages")
-    admissionSession(spark, rd, rd + ".index", bench, out)
+    // scoped partitions (r15): the foreachBatch stage plans shuffle
+    // O(batch) rows and streaming plans get no AQE coalescing, so the
+    // session's static 32 meant 32 tasks + 32 files per tiny stage
+    // write; paired A/B 32→8 0.801, 8→4 0.995 (exp_fb8/fb4.log).
+    // Production sizes to batch volume via graft.statePartitions.
+    withStatePartitions(spark, 4) {
+      admissionSession(spark, rd, rd + ".index", bench, out)
+    }
     admissionStagesRollup(spark, out)
   }
 

@@ -20,6 +20,24 @@
 # The busy gate was tightened from 8% to 3% after a local[4] test JVM
 # averaged under 8% across a 30 s window and let a launch race it.
 cd /root/repo
+# Bandwidth canary in the LAUNCH gate (r15, VERDICT r14 task 1): the
+# r13/r14 storms were bandwidth-visible at near-zero steal, so a
+# steal+busy gate happily launched into bursts the in-bench canary then
+# measured. Same idea as Bench.canaryMs, host-side: median of 3 timed
+# 128 MB buffer copies (memory-bound, CPU-trivial). Threshold is the
+# frozen quiet reading for this box with ~1.4x headroom; override with
+# GRAFT_CANARY_MAX_MS when the hardware changes.
+canary_max=${GRAFT_CANARY_MAX_MS:-55}
+canary_ms() {
+  python3 -c "
+import time
+buf = bytearray(128*1024*1024)
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter(); b = bytes(buf)
+    ts.append((time.perf_counter()-t0)*1000)
+print(f'{sorted(ts)[1]:.1f}')"
+}
 consec=0
 for i in $(seq 1 400); do
   read s0 b0 t0 < <(python3 -c "
@@ -29,9 +47,11 @@ print(f[7], f[0]+f[1]+f[2]+f[4]+f[5]+f[6], sum(f[:8]))")
   read s1 b1 t1 < <(python3 -c "
 f=[int(x) for x in open('/proc/stat').readline().split()[1:]]
 print(f[7], f[0]+f[1]+f[2]+f[4]+f[5]+f[6], sum(f[:8]))")
+  cms=$(canary_ms)
   ok=$(python3 -c "
 st=100*($s1-$s0)/($t1-$t0); busy=100*($b1-$b0)/($t1-$t0)
-print(f'steal={st:.2f} busy={busy:.2f}', 1 if (st<0.4 and busy<3) else 0)")
+print(f'steal={st:.2f} busy={busy:.2f} canary={$cms:.1f}ms',
+      1 if (st<0.4 and busy<3 and $cms<$canary_max) else 0)")
   echo "window $i: $ok consec=$consec"
   if [ "${ok##* }" = "1" ]; then consec=$((consec+1)); else consec=0; fi
   if [ "$consec" -ge 2 ]; then
