@@ -25,9 +25,11 @@ cd /root/repo
 # steal+busy gate happily launched into bursts the in-bench canary then
 # measured. Same idea as Bench.canaryMs, host-side: median of 3 timed
 # 128 MB buffer copies (memory-bound, CPU-trivial). Threshold is the
-# frozen quiet reading for this box with ~1.4x headroom; override with
-# GRAFT_CANARY_MAX_MS when the hardware changes.
-canary_max=${GRAFT_CANARY_MAX_MS:-55}
+# frozen quiet reading for this box (~90 ms median over an idle sample,
+# r15) with ~1.4x headroom; override with GRAFT_CANARY_MAX_MS when the
+# hardware changes. (The in-bench JVM canary's 12-13 ms scale is a
+# different kernel — this one includes the 128 MB allocation.)
+canary_max=${GRAFT_CANARY_MAX_MS:-125}
 canary_ms() {
   python3 -c "
 import time
