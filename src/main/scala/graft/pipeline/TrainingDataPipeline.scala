@@ -175,13 +175,27 @@ object TrainingDataPipeline {
     * O(eval set) to ship and the corpus side never shuffles its grams;
     * only per-doc hit counts (rows ∝ matches) reach the aggregation. */
   def decontaminate(docs: DataFrame, bench: DataFrame,
-                    n: Int = 8, maxShared: Long = 0): DataFrame = {
+                    n: Int = 8, maxShared: Long = 0): DataFrame =
+    decontaminateWithGrams(docs, benchGrams(bench, n), n, maxShared)
+
+  /** The distinct benchmark n-gram relation `decontaminate` probes —
+    * exposed so a caller that decontaminates MANY batches against ONE
+    * static bench set (st17's per-micro-batch admission) can compute it
+    * once (localCheckpoint) instead of re-scanning the bench corpus per
+    * batch (r15). Pure function of (bench, n); the split keeps
+    * `decontaminate(docs, bench)` byte-identical. */
+  def benchGrams(bench: DataFrame, n: Int = 8): DataFrame =
+    grams(bench, n).select("g").distinct()
+
+  private def grams(df: DataFrame, n: Int) = {
     import graft.functions.exprs.ngram_strs
-    def grams(df: DataFrame) = df
-      .withColumn("toks", expr(exprs.wsTokensSql))
+    df.withColumn("toks", expr(exprs.wsTokensSql))
       .select(col("doc_id"), explode(ngram_strs(col("toks"), n)).as("g"))
-    val bGrams = grams(bench).select("g").distinct()
-    val contaminated = grams(docs)
+  }
+
+  def decontaminateWithGrams(docs: DataFrame, bGrams: DataFrame,
+                             n: Int = 8, maxShared: Long = 0): DataFrame = {
+    val contaminated = grams(docs, n)
       .join(broadcast(bGrams), Seq("g"))
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_shared"))

@@ -1757,7 +1757,14 @@ object StreamQueries {
       s"admission tag '$tag' must not end in a digit: batch_<tag><id> " +
         "names would collide across sessions (ADVICE r13)")
     import graft.functions.exprs.canon_fp
-    import graft.pipeline.TrainingDataPipeline.{decontaminate, exactDedup, qualityFilter}
+    import graft.pipeline.TrainingDataPipeline.{benchGrams, decontaminateWithGrams, exactDedup, qualityFilter}
+    // bench gram set computed ONCE per session (r15): the bench corpus
+    // is static across micro-batches, but decontaminate(uniq, bench)
+    // re-scanned + re-exploded + re-distinct'd it inside every batch.
+    // localCheckpoint materializes the small distinct gram relation so
+    // each batch only pays the broadcast probe. Same relation, so the
+    // admitted set is byte-identical (oracle unchanged).
+    val bGrams = benchGrams(bench).localCheckpoint()
     val schema = spark.read.parquet(incomingDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(incomingDir)
@@ -1838,7 +1845,7 @@ object StreamQueries {
             .drop("fp")
         val uniq = exactDedup(crossNovel)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val admitted = decontaminate(uniq, bench)
+        val admitted = decontaminateWithGrams(uniq, bGrams)
         // idempotent per-batch-id overwrite (a retried batch replaces
         // its own output, never duplicates it)
         def sink(df: DataFrame, stage: String, cols: Seq[String]): Unit =
