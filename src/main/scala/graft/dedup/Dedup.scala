@@ -253,7 +253,7 @@ object Dedup {
   def d16(t: Tables): DataFrame = {
     // materialized BEFORE the legs spawn (localCheckpoint is eager), so
     // the four threads share one artifact instead of racing to build it
-    val pairs = candidatePairs(t)
+    val (pairs, nPairs) = candidatePairsWithCount(t)
     // The four propagations are independent chains of SMALL jobs whose
     // rounds are driver-synchronized barriers — run serially, each
     // leg's per-round scheduling latency is dead time on 31 idle cores.
@@ -267,15 +267,21 @@ object Dedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val legs = D16Thresholds.map { tau =>
-      Future {
-        val at = pairs.filter(col("n_shared") * 10 >= col("n_union") * tau)
-        val (labels, _) = minLabelPropagation(at)
-        labels.select(lit(tau).as("threshold_x10"), col("id"), col("comp"))
+    // one propagation-partition scope around ALL four legs (each leg's
+    // τ-subgraph is ≤ the full pair graph, so the full-graph derivation
+    // bounds them; per-leg scopes would serialize on Parts' lock and
+    // undo the concurrent-legs overlap)
+    val labeled = withPropagationParts(t, nPairs) {
+      val legs = D16Thresholds.map { tau =>
+        Future {
+          val at = pairs.filter(col("n_shared") * 10 >= col("n_union") * tau)
+          val (labels, _) = minLabelPropagation(at)
+          labels.select(lit(tau).as("threshold_x10"), col("id"), col("comp"))
+        }
       }
+      Await.result(Future.sequence(legs), Duration.Inf)
+        .reduce(_ unionByName _)
     }
-    val labeled = Await.result(Future.sequence(legs), Duration.Inf)
-      .reduce(_ unionByName _)
     val quality = t.documentsWide.select(col("doc_id").as("id"),
       graft.functions.exprs.quality_scan(col("text"))
         .getField("n_tokens").cast("bigint").as("ntk"))
@@ -489,9 +495,9 @@ object Dedup {
     * construction); clustering the d04-verified pairs instead both
     * matches the curation policy (decisions on exact Jaccard, never on
     * an estimate) and gives the cluster family its SQL oracle. */
-  private val pairsCache = new graft.SnapshotCache[DataFrame]
+  private val pairsCache = new graft.SnapshotCache[(DataFrame, Long)]
 
-  private[graft] def candidatePairs(t: Tables): DataFrame =
+  private[graft] def candidatePairsWithCount(t: Tables): (DataFrame, Long) =
     pairsCache.getOrElseUpdate(
       s"${t.spark.sparkContext.applicationId}:${t.dir}",
       t.tableFingerprint("documents")) {
@@ -500,10 +506,34 @@ object Dedup {
       // lets d12's threshold curve ride the same once-per-snapshot
       // checkpoint the cluster consumers (d06/d15) ride, instead of
       // re-running the gram-verify chain per query
-      verifiedPairs(t.documentsWide)
+      val ck = verifiedPairs(t.documentsWide)
         .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_union"))
         .localCheckpoint()
+      // row count once per snapshot (cheap checkpoint scan): sizes the
+      // cluster consumers' propagation shuffles to the pair-graph volume
+      (ck, ck.count())
     }
+
+  private[graft] def candidatePairs(t: Tables): DataFrame =
+    candidatePairsWithCount(t)._1
+
+  /** Per-round work in [[minLabelPropagation]] is the graph loops' cost
+    * class (narrow long pairs, hash join + partial min), so the same
+    * ~150K rows/partition amortization point applies (GraphOps
+    * .RowsPerLoopPartition rationale; r16 paired sweep receipts). The
+    * near-dup pair graph is O(near-dup mass) — hundreds of rows at
+    * sf0.1, so the propagation runs single-partition locally while a
+    * web-scale dup graph keeps the session width via the clamp cap. */
+  private val RowsPerPropagationPartition = 150000L
+
+  /** Scope for the cluster consumers' propagation loops: shuffle
+    * partitions derived from the pair-graph row count (×2 for the
+    * undirected edge doubling). d16 takes ONE scope around all four
+    * concurrent legs — Parts' lock serializes scopes, and per-leg
+    * scoping would serialize the legs themselves. */
+  private def withPropagationParts[A](t: Tables, pairRows: Long)(f: => A): A =
+    graft.Parts.withShufflePartitions(t.spark,
+      graft.Parts.forRows(t.spark, pairRows * 2, RowsPerPropagationPartition))(f)
 
   /** Min-label propagation over an undirected pair list: each round,
     * every node takes the minimum component id among itself and its
@@ -571,7 +601,9 @@ object Dedup {
     * otherwise; the oracle unrolls 16 rounds, comfortably past any
     * near-dup cluster diameter at the graded SFs). */
   def d06(t: Tables): DataFrame = {
-    val (labels, _) = minLabelPropagation(candidatePairs(t))
+    val (pairs, nPairs) = candidatePairsWithCount(t)
+    val (labels, _) =
+      withPropagationParts(t, nPairs)(minLabelPropagation(pairs))
     labels
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).cast("long").as("n_members"),
@@ -856,28 +888,40 @@ object Dedup {
       .select(col("source"), explode(ngram_hashes(col("toks"), 5)).as("g"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perSrc = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val pairs = grams.groupBy("g")
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .filter(size(col("srcs")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(srcs, (sa, i) ->
-          |  transform(slice(srcs, i + 2, size(srcs)), sb ->
-          |    struct(sa as src_a, sb as src_b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    val result = pairs
-      .join(broadcast(perSrc.select(col("source").as("src_a"),
-        col("n_grams").as("na"))), "src_a")
-      .join(broadcast(perSrc.select(col("source").as("src_b"),
-        col("n_grams").as("nb"))), "src_b")
-      .withColumn("jaccard_bp", expr(
-        "(20000 * n_shared + (na + nb - n_shared)) div (2 * (na + nb - n_shared))"))
-      .select(col("src_a"), col("src_b"), col("n_shared"), col("na"),
-        col("nb"), col("jaccard_bp"))
-      .orderBy("src_a", "src_b")
-    graft.CacheHygiene.materializeAndRelease(result, Seq(grams))
+    // materialize the cache and take its row count in one pass: the
+    // distinct's corpus-scale explode+shuffle runs HERE at the session
+    // width; the count then sizes the downstream per-gram aggregation
+    // (r16 paired sweep: 32→8 read 0.603 on this query while 8→2
+    // regressed — the per-gram collect_set + HOF pair expansion
+    // amortizes a task at ~30K rows, a heavier cost class than the
+    // graph loops' plain min/sum rounds)
+    val nGrams = grams.count()
+    val result = graft.Parts.withShufflePartitions(t.spark,
+      graft.Parts.forRows(t.spark, nGrams, 30000L)) {
+      val perSrc = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val pairs = grams.groupBy("g")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(srcs, (sa, i) ->
+            |  transform(slice(srcs, i + 2, size(srcs)), sb ->
+            |    struct(sa as src_a, sb as src_b))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val out = pairs
+        .join(broadcast(perSrc.select(col("source").as("src_a"),
+          col("n_grams").as("na"))), "src_a")
+        .join(broadcast(perSrc.select(col("source").as("src_b"),
+          col("n_grams").as("nb"))), "src_b")
+        .withColumn("jaccard_bp", expr(
+          "(20000 * n_shared + (na + nb - n_shared)) div (2 * (na + nb - n_shared))"))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("na"),
+          col("nb"), col("jaccard_bp"))
+        .orderBy("src_a", "src_b")
+      graft.CacheHygiene.materializeAndRelease(out, Seq(grams))
+    }
+    result
   }
 
   /** d14 — quality-aware dedup survivorship: WHICH copy survives a
@@ -946,7 +990,9 @@ object Dedup {
     * over the same exact (ntk desc, id asc) ordering; DedupFixtureSpec
     * additionally pins survivor choice on the planted cluster. */
   def d15(t: Tables): DataFrame = {
-    val (labels, _) = minLabelPropagation(candidatePairs(t))
+    val (pairs, nPairs) = candidatePairsWithCount(t)
+    val (labels, _) =
+      withPropagationParts(t, nPairs)(minLabelPropagation(pairs))
     val quality = t.documentsWide.select(col("doc_id").as("id"),
       graft.functions.exprs.quality_scan(col("text"))
         .getField("n_tokens").cast("bigint").as("ntk"))

@@ -58,9 +58,9 @@ object GraphOps {
     * per-round survivor sets) are released when the operator returns;
     * the shared snapshot artifact is the one thing that legitimately
     * outlives them. */
-  private val edgeCache = new graft.SnapshotCache[DataFrame]
+  private val edgeCache = new graft.SnapshotCache[(DataFrame, Long)]
 
-  private def undirectedTradeEdges(t: Tables): DataFrame = {
+  private def undirectedTradeEdgesWithCount(t: Tables): (DataFrame, Long) = {
     edgeCache.getOrElseUpdate(
       s"${t.spark.sparkContext.applicationId}:${t.dir}",
       t.tableFingerprint("lineitem") + ":" + t.tableFingerprint("orders")) {
@@ -70,13 +70,43 @@ object GraphOps {
         .select((col("l_suppkey") * 2).as("src"),
           (col("o_custkey") * 2 + 1).as("dst"))
         .distinct()
-      pairs
+      val ck = pairs
         .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()
+      // count once per snapshot (a cheap scan of the checkpointed
+      // blocks): the loop-partition derivation below sizes every
+      // iteration's shuffle to this volume
+      (ck, ck.count())
     }
   }
 
-  def g01(t: Tables): DataFrame = {
+  private def undirectedTradeEdges(t: Tables): DataFrame =
+    undirectedTradeEdgesWithCount(t)._1
+
+  /** Rows that amortize one task's scheduling overhead at the per-round
+    * join+aggregate's per-row cost (narrow long pairs, hash join probe +
+    * partial min/sum). Calibrated by the r16 paired sweep over the
+    * 1.17M-row sf0.1 edge relation: 32→8 partitions read 0.40–0.61
+    * medians on the loop operators while 8→4 and 8→2 regressed them
+    * (plans/r16/exp_sp32v8_inv.log, exp_sp8v4.log, exp_sp8v2.log), so
+    * ~150K rows/partition is where per-task overhead stops dominating.
+    * At the cap the derivation hands back the session width unchanged —
+    * a cluster deployment keeps its own parallelism. */
+  private val RowsPerLoopPartition = 150000L
+
+  /** The iteration loops execute inside this scope (materializeAndRelease
+    * runs the plan via localCheckpoint), so every per-round shuffle —
+    * the edge repartition, the rank/label/frontier exchanges, the
+    * per-round aggregates — lands at the edge-volume-derived count
+    * instead of the session's static width (guide §2.2: partitions
+    * follow bytes, not cores). */
+  private def withLoopParts[A](t: Tables)(f: => A): A = {
+    val (_, edgeRows) = undirectedTradeEdgesWithCount(t)
+    graft.Parts.withShufflePartitions(t.spark,
+      graft.Parts.forRows(t.spark, edgeRows, RowsPerLoopPartition))(f)
+  }
+
+  def g01(t: Tables): DataFrame = withLoopParts(t) {
     val (plan, caches) = g01Plan(t)
     graft.CacheHygiene.materializeAndRelease(plan, caches)
   }
@@ -131,7 +161,7 @@ object GraphOps {
     * pure int64 min — no rounding surface at all. Same Pregel layout as
     * g01: edges partitioned+persisted once, each round shuffles only the
     * O(nodes) label vector. */
-  def g02(t: Tables): DataFrame = {
+  def g02(t: Tables): DataFrame = withLoopParts(t) {
     val (plan, caches) = g02Plan(t)
     graft.CacheHygiene.materializeAndRelease(plan, caches)
   }
@@ -295,7 +325,7 @@ object GraphOps {
     * persisted once, never re-scanned. Output is the bounded community
     * histogram (size + member-id checksum), never asserted on raw
     * per-node rows. */
-  def g04(t: Tables): DataFrame = {
+  def g04(t: Tables): DataFrame = withLoopParts(t) {
     val (plan, caches) = g04Plan(t)
     graft.CacheHygiene.materializeAndRelease(plan, caches)
   }
@@ -373,7 +403,7 @@ object GraphOps {
     * persisted once, each round shuffles only the O(reached) frontier.
     * Output is the bounded per-distance histogram (count + id checksum).
     * Oracle: the identical unrolled min-plus in DuckDB. */
-  def g05(t: Tables): DataFrame = {
+  def g05(t: Tables): DataFrame = withLoopParts(t) {
     val (plan, caches) = g05Plan(t)
     graft.CacheHygiene.materializeAndRelease(plan, caches)
   }
@@ -476,7 +506,7 @@ object GraphOps {
     * one cached O(nodes) relation and plan depth stays constant per
     * round. Per-round cost: one O(edges) semi-join pass + an O(nodes)
     * degree aggregate. */
-  def g07(t: Tables): DataFrame = {
+  def g07(t: Tables): DataFrame = withLoopParts(t) {
     val (plan, caches) = g07Plan(t)
     graft.CacheHygiene.materializeAndRelease(plan, caches)
   }

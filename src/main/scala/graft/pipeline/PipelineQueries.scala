@@ -267,6 +267,17 @@ object PipelineQueries {
         quality_scan(col("text")).getField("n_tokens").cast("bigint")
           .as("ntk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the kernel scan (fp/ntk per doc, session-width map
+    // stage) and size the rollup tail to its row count: every exchange
+    // below moves O(docs) NARROW rows (id, fp, ntk), for which the
+    // session's static width is pure per-task overhead (r16 paired
+    // sweep: 32→8 read 0.684 on this query, 8→4 another 0.821)
+    val nDocs = docs.count()
+    graft.Parts.withShufflePartitions(t.spark,
+      graft.Parts.forRows(t.spark, nDocs, 150000L)) { p05Tail(docs) }
+  }
+
+  private def p05Tail(docs: DataFrame): DataFrame = {
     val survivors = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val perSrc = docs.groupBy("source")

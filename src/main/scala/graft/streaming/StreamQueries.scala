@@ -260,7 +260,27 @@ object StreamQueries {
   private val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  private val statePartitionsLock = new Object
+  /** Scale-adaptive default for the state-store partition count (r16;
+    * the r15 constant 4 was flagged as a latent scale inversion). Stores
+    * are sized to the SOURCE volume feeding the stateful query — a
+    * monotone proxy for state volume (state rows are bounded by source
+    * rows) knowable BEFORE any job runs: ceil(source bytes / 256 MB),
+    * floored at 4 (the commit-pipelining minimum below which the r15
+    * paired sweep measured no win at any probe SF) and capped at the
+    * session width. At every probe SF the derivation lands exactly on
+    * the hand-picked 4 the r15 receipts certified (events.parquet: 2 MB
+    * sf0.1 / 12 MB sf1 / 116 MB sf10), so those scale receipts carry
+    * over unchanged; a deployment whose per-snapshot source volume grows
+    * past ~1 GB scales stores toward its own session width instead of
+    * inheriting a test-box constant. `graft.statePartitions` still
+    * overrides everything at runtime (read in withStatePartitions). */
+  private val StateBytesPerPartition = 256L << 20
+  private def stateParts(spark: SparkSession, dir: String,
+      table: String): Int =
+    graft.Parts.forBytes(spark,
+      graft.Parts.pathBytes(s"$dir/$table.parquet"),
+      StateBytesPerPartition, floor = 4)
+
   /** The per-query `n` below is the LOCAL default; `graft.statePartitions`
     * (session conf) overrides it — the scale-adaptive spelling (r15): a
     * production deployment sets it to state rows / target rows-per-store
@@ -282,8 +302,11 @@ object StreamQueries {
     // driver protocol (Verify/Bench/ScalaTest run queries sequentially
     // on the session), and a structurally isolated child session can't
     // host these queries because several join the stream against
-    // batch-side relations built on the parent.
-    statePartitionsLock.synchronized {
+    // batch-side relations built on the parent. The lock is SHARED with
+    // the batch loop-partition scoping (graft.Parts, r16): both mutate
+    // the same session conf, so independent monitors would reintroduce
+    // exactly the interleaved-restore hazard this comment describes.
+    graft.Parts.lock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.getOption(key)
       val prevBackend = spark.conf.getOption(BackendKey)
@@ -326,7 +349,7 @@ object StreamQueries {
     // stores per micro-batch for O(windows×types) state rows. Paired
     // same-JVM A/B (plans/r15/exp_statepart.log): 0.676 median ratio.
     // Same scale rationale as st02/st04 (stores ∝ state volume, not CPUs).
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       runComplete(spark,
         EventsStream.windowedCounts(eventsStream(spark, dir)), "st01_windows")
     }.orderBy("hour_ts", "event_type")
@@ -345,7 +368,7 @@ object StreamQueries {
     * emits the fully-merged session set at end-of-stream. Oracle: q31's
     * SQL verbatim, batch-boundary-independent. */
   def st02(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = withStatePartitions(spark, 4) {
+    val sessions = withStatePartitions(spark, stateParts(spark, dir, "events")) {
       runCompleteDistributed(spark,
         EventsStream.sessionWindows(replayedEventsStream(spark, dir, Nil)),
         "st02_sessions")
@@ -386,7 +409,7 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_users"))
     // 8 state partitions (r15): dedup state is O(users×types), the
     // aggregation O(types) — paired A/B 0.636 (exp_statepart.log)
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       runComplete(spark, deduped, "st03_dedup")
     }.orderBy("event_type")
   }
@@ -429,7 +452,7 @@ object StreamQueries {
     // the 10 min join window) — so append-mode output must equal the
     // batch self-join whatever the batch boundaries.
     val name = s"st04_join_${sinkId.incrementAndGet()}"
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       val q = joined.writeStream
         .queryName(name)
         .outputMode("append")
@@ -464,7 +487,7 @@ object StreamQueries {
         sum(expr("cast(round(value * 100) as bigint)")).as("sum_value_cents"))
     // 8 state partitions (r15): aggregation state is O(nations)=25 rows
     // — paired A/B 0.741 (exp_statepart.log)
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       runComplete(spark, enriched, "st05_enrich")
     }.orderBy("n_name")
   }
@@ -499,7 +522,7 @@ object StreamQueries {
       // 8 state partitions (r15): transformWithState keeps O(users)
       // state rows; 32 RocksDB instances per batch was pure per-store
       // overhead — paired A/B 0.681 (exp_statepart.log)
-      withStatePartitions(spark, 4) {
+      withStatePartitions(spark, stateParts(spark, dir, "events")) {
         val q = EventsStream.runningStats(ev)
           .toDF("user_id", "n_events", "cents")
           .writeStream
@@ -565,7 +588,7 @@ object StreamQueries {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
       "left_outer")
     val out = graft.TempDirs.create("graft_st07_rows")
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       val q = joined.writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -612,7 +635,7 @@ object StreamQueries {
         col("event_type"), col("value"))
       .as[EventsStream.Event]
     val out = graft.TempDirs.create("graft_st08_sessions")
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       val q = EventsStream
         .sessionizeStateful(ev, ReplayJitterSec * 1000).toDF()
         .writeStream
@@ -714,7 +737,7 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_unique"))
     // scoped partitions (r15): dedup+agg state is O(fps)+O(sources);
     // paired A/B 32→8 0.630, 8→4 0.934 (exp_fb8.log, exp_fb4.log)
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "documents")) {
       runComplete(spark, survivors, "st10_curation")
     }.orderBy("source")
   }
@@ -842,7 +865,7 @@ object StreamQueries {
           out.iterator
       }
     val outDir = graft.TempDirs.create("graft_st14_pairs")
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "documents")) {
       val q = hits.toDF()
         .writeStream
         .outputMode("append")
@@ -949,7 +972,7 @@ object StreamQueries {
           s"st15: $what did not terminate within ${RunTimeoutMs / 1000}s " +
             "— checkpoint recovery is wedged, refusing to grade")
       }
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       // phase-resolved timing (round-8 verdict item 5): the single st15
       // number hid which leg costs what — the pre-crash run scales with
       // history (it processes batches 0..crash), the recovery leg must
@@ -1345,7 +1368,7 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
     // scoped partitions (r15): agg state is O(sources)=20 rows; paired
     // A/B 32→8 0.682, 8→4 0.927 (exp_fb8.log, exp_fb4.log)
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "documents")) {
       runComplete(spark, kept, "st11_sample")
     }.orderBy("source")
   }
@@ -1475,7 +1498,7 @@ object StreamQueries {
       .as[EventsStream.Event]
     val crossings = thresholdCrossings(ev, 100000L)
     val out = graft.TempDirs.create("graft_st12_alerts")
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       val q = crossings.toDF()
         .writeStream
         .outputMode("append")
@@ -1513,7 +1536,7 @@ object StreamQueries {
       .limit(10)
     // 8 state partitions (r15): aggregation state is O(users) —
     // paired A/B 0.690 (exp_statepart.log)
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "events")) {
       runComplete(spark, totals, "st13_leaderboard")
     }.orderBy(col("sum_value_cents").desc, col("user_id"))
   }
@@ -1691,7 +1714,7 @@ object StreamQueries {
     // session's static 32 meant 32 tasks + 32 files per tiny stage
     // write; paired A/B 32→8 0.801, 8→4 0.995 (exp_fb8/fb4.log).
     // Production sizes to batch volume via graft.statePartitions.
-    withStatePartitions(spark, 4) {
+    withStatePartitions(spark, stateParts(spark, dir, "documents")) {
       admissionSession(spark, rd, rd + ".index", bench, out)
     }
     admissionStagesRollup(spark, out)
