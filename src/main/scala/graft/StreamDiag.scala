@@ -21,6 +21,10 @@ object StreamDiag {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror the bench/verify session (shared default): a diagnosis
+      // run with the Spark-default checksums ON would mis-attribute the
+      // per-batch floor
+      .config(GraftSession.CkptChecksumKey, GraftSession.ckptChecksumDefault)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

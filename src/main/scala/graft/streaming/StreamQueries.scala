@@ -1788,6 +1788,14 @@ object StreamQueries {
     // each batch only pays the broadcast probe. Same relation, so the
     // admitted set is byte-identical (oracle unchanged).
     val bGrams = benchGrams(bench).localCheckpoint()
+    // the standing fingerprint index is SESSION-STATIC (one snapshot per
+    // admission session, the d11 rotation pattern), yet every micro-batch
+    // re-read its parquet (footer + scan job per batch) just to rebuild
+    // the same anti-join build side. Checkpoint it once per session (r16;
+    // the bGrams treatment) — each batch then pays only the broadcast
+    // build over the materialized blocks. Same relation, so the admitted
+    // set is byte-identical (oracle unchanged).
+    val baseFps = spark.read.parquet(standingIdx).localCheckpoint()
     val schema = spark.read.parquet(incomingDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(incomingDir)
@@ -1798,7 +1806,6 @@ object StreamQueries {
     val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val baseFps = sp.read.parquet(standingIdx)
         // qual/novel persisted like p06's stages (r15): each feeds its
         // own stage sink AND the next stage's lineage, so unpersisted
         // the quality kernel re-ran 3x per batch (novel sink, uniq
@@ -1869,16 +1876,44 @@ object StreamQueries {
         val uniq = exactDedup(crossNovel)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val admitted = decontaminateWithGrams(uniq, bGrams)
-        // idempotent per-batch-id overwrite (a retried batch replaces
-        // its own output, never duplicates it)
-        def sink(df: DataFrame, stage: String, cols: Seq[String]): Unit =
-          df.select(cols.map(col): _*).write.mode("overwrite")
-            .parquet(s"${stageDir(stage)}/batch_$tag$batchId")
-        sink(batch, "incoming", Seq("doc_id", "source"))
-        sink(qual, "quality", Seq("doc_id", "source"))
-        sink(novel, "novel", Seq("doc_id", "source"))
-        sink(uniq, "uniq", Seq("doc_id", "source"))
-        sink(admitted, "admitted", Seq("doc_id", "source", "text"))
+        // ONE combined stage sink per batch (r16): the five per-stage
+        // writes were five separate write JOBS + five file-commit
+        // protocols per micro-batch — pure per-job latency at any batch
+        // size, ~5 output dirs of tiny files per batch (guide §2.6/§6).
+        // The stages ride ONE parquet dir per batch as a `stage` column
+        // (NOT partitionBy: an EMPTY stage — e.g. a re-ingest day whose
+        // uniq/admitted are zero rows — must stay representable, and
+        // partitioned writes drop empty partitions). The union's
+        // branches read the same persisted qual/novel/uniq caches the
+        // per-stage sinks read, so no stage computes twice; `text` is
+        // carried only for admitted rows (the rollup's token mass),
+        // null elsewhere. Idempotency is unchanged: a retried batch
+        // OVERWRITES its own single dir.
+        def staged(df: DataFrame, stage: String, withText: Boolean) =
+          df.select(col("doc_id"), col("source"),
+            (if (withText) col("text") else lit(null).cast("string"))
+              .as("text"),
+            lit(stage).as("stage"))
+        // graft.st17LegacySink=true restores the five per-stage write
+        // jobs — the r16 paired-A/B arm (plans/r16/exp_st17_sink.log);
+        // the combined sink is the default
+        if (sp.conf.getOption("graft.st17LegacySink").contains("true")) {
+          def sink(df: DataFrame, stage: String, cols: Seq[String]): Unit =
+            df.select(cols.map(col): _*).write.mode("overwrite")
+              .parquet(s"${stageDir(stage)}/batch_$tag$batchId")
+          sink(batch, "incoming", Seq("doc_id", "source"))
+          sink(qual, "quality", Seq("doc_id", "source"))
+          sink(novel, "novel", Seq("doc_id", "source"))
+          sink(uniq, "uniq", Seq("doc_id", "source"))
+          sink(admitted, "admitted", Seq("doc_id", "source", "text"))
+        } else
+          staged(batch, "incoming", withText = false)
+            .unionByName(staged(qual, "quality", withText = false))
+            .unionByName(staged(novel, "novel", withText = false))
+            .unionByName(staged(uniq, "uniq", withText = false))
+            .unionByName(staged(admitted, "admitted", withText = true))
+            .write.mode("overwrite")
+            .parquet(s"${stageDir("stages")}/batch_$tag$batchId")
         uniq.select(canon_fp(col("text")).as("fp")).distinct()
           .write.mode("overwrite")
           .parquet(s"${stageDir("seen_fps")}/batch_$tag$batchId")
@@ -1903,15 +1938,25 @@ object StreamQueries {
     }
   }
 
-  /** p06's rollup over the stage dirs an [[admissionSession]] (or
-    * several — multi-day state accumulates in place) populated. */
+  /** p06's rollup over the combined stage dirs an [[admissionSession]]
+    * (or several — multi-day state accumulates in place) populated:
+    * ONE scan of the per-batch stage relation, filtered five ways (the
+    * stage column replaces five per-stage dir reads — r16, paired with
+    * the combined sink above). */
   private[graft] def admissionStagesRollup(
       spark: SparkSession, out: String): DataFrame = {
-    val Seq(incoming, qual, novel, uniq, admitted) = AdmissionStages.map { s =>
-      val dirs = admissionBatchDirs(out, s)
-      require(dirs.nonEmpty, s"st17: stage $s produced no batches")
-      spark.read.parquet(dirs: _*)
-    }
+    val dirs = admissionBatchDirs(out, "stages")
+    val Seq(incoming, qual, novel, uniq, admitted) =
+      if (dirs.nonEmpty) {
+        val staged = spark.read.parquet(dirs: _*)
+        AdmissionStages.map(s => staged.filter(col("stage") === s))
+      } else
+        // legacy per-stage dirs (the graft.st17LegacySink A/B arm)
+        AdmissionStages.map { s =>
+          val sd = admissionBatchDirs(out, s)
+          require(sd.nonEmpty, s"st17: stage $s produced no batches")
+          spark.read.parquet(sd: _*)
+        }
     graft.pipeline.PipelineQueries
       .admissionRollup(incoming, qual, novel, uniq, admitted)
   }

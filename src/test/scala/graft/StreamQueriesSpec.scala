@@ -213,10 +213,11 @@ class StreamQueriesSpec extends AnyFunSuite {
     StreamQueries.admissionSession(spark, day3, standingIdx, bench, out,
       tag = "d3_")
     def day3Stage(stage: String): Long = {
-      val dirs = new java.io.File(s"$out/$stage").listFiles()
+      val dirs = new java.io.File(s"$out/stages").listFiles()
         .filter(_.getName.startsWith("batch_d3_")).map(_.getPath)
-      assert(dirs.nonEmpty, s"day-3 session wrote no $stage batches")
-      spark.read.parquet(dirs.toSeq: _*).count()
+      assert(dirs.nonEmpty, "day-3 session wrote no stage batches")
+      spark.read.parquet(dirs.toSeq: _*)
+        .filter(col("stage") === stage).count()
     }
     assert(day3Stage("incoming") > 0, "day-3 re-ingest delivered no rows")
     assert(day3Stage("uniq") == 0 && day3Stage("admitted") == 0,
