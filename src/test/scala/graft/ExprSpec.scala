@@ -8,8 +8,33 @@ class ExprSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  /** GraftSession.build()'s getOrCreate APPLIES its runtime confs to the
+    * pre-existing shared test session (Spark 3.4+ semantics) — e.g. its
+    * default shuffle-partition count is the box's core count, which
+    * silently flips the suite-wide session from TestSpark's 4 to 32 for
+    * every spec that runs after this one. Snapshot and restore the confs
+    * build() sets; this spec's subject is function registration, not
+    * session sizing. */
+  private def restoringBuildConfs[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.sources.partitionOverwriteMode",
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.session.timeZone",
+      GraftSession.CkptChecksumKey)
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("GraftSession front door registers every SQL function") {
-    val s = GraftSession.build() // getOrCreate reuses the test session
+    // getOrCreate reuses the test session; confs restored right away
+    val s = restoringBuildConfs(GraftSession.build())
     val r = s.sql(
       """SELECT simhash64(array('a','b')) AS sh,
         | size(minhash_ngrams(array('a','b','c','d'), 3, 16, 42)) AS mh,
@@ -124,7 +149,7 @@ class ExprSpec extends AnyFunSuite {
   }
 
   test("GraftSession front door registers SQL functions") {
-    val s = GraftSession.build(master = "local[4]")
+    val s = restoringBuildConfs(GraftSession.build(master = "local[4]"))
     assert(s.sql("SELECT simhash64(array('x')) AS v").head().getLong(0) != 0L)
   }
 
