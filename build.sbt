@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra JVM flags for the forked run, e.g. session-STATIC Spark confs
+  // (-Dspark.io.compression.codec=zstd) that no runtime conf.set can
+  // reach — the r16 codec-receipt hook (two full sessions A/B at the
+  // session level; the paired harness cannot sweep a static conf).
+  // Default empty: the graded bench contract is untouched.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

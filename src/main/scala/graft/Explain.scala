@@ -13,6 +13,18 @@ import org.apache.spark.sql.SparkSession
   * bytes/records (summed from per-task metrics via a SparkListener):
   * the number a shuffle-volume claim ("payload X no longer rides
   * exchange Y") must cite, since plan text shows shape but not bytes.
+  * Executed runs also count TASKS (r16): partition-scoping claims
+  * ("the loop now runs 8-way, not 32-way") are invisible in a
+  * localCheckpoint-terminated query's final plan — the r15 s16 evidence
+  * gap — but the total task count measures them directly.
+  *
+  * SPARK_GRAFT_CPUS sizes the session (master local[n] + n shuffle
+  * partitions; default 4 — set 32 to mirror the graded bench session,
+  * where the scale-adaptive partition derivations actually diverge from
+  * the session width). SPARK_GRAFT_EXPLAIN_CONF="k=v;k=v" sets runtime
+  * confs after session build — the hook that dumps a BEFORE arm through
+  * the engine's own override knobs (graft.shufflePartitions=32,
+  * graft.st17LegacySink=true) without checking out old code.
   */
 object Explain {
   /** Sums shuffle write volume across all tasks between reset() calls.
@@ -22,17 +34,20 @@ object Explain {
   private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
     private val bytes = new java.util.concurrent.atomic.AtomicLong
     private val records = new java.util.concurrent.atomic.AtomicLong
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
       val m = t.taskMetrics
       if (m != null) {
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     }
-    def reset(): Unit = { bytes.set(0); records.set(0) }
+    def reset(): Unit = { bytes.set(0); records.set(0); tasks.set(0) }
     def report: String =
-      s"shuffle_write_bytes=${bytes.get} shuffle_write_records=${records.get}"
+      s"shuffle_write_bytes=${bytes.get} shuffle_write_records=${records.get} " +
+        s"tasks=${tasks.get}"
   }
 
   def main(args: Array[String]): Unit = {
@@ -40,15 +55,22 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     val run = sys.env.get("SPARK_GRAFT_EXPLAIN_RUN").contains("1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach {
+      _.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     val meter = new ShuffleMeter
     if (run) spark.sparkContext.addSparkListener(meter)
     names.foreach { n =>

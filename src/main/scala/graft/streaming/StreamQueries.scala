@@ -1806,6 +1806,14 @@ object StreamQueries {
     val q = writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        // graft.st17LegacyBaseFps=true restores the per-batch parquet
+        // re-read of the session-static standing index — the isolated
+        // paired-A/B arm for the checkpoint-once treatment above
+        // (plans/r16/exp_st17_basefps.log); same relation either way
+        val fps =
+          if (sp.conf.getOption("graft.st17LegacyBaseFps").contains("true"))
+            sp.read.parquet(standingIdx)
+          else baseFps
         // qual/novel persisted like p06's stages (r15): each feeds its
         // own stage sink AND the next stage's lineage, so unpersisted
         // the quality kernel re-ran 3x per batch (novel sink, uniq
@@ -1813,7 +1821,7 @@ object StreamQueries {
         // dominant per-batch term. Released after the sinks below.
         val qual = qualityFilter(batch).persist(StorageLevel.MEMORY_AND_DISK)
         val novel = qual.withColumn("fp", canon_fp(col("text")))
-          .join(baseFps, Seq("fp"), "left_anti").drop("fp")
+          .join(fps, Seq("fp"), "left_anti").drop("fp")
           .persist(StorageLevel.MEMORY_AND_DISK)
         // cross-batch dedup: probe the fps accumulated by PRIOR batches
         // (across ALL session tags — day 2 probes day 1's index too).
